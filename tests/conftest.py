@@ -1,0 +1,19 @@
+"""Test harness config: run on CPU with 8 virtual devices.
+
+Multi-chip sharding (pjit/shard_map collectives) is validated on a virtual
+CPU mesh, the standard JAX approach when pod hardware isn't attached.
+"""
+
+import os
+
+# The axon boot shim exports JAX_PLATFORMS=axon; force-override (not
+# setdefault) so the suite runs on the virtual CPU mesh, not the TPU tunnel.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)

@@ -1,0 +1,113 @@
+"""Quantizer + packing tests: round-trip error bounds, STE gradients,
+layout pack/unpack inverses, AWQ interchange, and end-to-end QuantizedLinear
+equivalence against a dense reference computation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from paroquant_tpu.ops import packing, quant, rotation as R
+from paroquant_tpu.ops.qlinear import (
+    dequantized_weight,
+    effective_weight,
+    make_quantized_linear,
+    quantized_linear_forward,
+)
+
+GS = 128
+
+
+def test_round_clamp_ste_grads():
+    g = jax.grad(lambda x: jnp.sum(quant.round_ste(x) ** 2))(jnp.array([0.3, 1.7]))
+    # d/dx (round(x)^2) with STE = 2*round(x)
+    np.testing.assert_allclose(np.asarray(g), [0.0, 4.0], atol=1e-6)
+    g2 = jax.grad(lambda x: jnp.sum(quant.clamp_ste(x, 0.0, 1.0)))(jnp.array([-5.0, 0.5, 9.0]))
+    np.testing.assert_allclose(np.asarray(g2), [1.0, 1.0, 1.0])
+
+
+def test_pseudo_quantize_roundtrip_error_bound():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(64, 256)).astype(np.float32))
+    wq = quant.pseudo_quantize(w, n_bits=4, group_size=GS)
+    err = np.abs(np.asarray(wq - w))
+    # max error <= scale/2 per group; scale ~ range/15
+    wg = np.asarray(w).reshape(-1, GS)
+    scales = (wg.max(1) - wg.min(1)) / 15.0
+    assert (err.reshape(-1, GS).max(1) <= scales / 2 + 1e-6).all()
+
+
+def test_pseudo_quantize_matches_hard_quantize():
+    rng = np.random.default_rng(1)
+    w = jnp.asarray(rng.normal(size=(32, 256)).astype(np.float32))
+    params = quant.calc_scales_and_zero_points(w, GS, 4)
+    wq = quant.pseudo_quantize(w, 4, GS, params)
+    q, s, z = quant.quantize_to_int(w, params, 4, GS)
+    wd = quant.dequantize_int(q, s, z, GS)
+    np.testing.assert_allclose(np.asarray(wq), np.asarray(wd), atol=1e-6)
+    assert np.asarray(q).min() >= 0 and np.asarray(q).max() <= 15
+
+
+def test_tpu_pack_unpack_roundtrip():
+    rng = np.random.default_rng(2)
+    q = rng.integers(0, 16, size=(256, 192), dtype=np.int32)
+    packed = packing.pack_w4_tpu(q, GS)
+    assert packed.shape == (128, 192) and packed.dtype == np.uint8
+    unpacked = packing.unpack_w4_tpu(jnp.asarray(packed), GS)
+    np.testing.assert_array_equal(np.asarray(unpacked), q)
+
+
+def test_awq_pack_unpack_roundtrip():
+    rng = np.random.default_rng(3)
+    q = rng.integers(0, 16, size=(64, 256), dtype=np.int32)
+    packed = packing.pack_awq(q)
+    assert packed.shape == (64, 32) and packed.dtype == np.int32
+    np.testing.assert_array_equal(packing.unpack_awq(packed), q)
+
+
+def _make_layer(O=96, I=256, K=4, seed=0, bias=True):
+    rng = np.random.default_rng(seed)
+    w = rng.normal(size=(O, I)).astype(np.float32)
+    params = R.make_rotation_params(I, GS, K, seed)
+    theta = np.where(
+        np.asarray(params.mask), 0.0, rng.normal(0, 0.3, params.theta.shape)
+    ).astype(np.float32)
+    inv_s = rng.uniform(0.5, 2.0, I).astype(np.float32)
+    form_np = R.pairs_to_permutation(np.asarray(params.pairs), GS)
+    form = R.PermutationForm(*(jnp.asarray(a) for a in form_np))
+    # rotated+scaled weight then quantize (mirrors cli/convert.py:158-191)
+    w_scaled = w / inv_s  # optimizer's channel_scales = 1/inv_s
+    w_rot = np.asarray(R.apply_rotation_stages(jnp.asarray(w_scaled), jnp.asarray(theta), form))
+    qp = quant.calc_scales_and_zero_points(jnp.asarray(w_rot), GS, 4)
+    q, s, z = (np.asarray(a) for a in quant.quantize_to_int(jnp.asarray(w_rot), qp, 4, GS))
+    b = rng.normal(size=O).astype(np.float32) if bias else None
+    layer = make_quantized_linear(
+        q, s, z, np.asarray(params.pairs), theta, inv_s, GS, bias=b
+    )
+    return layer, q, s, z, theta, form, inv_s, b
+
+
+def test_quantized_linear_against_dense_reference():
+    layer, q, s, z, theta, form, inv_s, b = _make_layer()
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(5, 256)).astype(np.float32))
+    y = quantized_linear_forward(layer, x, mode="xla")
+
+    # dense reference: y = rotate(x * inv_s) @ Wd + b
+    wd_ref = np.asarray(quant.dequantize_int(jnp.asarray(q), jnp.asarray(s), jnp.asarray(z), GS))
+    xr = np.asarray(R.apply_rotation_stages(x * inv_s, jnp.asarray(theta), form))
+    y_ref = xr @ wd_ref.T + b
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=2e-4, atol=2e-3)
+
+    # effective_weight path agrees too
+    we = np.asarray(effective_weight(layer))
+    np.testing.assert_allclose(np.asarray(x) @ we + b, y_ref, rtol=2e-4, atol=2e-3)
+
+    # dequantized_weight matches the converter's dequant
+    np.testing.assert_allclose(np.asarray(dequantized_weight(layer)), wd_ref.T, atol=1e-5)
+
+
+def test_quantized_linear_batch_shapes():
+    layer, *_ = _make_layer(bias=False)
+    x = jnp.ones((2, 3, 256), jnp.bfloat16)
+    y = quantized_linear_forward(layer, x, mode="xla")
+    assert y.shape == (2, 3, 96) and y.dtype == jnp.bfloat16
