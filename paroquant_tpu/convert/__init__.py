@@ -1,0 +1,1 @@
+from .rtn import quantize_experts_rtn, quantize_linear_rtn, quantize_model_rtn

@@ -1,0 +1,144 @@
+"""Round-to-nearest quantization of a dense model (no calibration).
+
+Produces the same runtime format as the full calibration pipeline but with
+identity rotations / unit channel scales (theta=0) — the "AWQ-less RTN"
+starting point. The calibration optimizer (paroquant_tpu/optim) learns
+theta/channel_scales/quantizer params on top of this and strictly improves it.
+
+Reference parity: module selection mirrors the reference's swap rules —
+q/k/v/o/gate/up/down linears are quantized; embeddings, lm_head, norms and
+MoE router gates are not (experiments/optimize/4bit.sh skip list; vLLM
+plugin modules_to_not_convert, plugin.py:123-151).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import ModelConfig
+from ..models.decoder import DenseLinear
+from ..ops import quant, rotation as rot_ops
+from ..ops.moe import QuantizedMoEExperts
+from ..ops.qlinear import QuantizedLinear, make_quantized_linear
+from ..ops.packing import pack_wq_tpu
+
+QUANTIZED_LINEARS = ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj")
+
+
+def quantize_linear_rtn(
+    lin: DenseLinear,
+    *,
+    n_bits: int = 4,
+    group_size: int = 128,
+    num_rotations: int = 8,
+    seed: int = 0,
+    random_rotation: bool = False,
+    rot_dtype=jnp.float32,
+) -> QuantizedLinear:
+    """Quantize one dense linear (w [I, O]) to the PARO runtime format."""
+    w = np.asarray(lin.w, np.float32).T  # [O, I] reference orientation
+    O, I = w.shape
+    params = rot_ops.make_rotation_params(I, group_size, num_rotations, seed)
+    if random_rotation:
+        rng = np.random.default_rng(seed)
+        theta = np.where(
+            np.asarray(params.mask), 0.0, rng.normal(0, 0.1, params.theta.shape)
+        ).astype(np.float32)
+    else:
+        theta = np.zeros(params.theta.shape, np.float32)
+    form_np = rot_ops.pairs_to_permutation(np.asarray(params.pairs), group_size)
+    form = rot_ops.PermutationForm(*(jnp.asarray(a) for a in form_np))
+    w_rot = rot_ops.apply_rotation_stages(jnp.asarray(w), jnp.asarray(theta), form)
+    qp = quant.calc_scales_and_zero_points(w_rot, group_size, n_bits)
+    q, s, z = quant.quantize_to_int(w_rot, qp, n_bits, group_size)
+    return make_quantized_linear(
+        np.asarray(q), np.asarray(s), np.asarray(z),
+        np.asarray(params.pairs), theta, np.ones(I, np.float32), group_size,
+        bias=None if lin.b is None else np.asarray(lin.b, np.float32),
+        rot_dtype=rot_dtype, n_bits=n_bits,
+    )
+
+
+def quantize_experts_rtn(
+    experts: dict[str, Any], *, n_bits: int = 4, group_size: int = 128,
+    num_rotations: int = 8, seed: int = 0, rot_dtype=jnp.float32,
+) -> QuantizedMoEExperts:
+    """Quantize stacked MoE experts with identity shared rotations."""
+    gate = np.asarray(experts["gate_proj"], np.float32)  # [E, H, I]
+    up = np.asarray(experts["up_proj"], np.float32)
+    down = np.asarray(experts["down_proj"], np.float32)  # [E, I, H]
+    E, H, I_moe = gate.shape
+
+    def quant_stack(w_stack):  # [E, In, Out] quantize along In per (e, out) row
+        qs, ss, zs = [], [], []
+        for e in range(w_stack.shape[0]):
+            w = w_stack[e].T  # [Out, In]
+            qp = quant.calc_scales_and_zero_points(jnp.asarray(w), group_size, n_bits)
+            q, s, z = quant.quantize_to_int(jnp.asarray(w), qp, n_bits, group_size)
+            qs.append(pack_wq_tpu(np.asarray(q).T, n_bits, group_size))
+            ss.append(np.asarray(s).T)
+            zs.append(np.asarray(z).T)
+        return (
+            jnp.asarray(np.stack(qs)),
+            jnp.asarray(np.stack(ss), jnp.float32),
+            jnp.asarray(np.stack(zs), jnp.float32),
+        )
+
+    gq, gs, gz = quant_stack(gate)
+    uq, us, uz = quant_stack(up)
+    dq, ds, dz = quant_stack(down)
+    eye_h = jnp.broadcast_to(
+        jnp.eye(group_size, dtype=rot_dtype), (H // group_size, group_size, group_size)
+    )
+    eye_i = jnp.broadcast_to(
+        jnp.eye(group_size, dtype=rot_dtype), (I_moe // group_size, group_size, group_size)
+    )
+    return QuantizedMoEExperts(
+        gate_qweight=gq, gate_scales=gs, gate_zeros=gz,
+        up_qweight=uq, up_scales=us, up_zeros=uz,
+        down_qweight=dq, down_scales=ds, down_zeros=dz,
+        gate_up_rot=eye_h, down_rot=eye_i,
+    )
+
+
+def quantize_model_rtn(
+    params: dict[str, Any],
+    config: ModelConfig,
+    *,
+    n_bits: int = 4,
+    group_size: int = 128,
+    num_rotations: int = 8,
+    seed: int = 0,
+    rot_dtype=jnp.float32,
+) -> dict[str, Any]:
+    """Swap every eligible DenseLinear for a QuantizedLinear (functional copy)."""
+    out = dict(params)
+    layers = []
+    for i, lp in enumerate(params["layers"]):
+        nlp = dict(lp)
+        for name in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            nlp[name] = quantize_linear_rtn(
+                lp[name], n_bits=n_bits, group_size=group_size,
+                num_rotations=num_rotations, seed=seed + i, rot_dtype=rot_dtype,
+            )
+        mlp = dict(lp["mlp"])
+        if "experts" in mlp and not isinstance(mlp["experts"], QuantizedMoEExperts):
+            if config.moe_intermediate_size % group_size == 0:
+                mlp["experts"] = quantize_experts_rtn(
+                    mlp["experts"], n_bits=n_bits, group_size=group_size,
+                    num_rotations=num_rotations, seed=seed + i, rot_dtype=rot_dtype,
+                )
+        else:
+            for name in ("gate_proj", "up_proj", "down_proj"):
+                if name in mlp:
+                    mlp[name] = quantize_linear_rtn(
+                        mlp[name], n_bits=n_bits, group_size=group_size,
+                        num_rotations=num_rotations, seed=seed + i, rot_dtype=rot_dtype,
+                    )
+        nlp["mlp"] = mlp
+        layers.append(nlp)
+    out["layers"] = layers
+    return out

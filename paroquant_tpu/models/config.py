@@ -1,0 +1,157 @@
+"""Model configuration, mapped from HF config.json.
+
+Covers the model families the reference targets (SURVEY.md §7: Qwen3/3.5
+dense + MoE, Llama, Gemma-class). One superset dataclass; family quirks are
+feature flags resolved in `from_hf_dict`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Any
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    model_type: str = "qwen3"
+    vocab_size: int = 151936
+    hidden_size: int = 1024
+    intermediate_size: int = 3072
+    num_hidden_layers: int = 28
+    num_attention_heads: int = 16
+    num_key_value_heads: int = 8
+    head_dim: int = 128
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 1_000_000.0
+    max_position_embeddings: int = 40960
+    tie_word_embeddings: bool = True
+    # family quirks
+    qk_norm: bool = True  # Qwen3: RMSNorm on per-head q/k
+    attention_bias: bool = False  # Qwen2: bias on q/k/v projections
+    mlp_bias: bool = False
+    gemma_norm: bool = False  # Gemma: (1 + w) RMSNorm weights + embed scaling
+    post_norms: bool = False  # Gemma: post-attention/post-mlp extra norms
+    sliding_window: int | None = None
+    sliding_window_pattern: int | None = None  # Gemma: 1 global layer every N
+    rope_local_theta: float | None = None  # Gemma: different theta for local layers
+    logit_softcap: float | None = None
+    attn_logit_softcap: float | None = None
+    # MoE (0 experts => dense)
+    num_experts: int = 0
+    num_experts_per_tok: int = 0
+    moe_intermediate_size: int = 0
+    norm_topk_prob: bool = True
+    decoder_sparse_step: int = 1
+    shared_expert_intermediate_size: int = 0
+    # quantization (populated when loading a PARO checkpoint)
+    quantization: dict[str, Any] | None = None
+
+    @property
+    def is_moe(self) -> bool:
+        return self.num_experts > 0
+
+    def layer_is_sparse(self, layer_idx: int) -> bool:
+        if not self.is_moe:
+            return False
+        step = max(self.decoder_sparse_step, 1)
+        return (layer_idx + 1) % step == 0
+
+    def layer_sliding_window(self, layer_idx: int) -> int | None:
+        """Per-layer sliding window (Gemma pattern: global every Nth layer)."""
+        if self.sliding_window is None:
+            return None
+        if self.sliding_window_pattern is None:
+            return self.sliding_window
+        if (layer_idx + 1) % self.sliding_window_pattern == 0:
+            return None  # global attention layer
+        return self.sliding_window
+
+
+def from_hf_dict(cfg: dict[str, Any]) -> ModelConfig:
+    """Map an HF config.json dict onto ModelConfig."""
+    # VLM checkpoints nest the LM config
+    if "text_config" in cfg:
+        outer = cfg
+        cfg = dict(cfg["text_config"])
+        cfg.setdefault("model_type", outer.get("model_type", "llama"))
+        if "quantization_config" in outer:
+            cfg.setdefault("quantization_config", outer["quantization_config"])
+    mt = cfg.get("model_type", "llama")
+    heads = cfg.get("num_attention_heads", 32)
+    hidden = cfg.get("hidden_size", 4096)
+    head_dim = cfg.get("head_dim") or hidden // heads
+    is_gemma = mt.startswith("gemma")
+    kwargs: dict[str, Any] = dict(
+        model_type=mt,
+        vocab_size=cfg.get("vocab_size", 32000),
+        hidden_size=hidden,
+        intermediate_size=cfg.get("intermediate_size", 11008),
+        num_hidden_layers=cfg.get("num_hidden_layers", 32),
+        num_attention_heads=heads,
+        num_key_value_heads=cfg.get("num_key_value_heads", heads),
+        head_dim=head_dim,
+        rms_norm_eps=cfg.get("rms_norm_eps", 1e-6),
+        rope_theta=cfg.get("rope_theta", 10000.0),
+        max_position_embeddings=cfg.get("max_position_embeddings", 4096),
+        tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+        qk_norm=mt in ("qwen3", "qwen3_moe", "qwen3_next") or is_gemma and mt >= "gemma3",
+        attention_bias=cfg.get("attention_bias", mt == "qwen2"),
+        mlp_bias=cfg.get("mlp_bias", False),
+        gemma_norm=is_gemma,
+        post_norms=is_gemma,
+        sliding_window=cfg.get("sliding_window"),
+        sliding_window_pattern=cfg.get("sliding_window_pattern"),
+        rope_local_theta=cfg.get("rope_local_base_freq"),
+        logit_softcap=cfg.get("final_logit_softcapping"),
+        attn_logit_softcap=cfg.get("attn_logit_softcapping"),
+        quantization=cfg.get("quantization_config"),
+    )
+    if mt in ("qwen3_moe", "qwen2_moe", "qwen3_next"):
+        kwargs.update(
+            num_experts=cfg.get("num_experts", 0),
+            num_experts_per_tok=cfg.get("num_experts_per_tok", 0),
+            moe_intermediate_size=cfg.get("moe_intermediate_size", 0),
+            norm_topk_prob=cfg.get("norm_topk_prob", True),
+            decoder_sparse_step=cfg.get("decoder_sparse_step", 1),
+            shared_expert_intermediate_size=cfg.get("shared_expert_intermediate_size", 0),
+        )
+    return ModelConfig(**kwargs)
+
+
+def load_config(model_dir: str | Path) -> ModelConfig:
+    with open(Path(model_dir) / "config.json") as f:
+        return from_hf_dict(json.load(f))
+
+
+# Small presets for tests/benchmarks (shapes follow the public model cards).
+PRESETS: dict[str, ModelConfig] = {
+    "qwen3-0.6b": ModelConfig(
+        model_type="qwen3", vocab_size=151936, hidden_size=1024,
+        intermediate_size=3072, num_hidden_layers=28, num_attention_heads=16,
+        num_key_value_heads=8, head_dim=128, tie_word_embeddings=True,
+    ),
+    "qwen3-8b": ModelConfig(
+        model_type="qwen3", vocab_size=151936, hidden_size=4096,
+        intermediate_size=12288, num_hidden_layers=36, num_attention_heads=32,
+        num_key_value_heads=8, head_dim=128, tie_word_embeddings=False,
+    ),
+    "llama-2-7b": ModelConfig(
+        model_type="llama", vocab_size=32000, hidden_size=4096,
+        intermediate_size=11008, num_hidden_layers=32, num_attention_heads=32,
+        num_key_value_heads=32, head_dim=128, rope_theta=10000.0,
+        qk_norm=False, tie_word_embeddings=False,
+    ),
+    "tiny": ModelConfig(
+        model_type="qwen3", vocab_size=512, hidden_size=256,
+        intermediate_size=512, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=64, tie_word_embeddings=True,
+    ),
+    "tiny-moe": ModelConfig(
+        model_type="qwen3_moe", vocab_size=512, hidden_size=256,
+        intermediate_size=512, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=64, tie_word_embeddings=True,
+        num_experts=8, num_experts_per_tok=2, moe_intermediate_size=128,
+    ),
+}

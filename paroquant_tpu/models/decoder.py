@@ -1,0 +1,414 @@
+"""Functional JAX decoder covering the reference's model families.
+
+One implementation serves Llama / Qwen2 / Qwen3 (dense + MoE) / Gemma-class,
+selected by ModelConfig feature flags — replacing the reference's reliance on
+HF Transformers / vLLM / MLX model zoos (SURVEY.md §2.3). Params are plain
+pytrees; every linear is either a DenseLinear or an ops.QuantizedLinear, so a
+quantized checkpoint swaps layer pytrees without touching model code (the
+TPU equivalent of the reference's Linear->RotateQuantizedLinear module
+surgery, backends/transformers/quantizer.py:88-115).
+
+Design notes (TPU-first):
+- static shapes everywhere; decode uses a preallocated KV cache with
+  dynamic_update_slice, prefill is one batched pass
+- attention is einsum-based GQA (XLA fuses well at these sizes; a Pallas
+  paged-attention kernel backs the serving path)
+- math in bf16 with f32 accumulators (preferred_element_type), RMSNorm in f32
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.qlinear import QuantizedLinear, quantized_linear_forward
+from .config import ModelConfig
+
+
+class DenseLinear(NamedTuple):
+    w: jax.Array  # [I, O]
+    b: jax.Array | None
+
+
+Linear = DenseLinear | QuantizedLinear
+
+
+def apply_linear(lin: Linear, x: jax.Array, *, quant_mode: str = "xla") -> jax.Array:
+    if isinstance(lin, QuantizedLinear):
+        return quantized_linear_forward(lin, x, mode=quant_mode)
+    y = jnp.dot(x, lin.w.astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
+    if lin.b is not None:
+        y = y + lin.b.astype(y.dtype)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float, gemma_style: bool) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    xn = xf * jax.lax.rsqrt(var + eps)
+    w = weight.astype(jnp.float32)
+    if gemma_style:
+        w = 1.0 + w
+    return (xn * w).astype(x.dtype)
+
+
+def rope_tables(positions: jax.Array, head_dim: int, theta: float) -> tuple[jax.Array, jax.Array]:
+    """cos/sin tables [.., T, head_dim//2] for rotate-half RoPE."""
+    half = head_dim // 2
+    freqs = 1.0 / (theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
+    angles = positions.astype(jnp.float32)[..., None] * freqs  # [..., T, half]
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x [B, T, H, D]; rotate-half convention (HF llama)."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    c = cos[:, :, None, :].astype(jnp.float32)
+    s = sin[:, :, None, :].astype(jnp.float32)
+    x1f, x2f = x1.astype(jnp.float32), x2.astype(jnp.float32)
+    return jnp.concatenate([x1f * c - x2f * s, x2f * c + x1f * s], axis=-1).astype(x.dtype)
+
+
+class KVCache(NamedTuple):
+    """Uniform-length KV cache for batch decode: k/v [L, B, S, Hkv, D]."""
+
+    k: jax.Array
+    v: jax.Array
+    length: jax.Array  # int32 scalar: tokens already cached
+
+    @classmethod
+    def create(
+        cls, config: ModelConfig, batch: int, max_len: int, dtype=jnp.bfloat16
+    ) -> "KVCache":
+        shape = (
+            config.num_hidden_layers,
+            batch,
+            max_len,
+            config.num_key_value_heads,
+            config.head_dim,
+        )
+        return cls(
+            k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+            length=jnp.zeros((), jnp.int32),
+        )
+
+
+def attention(
+    q: jax.Array,  # [B, T, Hq, D]
+    k: jax.Array,  # [B, S, Hkv, D]
+    v: jax.Array,  # [B, S, Hkv, D]
+    q_positions: jax.Array,  # int32 [B, T] absolute positions of queries
+    kv_valid_len: jax.Array,  # int32 scalar: number of valid kv slots
+    *,
+    scale: float,
+    sliding_window: int | None = None,
+    logit_softcap: float | None = None,
+) -> jax.Array:
+    """Causal GQA attention over a (possibly partially-filled) kv buffer."""
+    B, T, Hq, D = q.shape
+    S = k.shape[1]
+    Hkv = k.shape[2]
+    group = Hq // Hkv
+    qf = q.reshape(B, T, Hkv, group, D).astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    scores = jnp.einsum("bthgd,bshd->bhgts", qf, kf, preferred_element_type=jnp.float32)
+    scores = scores * scale
+    if logit_softcap:
+        scores = jnp.tanh(scores / logit_softcap) * logit_softcap
+    kv_pos = jnp.arange(S, dtype=jnp.int32)[None, None, :]  # [1, 1, S]
+    qp = q_positions[:, :, None]  # [B, T, 1]
+    mask = (kv_pos <= qp) & (kv_pos < kv_valid_len)
+    if sliding_window is not None:
+        mask &= kv_pos > qp - sliding_window
+    scores = jnp.where(mask[:, None, None, :, :], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bhgts,bshd->bthgd", probs, v.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(B, T, Hq, D).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Decoder layer
+# ---------------------------------------------------------------------------
+
+
+def mlp_forward(p: dict[str, Any], x: jax.Array, quant_mode: str) -> jax.Array:
+    gate = apply_linear(p["gate_proj"], x, quant_mode=quant_mode)
+    up = apply_linear(p["up_proj"], x, quant_mode=quant_mode)
+    act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
+    return apply_linear(p["down_proj"], act, quant_mode=quant_mode)
+
+
+def moe_forward(p: dict[str, Any], x: jax.Array, config: ModelConfig, quant_mode: str) -> jax.Array:
+    """Token-choice top-k MoE (Qwen3-MoE semantics).
+
+    Router in f32; top-k gating optionally renormalized (norm_topk_prob).
+    Expert weights are stacked [E, I, O_e]; dispatch gathers only the selected
+    experts' weights per token — efficient for decode-sized T. (A capacity-
+    bucketed grouped-GEMM path for large prefill lives in ops/moe.py.)
+    """
+    from ..ops.moe import moe_apply
+
+    shape = x.shape
+    xt = x.reshape(-1, shape[-1])
+    router_logits = jnp.dot(
+        xt.astype(jnp.float32), p["router"].w.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    probs = jax.nn.softmax(router_logits, axis=-1)
+    gate_vals, idx = jax.lax.top_k(probs, config.num_experts_per_tok)
+    if config.norm_topk_prob:
+        gate_vals = gate_vals / jnp.sum(gate_vals, axis=-1, keepdims=True)
+    y = moe_apply(p["experts"], xt, idx, gate_vals.astype(x.dtype), quant_mode)
+    if "shared_expert" in p:
+        shared = mlp_forward(p["shared_expert"], xt, quant_mode)
+        sg = jax.nn.sigmoid(
+            jnp.dot(xt.astype(jnp.float32), p["shared_expert_gate"].w.astype(jnp.float32))
+        ).astype(x.dtype)
+        y = y + shared * sg
+    return y.reshape(shape)
+
+
+def layer_forward(
+    p: dict[str, Any],
+    x: jax.Array,
+    config: ModelConfig,
+    layer_idx: int,
+    cos: jax.Array,
+    sin: jax.Array,
+    q_positions: jax.Array,
+    kv_cache_layer: tuple[jax.Array, jax.Array] | None,
+    cache_offset: jax.Array,
+    quant_mode: str,
+) -> tuple[jax.Array, tuple[jax.Array, jax.Array] | None]:
+    B, T, _ = x.shape
+    Hq, Hkv, D = config.num_attention_heads, config.num_key_value_heads, config.head_dim
+
+    h = rms_norm(x, p["input_layernorm"], config.rms_norm_eps, config.gemma_norm)
+    q = apply_linear(p["q_proj"], h, quant_mode=quant_mode).reshape(B, T, Hq, D)
+    k = apply_linear(p["k_proj"], h, quant_mode=quant_mode).reshape(B, T, Hkv, D)
+    v = apply_linear(p["v_proj"], h, quant_mode=quant_mode).reshape(B, T, Hkv, D)
+    if config.qk_norm:
+        q = rms_norm(q, p["q_norm"], config.rms_norm_eps, config.gemma_norm)
+        k = rms_norm(k, p["k_norm"], config.rms_norm_eps, config.gemma_norm)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    if kv_cache_layer is not None:
+        ck, cv = kv_cache_layer
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_offset, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_offset, 0, 0))
+        k_all, v_all = ck, cv
+        valid = cache_offset + T
+        new_cache = (ck, cv)
+    else:
+        k_all, v_all = k, v
+        valid = jnp.asarray(T, jnp.int32)
+        new_cache = None
+
+    attn_out = attention(
+        q, k_all, v_all, q_positions, valid,
+        scale=1.0 / float(np.sqrt(D)),
+        sliding_window=config.layer_sliding_window(layer_idx),
+        logit_softcap=config.attn_logit_softcap,
+    )
+    attn_out = apply_linear(
+        p["o_proj"], attn_out.reshape(B, T, Hq * D), quant_mode=quant_mode
+    )
+    if config.post_norms:
+        attn_out = rms_norm(
+            attn_out, p["post_attention_layernorm"], config.rms_norm_eps, config.gemma_norm
+        )
+        x = x + attn_out
+        h2 = rms_norm(x, p["pre_feedforward_layernorm"], config.rms_norm_eps, config.gemma_norm)
+    else:
+        x = x + attn_out
+        h2 = rms_norm(x, p["post_attention_layernorm"], config.rms_norm_eps, config.gemma_norm)
+
+    if config.layer_is_sparse(layer_idx):
+        mlp_out = moe_forward(p["mlp"], h2, config, quant_mode)
+    else:
+        mlp_out = mlp_forward(p["mlp"], h2, quant_mode)
+    if config.post_norms:
+        mlp_out = rms_norm(
+            mlp_out, p["post_feedforward_layernorm"], config.rms_norm_eps, config.gemma_norm
+        )
+    return x + mlp_out, new_cache
+
+
+# ---------------------------------------------------------------------------
+# Full model
+# ---------------------------------------------------------------------------
+
+
+def model_forward(
+    params: dict[str, Any],
+    config: ModelConfig,
+    tokens: jax.Array,  # int32 [B, T]
+    cache: KVCache | None = None,
+    *,
+    quant_mode: str = "xla",
+) -> tuple[jax.Array, KVCache | None]:
+    """Returns (logits [B, T, V], updated cache)."""
+    B, T = tokens.shape
+    x = jnp.take(params["embed_tokens"], tokens, axis=0)
+    if config.gemma_norm:
+        x = x * jnp.asarray(np.sqrt(config.hidden_size), x.dtype)
+
+    offset = cache.length if cache is not None else jnp.zeros((), jnp.int32)
+    positions = offset + jnp.arange(T, dtype=jnp.int32)[None, :]  # [1, T]
+    positions = jnp.broadcast_to(positions, (B, T))
+    cos, sin = rope_tables(positions, config.head_dim, config.rope_theta)
+
+    new_k, new_v = [], []
+    for i, layer_params in enumerate(params["layers"]):
+        layer_cache = None if cache is None else (cache.k[i], cache.v[i])
+        x, updated = layer_forward(
+            layer_params, x, config, i, cos, sin, positions, layer_cache, offset,
+            quant_mode,
+        )
+        if updated is not None:
+            new_k.append(updated[0])
+            new_v.append(updated[1])
+
+    x = rms_norm(x, params["norm"], config.rms_norm_eps, config.gemma_norm)
+    lm_head = params.get("lm_head")
+    if lm_head is None:
+        logits = jnp.dot(
+            x, params["embed_tokens"].T.astype(x.dtype), preferred_element_type=jnp.float32
+        )
+    else:
+        logits = apply_linear(lm_head, x, quant_mode=quant_mode).astype(jnp.float32)
+    logits = logits.astype(jnp.float32)
+    if config.logit_softcap:
+        logits = jnp.tanh(logits / config.logit_softcap) * config.logit_softcap
+
+    if cache is not None:
+        cache = KVCache(jnp.stack(new_k), jnp.stack(new_v), offset + T)
+    return logits, cache
+
+
+# ---------------------------------------------------------------------------
+# Random init (tests / synthetic benchmarks)
+# ---------------------------------------------------------------------------
+
+
+def _dense(key, fan_in, fan_out, dtype, bias=False) -> DenseLinear:
+    w = jax.random.normal(key, (fan_in, fan_out), jnp.float32) / np.sqrt(fan_in)
+    return DenseLinear(w.astype(dtype), jnp.zeros((fan_out,), dtype) if bias else None)
+
+
+def init_params(config: ModelConfig, key: jax.Array, dtype=jnp.bfloat16) -> dict[str, Any]:
+    keys = iter(jax.random.split(key, 64 + 16 * config.num_hidden_layers))
+    H, D = config.hidden_size, config.head_dim
+    Hq, Hkv = config.num_attention_heads, config.num_key_value_heads
+    params: dict[str, Any] = {
+        "embed_tokens": (
+            jax.random.normal(next(keys), (config.vocab_size, H), jnp.float32) * 0.02
+        ).astype(dtype),
+        "norm": jnp.ones((H,), dtype),
+        "layers": [],
+    }
+    if not config.tie_word_embeddings:
+        params["lm_head"] = _dense(next(keys), H, config.vocab_size, dtype)
+    for i in range(config.num_hidden_layers):
+        lp: dict[str, Any] = {
+            "input_layernorm": jnp.ones((H,), dtype),
+            "post_attention_layernorm": jnp.ones((H,), dtype),
+            "q_proj": _dense(next(keys), H, Hq * D, dtype, config.attention_bias),
+            "k_proj": _dense(next(keys), H, Hkv * D, dtype, config.attention_bias),
+            "v_proj": _dense(next(keys), H, Hkv * D, dtype, config.attention_bias),
+            "o_proj": _dense(next(keys), Hq * D, H, dtype),
+        }
+        if config.qk_norm:
+            lp["q_norm"] = jnp.ones((D,), dtype)
+            lp["k_norm"] = jnp.ones((D,), dtype)
+        if config.post_norms:
+            lp["pre_feedforward_layernorm"] = jnp.ones((H,), dtype)
+            lp["post_feedforward_layernorm"] = jnp.ones((H,), dtype)
+        if config.layer_is_sparse(i):
+            E, I_moe = config.num_experts, config.moe_intermediate_size
+            k1, k2, k3, k4 = jax.random.split(next(keys), 4)
+            lp["mlp"] = {
+                "router": DenseLinear(
+                    (jax.random.normal(k1, (H, E), jnp.float32) * 0.02).astype(dtype), None
+                ),
+                "experts": {
+                    "gate_proj": (
+                        jax.random.normal(k2, (E, H, I_moe), jnp.float32) / np.sqrt(H)
+                    ).astype(dtype),
+                    "up_proj": (
+                        jax.random.normal(k3, (E, H, I_moe), jnp.float32) / np.sqrt(H)
+                    ).astype(dtype),
+                    "down_proj": (
+                        jax.random.normal(k4, (E, I_moe, H), jnp.float32) / np.sqrt(I_moe)
+                    ).astype(dtype),
+                },
+            }
+        else:
+            lp["mlp"] = {
+                "gate_proj": _dense(next(keys), H, config.intermediate_size, dtype, config.mlp_bias),
+                "up_proj": _dense(next(keys), H, config.intermediate_size, dtype, config.mlp_bias),
+                "down_proj": _dense(next(keys), config.intermediate_size, H, dtype, config.mlp_bias),
+            }
+        params["layers"].append(lp)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Greedy decode (the per-token hot loop, reference call stack §3.3)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("config", "quant_mode"))
+def prefill(params, config: ModelConfig, tokens, cache: KVCache, *, quant_mode="xla"):
+    logits, cache = model_forward(params, config, tokens, cache, quant_mode=quant_mode)
+    return logits[:, -1, :], cache
+
+
+@partial(jax.jit, static_argnames=("config", "quant_mode"), donate_argnames=("cache",))
+def decode_step(params, config: ModelConfig, token, cache: KVCache, *, quant_mode="xla"):
+    logits, cache = model_forward(params, config, token, cache, quant_mode=quant_mode)
+    return logits[:, -1, :], cache
+
+
+def greedy_generate(
+    params,
+    config: ModelConfig,
+    prompt_tokens: np.ndarray,  # [B, T]
+    max_new_tokens: int,
+    *,
+    max_len: int | None = None,
+    cache_dtype=jnp.bfloat16,
+    quant_mode: str = "xla",
+    eos_token_id: int | None = None,
+) -> np.ndarray:
+    B, T = prompt_tokens.shape
+    max_len = max_len or T + max_new_tokens
+    cache = KVCache.create(config, B, max_len, cache_dtype)
+    logits, cache = prefill(
+        params, config, jnp.asarray(prompt_tokens, jnp.int32), cache, quant_mode=quant_mode
+    )
+    out = []
+    tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    for _ in range(max_new_tokens):
+        out.append(np.asarray(tok))
+        if eos_token_id is not None and bool((np.asarray(tok) == eos_token_id).all()):
+            break
+        logits, cache = decode_step(
+            params, config, tok[:, None], cache, quant_mode=quant_mode
+        )
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return np.stack(out, axis=1)

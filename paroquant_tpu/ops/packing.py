@@ -44,6 +44,23 @@ def pack_w4_tpu(q: np.ndarray | jax.Array, group_size: int = 128) -> np.ndarray:
     return packed.reshape(I // 2, O)
 
 
+def pack_wq_tpu(q: np.ndarray | jax.Array, n_bits: int, group_size: int = 128) -> np.ndarray:
+    """Bits-dispatching pack: 4-bit nibble-packed, 8-bit stored as uint8."""
+    if n_bits == 4:
+        return pack_w4_tpu(q, group_size)
+    if n_bits == 8:
+        return np.asarray(q, dtype=np.uint8)
+    raise ValueError(f"unsupported n_bits={n_bits} (4 or 8)")
+
+
+def unpack_wq_tpu(packed: jax.Array, in_features: int, group_size: int = 128) -> jax.Array:
+    """Inverse of pack_wq_tpu; bit width inferred from the packed row count."""
+    if packed.shape[0] == in_features:
+        return packed.astype(jnp.int32)
+    assert packed.shape[0] * 2 == in_features, (packed.shape, in_features)
+    return unpack_w4_tpu(packed, group_size)
+
+
 def unpack_w4_tpu(packed: jax.Array, group_size: int = 128) -> jax.Array:
     """uint8 [I//2, O] -> int32 [I, O] (jnp; used by the non-Pallas fallback)."""
     Ih, O = packed.shape

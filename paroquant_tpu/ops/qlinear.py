@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import rotation as rot_ops
-from .packing import pack_w4_tpu, unpack_w4_tpu
+from .packing import pack_wq_tpu, unpack_wq_tpu
 from .quant import dequantize_int
 
 
@@ -60,7 +60,7 @@ class QuantizedLinear(NamedTuple):
 
     @property
     def in_features(self) -> int:
-        return self.qweight.shape[0] * 2
+        return self.scales.shape[0] * self.group_size
 
     @property
     def out_features(self) -> int:
@@ -77,6 +77,7 @@ def make_quantized_linear(
     group_size: int,
     bias: np.ndarray | None = None,
     rot_dtype: jnp.dtype = jnp.float32,
+    n_bits: int = 4,
 ) -> QuantizedLinear:
     """Build the runtime pytree from interchange-format tensors.
 
@@ -93,7 +94,7 @@ def make_quantized_linear(
     inv_s = jnp.asarray(inv_channel_scales, jnp.float32).reshape(-1, group_size)
     M = R * inv_s[:, None, :]  # fold diag(inv_s) on the input side
     return QuantizedLinear(
-        qweight=jnp.asarray(pack_w4_tpu(np.asarray(q).T, group_size)),
+        qweight=jnp.asarray(pack_wq_tpu(np.asarray(q).T, n_bits, group_size)),
         scales=jnp.asarray(scales, jnp.float32).T,
         zeros=jnp.asarray(zeros, jnp.float32).T,
         rot=M.astype(rot_dtype),
@@ -103,7 +104,7 @@ def make_quantized_linear(
 
 def dequantized_weight(layer: QuantizedLinear, dtype=jnp.float32) -> jax.Array:
     """Dequantized rotated weight Wd [I, O] (no rotation folded)."""
-    q = unpack_w4_tpu(layer.qweight, layer.group_size)  # [I, O]
+    q = unpack_wq_tpu(layer.qweight, layer.in_features, layer.group_size)  # [I, O]
     G = layer.scales.shape[0]
     S = layer.group_size
     qg = q.reshape(G, S, -1).astype(jnp.float32)
