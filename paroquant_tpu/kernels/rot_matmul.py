@@ -1,0 +1,314 @@
+"""Fused rotation + INT4 dequant + matmul Pallas kernel — the inference hot op.
+
+Replaces the reference's two-kernel-per-linear decode path
+(rotation CUDA kernel + AWQ GEMM, backends/transformers/modules.py:57-71,
+SURVEY.md §3.3) with ONE HBM pass:
+
+    out = rotate(x * inv_channel_scales) @ dequant(qweight)
+
+Design (see pallas_guide.md):
+- grid (M_tiles, G): G = input groups innermost. Per (i, g) step the kernel
+  reads the x block once, the group's weight slice once, rotates on the VPU,
+  and accumulates a [TM, O] f32 tile held in VMEM across the whole g loop
+  (output block index depends only on i -> revisited consecutively, no HBM
+  round-trips for the accumulator).
+- rotation inside the kernel uses the *butterfly* pairing: stage r pairs lane
+  l with l^2^r, applied as two circular lane rolls + select + FMA — no
+  gathers, no dense matrices. Per-channel cos/sin tables cost 2*K*I floats of
+  HBM traffic (~1.5% of the W4 bytes at O=4096), vs 25% for dense 128x128
+  rotation matrices. Arbitrary-pair checkpoints take the XLA dense-matrix
+  path in ops/qlinear.py instead.
+- dequant uses the zero-point decomposition: per group
+      y_g = (xr_g @ q_g - rowsum(xr_g) ⊗ z_g) * s_g
+  so the MXU multiplies exact small integers in bf16 and scales apply in f32
+  after accumulation — no dequant rounding error beyond xr's bf16 cast.
+- weights stream as uint8 [S/2, O] blocks in the PARO-TPU half-split layout
+  (ops/packing.py): low nibbles are the group's first 64 channels, high
+  nibbles the last 64, so unpack is a sublane concat, no interleave.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.butterfly import butterfly_distances
+
+
+def _rotate_block_butterfly(x, cos_ref, sin_ref, distances):
+    """Apply K butterfly Givens stages to x [TM, S] (f32) in registers."""
+    TM, S = x.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TM, S), 1)
+    for r, d in enumerate(distances):
+        cos_r = cos_ref[r : r + 1, :]  # [1, S]
+        sin_r = sin_ref[r : r + 1, :]
+        # pltpu.roll requires non-negative shifts; roll by S-d == roll by -d
+        partner = jnp.where(
+            (lane & d) != 0,
+            pltpu.roll(x, d, axis=1),
+            pltpu.roll(x, S - d, axis=1),
+        )
+        x = cos_r * x + sin_r * partner
+    return x
+
+
+def _kernel(
+    x_ref,  # [TM, S] input block (group g's channels)
+    invs_ref,  # [1, S] inverse channel scales
+    cos_ref,  # [K, S] per-channel cos
+    sin_ref,  # [K, S] per-channel signed sin
+    qw_ref,  # [S//2, O] packed int4
+    s_ref,  # [1, O] group dequant scales
+    z_ref,  # [1, O] group zero points
+    o_ref,  # [TM, O] f32 accumulator / output
+    *,
+    distances,
+    out_dtype,
+):
+    g = pl.program_id(1)
+
+    x = x_ref[:].astype(jnp.float32) * invs_ref[:]
+    x = _rotate_block_butterfly(x, cos_ref, sin_ref, distances)
+    xr = x.astype(jnp.bfloat16)
+    # zero-point correction uses the *rounded* activation so the
+    # decomposition (xr@q - sum(xr)*z) * s is exact given bf16 xr
+    xsum = jnp.sum(xr.astype(jnp.float32), axis=1, keepdims=True)  # [TM, 1]
+
+    q = qw_ref[:].astype(jnp.int32)
+    lo = (q & 0xF).astype(jnp.bfloat16)  # channels [0, S/2)
+    hi = ((q >> 4) & 0xF).astype(jnp.bfloat16)  # channels [S/2, S)
+    w = jnp.concatenate([lo, hi], axis=0)  # [S, O]
+
+    acc = jnp.dot(xr, w, preferred_element_type=jnp.float32)  # [TM, O]
+    row = jax.lax.rem(g, s_ref.shape[0])
+    contrib = (acc - xsum * z_ref[pl.ds(row, 1), :]) * s_ref[pl.ds(row, 1), :]
+
+    @pl.when(g == 0)
+    def _init():
+        o_ref[:] = contrib.astype(out_dtype)
+
+    @pl.when(g > 0)
+    def _acc():
+        o_ref[:] = o_ref[:] + contrib.astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group_size", "block_m", "interpret")
+)
+def butterfly_w4_matmul(
+    x: jax.Array,  # [M, I]
+    inv_channel_scales: jax.Array,  # [I] f32
+    cos_table: jax.Array,  # [K, I] f32
+    sin_table: jax.Array,  # [K, I] f32
+    qweight: jax.Array,  # [I//2, O] uint8 PARO-TPU layout
+    scales: jax.Array,  # [G, O] f32
+    zeros: jax.Array,  # [G, O] f32
+    *,
+    group_size: int = 128,
+    block_m: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused rotate+dequant+matmul. Returns [M, O] in x.dtype."""
+    M, I = x.shape
+    O = qweight.shape[1]
+    G = I // group_size
+    K = cos_table.shape[0]
+    distances = tuple(butterfly_distances(K, group_size))
+
+    if block_m is None:
+        block_m = 128 if M >= 128 else 16
+    TM = block_m
+    m_pad = -M % TM
+    if m_pad:
+        x = jnp.pad(x, ((0, m_pad), (0, 0)))
+    Mp = M + m_pad
+    SB = 8 if G >= 8 else G  # sublane-aligned scale/zero fetch (TPU min tile)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, distances=distances, out_dtype=jnp.float32),
+        grid=(Mp // TM, G),
+        in_specs=[
+            pl.BlockSpec((TM, group_size), lambda i, g: (i, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, group_size), lambda i, g: (0, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, group_size), lambda i, g: (0, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, group_size), lambda i, g: (0, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (group_size // 2, O), lambda i, g: (g, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((SB, O), lambda i, g: (g // SB, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SB, O), lambda i, g: (g // SB, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TM, O), lambda i, g: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, O), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * I * O + 6 * Mp * I * K,
+            bytes_accessed=I * O // 2 + Mp * I * x.dtype.itemsize + Mp * O * 4
+            + 2 * G * O * 4 + 2 * K * I * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        x,
+        inv_channel_scales.reshape(1, I).astype(jnp.float32),
+        cos_table.astype(jnp.float32),
+        sin_table.astype(jnp.float32),
+        qweight,
+        scales.astype(jnp.float32),
+        zeros.astype(jnp.float32),
+    )
+    return out[:M].astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Plain W4 matmul (no rotation) — for layers without rotations and as the
+# building block the serving path uses when rotation is done upstream.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_plain(x_ref, qw_ref, s_ref, z_ref, o_ref, *, out_dtype):
+    g = pl.program_id(1)
+    x = x_ref[:].astype(jnp.float32)
+    xr = x.astype(jnp.bfloat16)
+    xsum = jnp.sum(xr.astype(jnp.float32), axis=1, keepdims=True)
+    q = qw_ref[:].astype(jnp.int32)
+    lo = (q & 0xF).astype(jnp.bfloat16)
+    hi = ((q >> 4) & 0xF).astype(jnp.bfloat16)
+    w = jnp.concatenate([lo, hi], axis=0)
+    acc = jnp.dot(xr, w, preferred_element_type=jnp.float32)
+    row = jax.lax.rem(g, s_ref.shape[0])
+    contrib = (acc - xsum * z_ref[pl.ds(row, 1), :]) * s_ref[pl.ds(row, 1), :]
+
+    @pl.when(g == 0)
+    def _init():
+        o_ref[:] = contrib.astype(out_dtype)
+
+    @pl.when(g > 0)
+    def _acc():
+        o_ref[:] = o_ref[:] + contrib.astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("group_size", "block_m", "interpret"))
+def w4_matmul(
+    x: jax.Array,
+    qweight: jax.Array,
+    scales: jax.Array,
+    zeros: jax.Array,
+    *,
+    group_size: int = 128,
+    block_m: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    M, I = x.shape
+    O = qweight.shape[1]
+    G = I // group_size
+    if block_m is None:
+        block_m = 128 if M >= 128 else 16
+    TM = block_m
+    m_pad = -M % TM
+    if m_pad:
+        x = jnp.pad(x, ((0, m_pad), (0, 0)))
+    Mp = M + m_pad
+    SB = 8 if G >= 8 else G
+    out = pl.pallas_call(
+        functools.partial(_kernel_plain, out_dtype=jnp.float32),
+        grid=(Mp // TM, G),
+        in_specs=[
+            pl.BlockSpec((TM, group_size), lambda i, g: (i, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group_size // 2, O), lambda i, g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SB, O), lambda i, g: (g // SB, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SB, O), lambda i, g: (g // SB, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TM, O), lambda i, g: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, O), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * I * O,
+            bytes_accessed=I * O // 2 + Mp * I * x.dtype.itemsize + Mp * O * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, qweight, scales.astype(jnp.float32), zeros.astype(jnp.float32))
+    return out[:M].astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Dense-rotation fused kernel (compat path for arbitrary-pair checkpoints).
+# Rotation matrices [G, S, S] ride the MXU; heavier on HBM than butterfly
+# (S*S floats per group) so it's the fallback, not the default.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_dense_rot(x_ref, rot_ref, qw_ref, s_ref, z_ref, o_ref, *, out_dtype):
+    g = pl.program_id(1)
+    x = x_ref[:].astype(jnp.float32)
+    rot = rot_ref[0]  # [S, S]; y_row = x_row @ rot^T
+    xr_f32 = jax.lax.dot_general(
+        x, rot, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    xr = xr_f32.astype(jnp.bfloat16)
+    xsum = jnp.sum(xr.astype(jnp.float32), axis=1, keepdims=True)
+    q = qw_ref[:].astype(jnp.int32)
+    lo = (q & 0xF).astype(jnp.bfloat16)
+    hi = ((q >> 4) & 0xF).astype(jnp.bfloat16)
+    w = jnp.concatenate([lo, hi], axis=0)
+    acc = jnp.dot(xr, w, preferred_element_type=jnp.float32)
+    row = jax.lax.rem(g, s_ref.shape[0])
+    contrib = (acc - xsum * z_ref[pl.ds(row, 1), :]) * s_ref[pl.ds(row, 1), :]
+
+    @pl.when(g == 0)
+    def _init():
+        o_ref[:] = contrib.astype(out_dtype)
+
+    @pl.when(g > 0)
+    def _acc():
+        o_ref[:] = o_ref[:] + contrib.astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "interpret"))
+def rot_w4_matmul(
+    x: jax.Array,  # [M, I]
+    rot: jax.Array,  # [G, S, S] composed rotation (inv scales folded)
+    qweight: jax.Array,  # [I//2, O]
+    scales: jax.Array,  # [G, O]
+    zeros: jax.Array,  # [G, O]
+    *,
+    block_m: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    M, I = x.shape
+    G, S, _ = rot.shape
+    O = qweight.shape[1]
+    if block_m is None:
+        block_m = 128 if M >= 128 else 16
+    TM = block_m
+    m_pad = -M % TM
+    if m_pad:
+        x = jnp.pad(x, ((0, m_pad), (0, 0)))
+    Mp = M + m_pad
+    SB = 8 if G >= 8 else G
+    out = pl.pallas_call(
+        functools.partial(_kernel_dense_rot, out_dtype=jnp.float32),
+        grid=(Mp // TM, G),
+        in_specs=[
+            pl.BlockSpec((TM, S), lambda i, g: (i, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, S), lambda i, g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S // 2, O), lambda i, g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SB, O), lambda i, g: (g // SB, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SB, O), lambda i, g: (g // SB, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TM, O), lambda i, g: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, O), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * I * O + 2 * Mp * I * S,
+            bytes_accessed=I * O // 2 + G * S * S * rot.dtype.itemsize
+            + Mp * I * x.dtype.itemsize + Mp * O * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, rot.astype(jnp.float32), qweight, scales.astype(jnp.float32), zeros.astype(jnp.float32))
+    return out[:M].astype(x.dtype)

@@ -40,6 +40,10 @@ Linear = DenseLinear | QuantizedLinear
 def apply_linear(lin: Linear, x: jax.Array, *, quant_mode: str = "xla") -> jax.Array:
     if isinstance(lin, QuantizedLinear):
         return quantized_linear_forward(lin, x, mode=quant_mode)
+    if type(lin).__name__ == "PseudoQuantLinear":  # calibration path
+        from ..optim.pseudo import pseudo_linear_forward
+
+        return pseudo_linear_forward(lin, x)
     y = jnp.dot(x, lin.w.astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
     if lin.b is not None:
         y = y + lin.b.astype(y.dtype)

@@ -1,0 +1,249 @@
+"""Layer-wise calibration driver: the JAX re-design of cli/optimize.py.
+
+Pipeline (reference call stack SURVEY.md §3.1):
+  1. embed the calibration token batches once (capture_layer_inputs_and_args,
+     util.py:217-279 — trivial here because the decoder is functional: a
+     layer's inputs are (x, positions), no kwargs catching needed)
+  2. per decoder layer:
+     a. run the FP layer -> teacher outputs
+     b. swap each eligible linear for a PseudoQuantLinear with fresh rotation
+        params (butterfly by default — TPU-native; seeded random independent
+        pairs in reference-parity mode)
+     c. run the optimization stages (default: stage 1 channel_scales+angles
+        @5e-2, stage 2 weight@1e-5 + quantizer@1e-6 — the canonical recipe
+        from experiments/optimize/4bit.sh)
+     d. hard-quantize -> runtime QuantizedLinear; re-run the layer quantized
+        so the *student's* outputs feed the next layer (optimize.py:524-537)
+  3. emit quantized model params + per-layer result dicts (the .pt-equivalent
+     PARO intermediates, resumable at layer granularity)
+
+Activation batches live on host (numpy) and stream to device per step —
+the JAX analogue of CachedTensorShards CPU paging (util.py:292-361).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from pathlib import Path
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import ModelConfig
+from ..models.decoder import layer_forward, rope_tables
+from ..ops import rotation as rot_ops
+from ..ops.butterfly import make_butterfly_params
+from ..ops.qlinear import make_quantized_linear
+from .pseudo import PseudoQuantLinear, export_quantized, make_pseudo_linear
+from .train import optimize_linears
+
+logger = logging.getLogger("paroquant_tpu.optim")
+
+LINEAR_NAMES = ("q_proj", "k_proj", "v_proj", "o_proj")
+MLP_NAMES = ("gate_proj", "up_proj", "down_proj")
+
+
+@dataclasses.dataclass
+class CalibConfig:
+    n_bits: int = 4
+    group_size: int = 128
+    num_rotations: int = 8
+    num_pairs_factor: float = 0.5
+    pair_mode: str = "butterfly"  # "butterfly" | "random"
+    seed: int = 0
+    # stages: list of (param-group -> lr, epochs); canonical recipe from
+    # experiments/optimize/4bit.sh
+    stages: tuple = (
+        ({"channel_scales": 5e-2, "angles": 5e-2}, 5),
+        ({"weight": 1e-5, "quantizer": 1e-6}, 5),
+    )
+    loss: str = "mse"
+    grad_accum: int = 1
+    early_stop: int | None = None
+    val_fraction: float = 0.1
+    rot_dtype: Any = jnp.float32
+
+
+def _rotation_for(cfg: CalibConfig, in_features: int, layer_seed: int) -> rot_ops.RotationParams:
+    if cfg.pair_mode == "butterfly":
+        return make_butterfly_params(in_features, cfg.group_size, cfg.num_rotations)
+    return rot_ops.make_rotation_params(
+        in_features, cfg.group_size, cfg.num_rotations, layer_seed, cfg.num_pairs_factor
+    )
+
+
+def _layer_linear_names(layer_params: dict[str, Any]) -> list[str]:
+    names = [n for n in LINEAR_NAMES if n in layer_params]
+    mlp = layer_params.get("mlp", {})
+    names += [f"mlp.{n}" for n in MLP_NAMES if n in mlp]
+    return names
+
+
+def _get_linear(layer_params, name):
+    if name.startswith("mlp."):
+        return layer_params["mlp"][name[4:]]
+    return layer_params[name]
+
+
+def _set_linear(layer_params, name, value):
+    lp = dict(layer_params)
+    if name.startswith("mlp."):
+        lp["mlp"] = dict(lp["mlp"])
+        lp["mlp"][name[4:]] = value
+    else:
+        lp[name] = value
+    return lp
+
+
+def quantized_from_export(exp: dict[str, Any], rot_dtype=jnp.float32):
+    return make_quantized_linear(
+        exp["q"], exp["scales"], exp["zeros"], exp["pairs"], exp["theta"],
+        exp["inv_channel_scales"], exp["group_size"], bias=exp["bias"],
+        rot_dtype=rot_dtype, n_bits=exp["n_bits"],
+    )
+
+
+def calibrate_model(
+    params: dict[str, Any],
+    config: ModelConfig,
+    token_batches: np.ndarray,  # [N, B, T] int32 calibration batches
+    cfg: CalibConfig = CalibConfig(),
+    *,
+    output_dir: str | Path | None = None,
+    resume: bool = True,
+    progress_fn: Callable[[int, int, dict], None] | None = None,
+) -> tuple[dict[str, Any], list[dict[str, Any]]]:
+    """Calibrate + quantize a dense model. Returns (quantized params, results).
+
+    If output_dir is given, per-layer results persist as
+    `{layer_idx}.{name}.npz` (the .pt-equivalent of optimize.py:546-552) and
+    finished layers are skipped on resume (optimize.py:324-335).
+    """
+    out = dict(params)
+    layers = list(params["layers"])
+    N, B, T = token_batches.shape
+
+    # layer-0 inputs: embeddings (move_embed + Catcher, util.py:83-103,217-279)
+    embed = params["embed_tokens"]
+    scale = float(np.sqrt(config.hidden_size)) if config.gemma_norm else 1.0
+
+    @jax.jit
+    def embed_fn(toks):
+        return jnp.take(embed, toks, axis=0).astype(jnp.float32) * scale
+
+    xs = np.stack([np.asarray(embed_fn(jnp.asarray(tb, jnp.int32))) for tb in token_batches])
+
+    positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :], (B, T))
+    n_val = max(int(N * cfg.val_fraction), 1) if N > 1 else 0
+
+    results: list[dict[str, Any]] = []
+    outdir = Path(output_dir) if output_dir is not None else None
+    if outdir is not None:
+        outdir.mkdir(parents=True, exist_ok=True)
+
+    for li, lp in enumerate(layers):
+        t_start = time.time()
+        names = _layer_linear_names(lp)
+
+        def dense_layer_apply(x):
+            cos, sin = rope_tables(positions, config.head_dim, config.rope_theta)
+            y, _ = layer_forward(
+                lp, x, config, li, cos, sin, positions, None,
+                jnp.zeros((), jnp.int32), "xla",
+            )
+            return y
+
+        dense_apply_j = jax.jit(dense_layer_apply)
+        teacher = np.stack([np.asarray(dense_apply_j(jnp.asarray(x))) for x in xs])
+
+        layer_result: dict[str, Any] = {}
+        saved = {}
+        if outdir is not None and resume:
+            for name in names:
+                f = outdir / f"{li}.{name}.npz"
+                if f.exists():
+                    saved[name] = dict(np.load(f, allow_pickle=True))
+        if len(saved) == len(names) and names:
+            # resume: rebuild quantized layer from saved results
+            new_lp = lp
+            for name in names:
+                exp = {
+                    k: (v.item() if v.ndim == 0 else v) for k, v in saved[name].items()
+                }
+                exp["bias"] = exp.get("bias") if isinstance(exp.get("bias"), np.ndarray) else None
+                new_lp = _set_linear(new_lp, name, quantized_from_export(exp, cfg.rot_dtype))
+                layer_result[name] = exp
+            layers[li] = new_lp
+        else:
+            # build pseudo linears
+            linears: dict[str, PseudoQuantLinear] = {}
+            for name in names:
+                dense = _get_linear(lp, name)
+                w = np.asarray(dense.w, np.float32).T  # [O, I]
+                rot = _rotation_for(cfg, w.shape[1], cfg.seed + li)
+                linears[name] = make_pseudo_linear(
+                    w, rot,
+                    bias=None if dense.b is None else np.asarray(dense.b, np.float32),
+                    n_bits=cfg.n_bits, group_size=cfg.group_size,
+                )
+
+            def pseudo_layer_apply(linear_dict, x):
+                new_lp = lp
+                for name, lin in linear_dict.items():
+                    new_lp = _set_linear(new_lp, name, lin)
+                cos, sin = rope_tables(positions, config.head_dim, config.rope_theta)
+                y, _ = layer_forward(
+                    new_lp, x, config, li, cos, sin, positions, None,
+                    jnp.zeros((), jnp.int32), "xla",
+                )
+                return y
+
+            batches = [
+                (jnp.asarray(xs[i]), jnp.asarray(teacher[i])) for i in range(N)
+            ]
+            train_b = batches[: N - n_val] if n_val else batches
+            val_b = batches[N - n_val :] if n_val else batches[:1]
+
+            step = 0
+            for stage_groups, epochs in cfg.stages:
+                linears, step = optimize_linears(
+                    pseudo_layer_apply, linears, train_b, val_b, dict(stage_groups),
+                    n_epochs=epochs, loss=cfg.loss, grad_accum=cfg.grad_accum,
+                    early_stop=cfg.early_stop, start_step=step,
+                )
+
+            # export + swap in runtime quantized linears
+            new_lp = lp
+            for name, lin in linears.items():
+                exp = export_quantized(lin)
+                layer_result[name] = exp
+                if outdir is not None:
+                    save = {k: v for k, v in exp.items() if v is not None}
+                    np.savez(outdir / f"{li}.{name}.npz", **save)
+                new_lp = _set_linear(new_lp, name, quantized_from_export(exp, cfg.rot_dtype))
+            layers[li] = new_lp
+
+        # student outputs feed the next layer (optimize.py:524-537)
+        qlp = layers[li]
+
+        def student_layer_apply(x):
+            cos, sin = rope_tables(positions, config.head_dim, config.rope_theta)
+            y, _ = layer_forward(
+                qlp, x, config, li, cos, sin, positions, None,
+                jnp.zeros((), jnp.int32), "xla",
+            )
+            return y
+
+        student_j = jax.jit(student_layer_apply)
+        xs = np.stack([np.asarray(student_j(jnp.asarray(x))) for x in xs])
+        results.append(layer_result)
+        if progress_fn:
+            progress_fn(li, len(layers), {"seconds": time.time() - t_start})
+        logger.info("layer %d/%d calibrated in %.1fs", li + 1, len(layers), time.time() - t_start)
+
+    out["layers"] = layers
+    return out, results

@@ -1,0 +1,121 @@
+"""Pallas kernel equivalence tests (interpret mode on CPU).
+
+Each kernel is checked against the pure-jnp reference math from ops/:
+SURVEY.md §4 layer (2), "Pallas-kernel vs pure-jnp reference equivalence".
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from paroquant_tpu.kernels.rot_matmul import butterfly_w4_matmul, rot_w4_matmul, w4_matmul
+from paroquant_tpu.ops import butterfly as bf, quant, rotation as R
+from paroquant_tpu.ops.packing import pack_w4_tpu
+from paroquant_tpu.ops.qlinear import make_quantized_linear, quantized_linear_forward
+
+GS = 128
+
+
+def _random_quant(O, I, seed):
+    rng = np.random.default_rng(seed)
+    q = rng.integers(0, 16, size=(I, O), dtype=np.int32)
+    scales = rng.uniform(0.01, 0.05, size=(I // GS, O)).astype(np.float32)
+    zeros = rng.integers(0, 16, size=(I // GS, O)).astype(np.float32)
+    return q, scales, zeros
+
+
+def _dequant(q, scales, zeros):
+    I, O = q.shape
+    qg = q.reshape(-1, GS, O).astype(np.float32)
+    return ((qg - zeros[:, None, :]) * scales[:, None, :]).reshape(I, O)
+
+
+@pytest.mark.parametrize("M", [1, 5, 48])
+def test_w4_matmul_matches_reference(M):
+    I, O = 256, 384
+    q, scales, zeros = _random_quant(O, I, 0)
+    qweight = jnp.asarray(pack_w4_tpu(q, GS))
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(M, I)).astype(np.float32))
+    y = w4_matmul(x, qweight, jnp.asarray(scales), jnp.asarray(zeros), interpret=True)
+    # kernel rounds the activation to bf16 before the MXU dot; mirror that
+    xb = np.asarray(jnp.asarray(x).astype(jnp.bfloat16).astype(jnp.float32))
+    y_ref = xb @ _dequant(q, scales, zeros)
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=5e-3, atol=5e-3)
+
+
+def test_butterfly_tables_match_stage_apply():
+    """The cos/sin table formulation reproduces generic stage application."""
+    I, K = 256, 8
+    params = bf.make_butterfly_params(I, GS, K)
+    rng = np.random.default_rng(2)
+    theta = rng.normal(0, 0.3, np.asarray(params.theta).shape).astype(np.float32)
+    theta = np.where(np.asarray(params.mask), 0, theta)
+    form = R.to_permutation_form(params, GS)
+    x = jnp.asarray(rng.normal(size=(4, I)).astype(np.float32))
+    y_ref = R.apply_rotation_stages(x, jnp.asarray(theta), form)
+
+    cos_t, sin_t = bf.butterfly_tables(theta, GS)
+    dists = bf.butterfly_distances(K, GS)
+    y = np.asarray(x).copy().reshape(4, I // GS, GS)
+    cos_g = cos_t.reshape(K, I // GS, GS)
+    sin_g = sin_t.reshape(K, I // GS, GS)
+    lane = np.arange(GS)
+    for r, d in enumerate(dists):
+        partner = np.where(
+            (lane & d) != 0, np.roll(y, d, axis=-1), np.roll(y, -d, axis=-1)
+        )
+        y = cos_g[r][None] * y + sin_g[r][None] * partner
+    np.testing.assert_allclose(y.reshape(4, I), np.asarray(y_ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("M", [1, 33])
+def test_butterfly_w4_matmul_matches_reference(M):
+    I, O, K = 256, 256, 8
+    params = bf.make_butterfly_params(I, GS, K)
+    rng = np.random.default_rng(3)
+    theta = np.where(
+        np.asarray(params.mask), 0, rng.normal(0, 0.3, np.asarray(params.theta).shape)
+    ).astype(np.float32)
+    inv_s = rng.uniform(0.5, 2.0, I).astype(np.float32)
+    q, scales, zeros = _random_quant(O, I, 4)
+    form = R.to_permutation_form(params, GS)
+
+    x = jnp.asarray(rng.normal(size=(M, I)).astype(np.float32))
+    cos_t, sin_t = bf.butterfly_tables(theta, GS)
+    y = butterfly_w4_matmul(
+        x, jnp.asarray(inv_s), jnp.asarray(cos_t), jnp.asarray(sin_t),
+        jnp.asarray(pack_w4_tpu(q, GS)), jnp.asarray(scales), jnp.asarray(zeros),
+        interpret=True,
+    )
+    xr = R.apply_rotation_stages(x * inv_s, jnp.asarray(theta), form)
+    xr = np.asarray(xr.astype(jnp.bfloat16).astype(jnp.float32))
+    y_ref = xr @ _dequant(q, scales, zeros)
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=5e-3, atol=2e-2)
+
+
+@pytest.mark.parametrize("M", [1, 17])
+def test_dense_rot_w4_matmul_matches_xla_path(M):
+    """Fused dense-rotation kernel == the ops/qlinear XLA forward."""
+    I, O, K = 256, 128, 4
+    rng = np.random.default_rng(5)
+    params = R.make_rotation_params(I, GS, K, seed=7)
+    theta = np.where(
+        np.asarray(params.mask), 0, rng.normal(0, 0.3, np.asarray(params.theta).shape)
+    ).astype(np.float32)
+    inv_s = rng.uniform(0.5, 2.0, I).astype(np.float32)
+    q, scales, zeros = _random_quant(O, I, 6)
+    layer = make_quantized_linear(
+        q.T.copy(), scales.T.copy(), zeros.T.copy(), np.asarray(params.pairs),
+        theta, inv_s, GS,
+    )
+    x = jnp.asarray(rng.normal(size=(M, I)).astype(np.float32))
+    y_xla = quantized_linear_forward(layer, x, mode="xla")
+    y_fused = rot_w4_matmul(
+        x, layer.rot, layer.qweight, layer.scales, layer.zeros, interpret=True
+    )
+    # kernel rounds the rotated activation to bf16; XLA path stays f32 —
+    # differences are bounded by bf16 rounding noise
+    yf, yx = np.asarray(y_fused), np.asarray(y_xla)
+    np.testing.assert_allclose(yf, yx, rtol=5e-3, atol=6e-2)
+    assert np.linalg.norm(yf - yx) / np.linalg.norm(yx) < 0.01

@@ -1,0 +1,132 @@
+"""Calibration optimizer tests.
+
+The load-bearing check: learned rotations+scales must REDUCE quantization
+error versus plain RTN — on a weight with outlier channels (the regime the
+scheme targets), both at the single-linear level and end-to-end through
+calibrate_model on a tiny decoder.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from paroquant_tpu.models import PRESETS, init_params, model_forward
+from paroquant_tpu.optim import (
+    CalibConfig,
+    calibrate_model,
+    export_quantized,
+    make_pseudo_linear,
+    optimize_linears,
+    pseudo_linear_forward,
+    pseudo_quantized_weight,
+)
+from paroquant_tpu.ops import quant
+from paroquant_tpu.ops.butterfly import make_butterfly_params
+
+GS = 128
+
+
+def _outlier_weight(O, I, seed):
+    """Weight with a few high-magnitude input channels (quantization-hostile)."""
+    rng = np.random.default_rng(seed)
+    w = rng.normal(0, 1, (O, I)).astype(np.float32)
+    outliers = rng.choice(I, size=max(I // 32, 1), replace=False)
+    w[:, outliers] *= 8.0
+    return w
+
+
+def test_pseudo_linear_matches_rtn_at_init():
+    """With theta=0 and unit scales the pseudo forward equals plain RTN."""
+    w = _outlier_weight(64, 256, 0)
+    rot = make_butterfly_params(256, GS, 4)
+    lin = make_pseudo_linear(w, rot, n_bits=4, group_size=GS)
+    w_hat = np.asarray(pseudo_quantized_weight(lin))
+    w_rtn = np.asarray(quant.pseudo_quantize(jnp.asarray(w), 4, GS))
+    np.testing.assert_allclose(w_hat, w_rtn, atol=1e-5)
+
+
+def test_optimize_reduces_linear_quant_error():
+    w = _outlier_weight(64, 256, 1)
+    rng = np.random.default_rng(2)
+    xs = rng.normal(size=(8, 16, 256)).astype(np.float32)
+    y_fp = np.einsum("bth,oh->bto", xs, w)
+
+    rot = make_butterfly_params(256, GS, 8)
+    lin = make_pseudo_linear(w, rot, n_bits=4, group_size=GS)
+
+    def apply_fn(linears, x):
+        return pseudo_linear_forward(linears["lin"], x)
+
+    batches = [(jnp.asarray(xs[i]), jnp.asarray(y_fp[i])) for i in range(8)]
+    err0 = float(
+        jnp.mean((apply_fn({"lin": lin}, jnp.asarray(xs[0])) - y_fp[0]) ** 2)
+    )
+    linears, _ = optimize_linears(
+        apply_fn, {"lin": lin}, batches[:6], batches[6:],
+        {"channel_scales": 5e-2, "angles": 5e-2}, n_epochs=8,
+    )
+    linears, _ = optimize_linears(
+        apply_fn, linears, batches[:6], batches[6:],
+        {"weight": 1e-5, "quantizer": 1e-6}, n_epochs=4,
+    )
+    err1 = float(
+        jnp.mean((apply_fn(linears, jnp.asarray(xs[0])) - y_fp[0]) ** 2)
+    )
+    assert err1 < err0 * 0.7, (err0, err1)
+
+    # export round trip: hard-quantized weight ~ pseudo weight
+    exp = export_quantized(linears["lin"])
+    assert exp["q"].min() >= 0 and exp["q"].max() <= 15
+    from paroquant_tpu.optim.calibrate import quantized_from_export
+    from paroquant_tpu.ops.qlinear import effective_weight
+
+    qlin = quantized_from_export(exp)
+    w_hat = np.asarray(pseudo_quantized_weight(linears["lin"]))
+    w_eff = np.asarray(effective_weight(qlin)).T
+    np.testing.assert_allclose(w_eff, w_hat, rtol=1e-3, atol=1e-4)
+
+
+def test_calibrate_model_end_to_end(tmp_path):
+    """Full pipeline on a tiny decoder: calibrated W4 beats RTN W4 logits."""
+    config = PRESETS["tiny"]._replace if hasattr(PRESETS["tiny"], "_replace") else None
+    import dataclasses
+
+    config = dataclasses.replace(
+        PRESETS["tiny"], num_hidden_layers=2, hidden_size=256, intermediate_size=512
+    )
+    params = init_params(config, jax.random.PRNGKey(0), dtype=jnp.float32)
+    # inject outliers into mlp weights so rotation has something to fix
+    rng = np.random.default_rng(3)
+    for lp in params["layers"]:
+        for n in ("gate_proj", "up_proj"):
+            w = np.array(lp["mlp"][n].w)
+            idx = rng.choice(w.shape[0], 8, replace=False)
+            w[idx, :] *= 6.0
+            lp["mlp"][n] = lp["mlp"][n]._replace(w=jnp.asarray(w))
+
+    tokens = rng.integers(0, config.vocab_size, (4, 2, 16)).astype(np.int32)
+    cfg = CalibConfig(
+        n_bits=4, group_size=64, num_rotations=6,
+        stages=(({"channel_scales": 5e-2, "angles": 5e-2}, 4),
+                ({"weight": 1e-5, "quantizer": 1e-6}, 2)),
+    )
+    qparams, results = calibrate_model(
+        params, config, tokens, cfg, output_dir=tmp_path
+    )
+    assert len(results) == 2 and all(len(r) == 7 for r in results)
+
+    from paroquant_tpu.convert import quantize_model_rtn
+
+    rtn = quantize_model_rtn(params, config, n_bits=4, group_size=64)
+    test_tokens = jnp.asarray(rng.integers(0, config.vocab_size, (1, 16)), jnp.int32)
+    l_fp, _ = model_forward(params, config, test_tokens)
+    l_cal, _ = model_forward(qparams, config, test_tokens)
+    l_rtn, _ = model_forward(rtn, config, test_tokens)
+    e_cal = float(jnp.mean((l_cal - l_fp) ** 2))
+    e_rtn = float(jnp.mean((l_rtn - l_fp) ** 2))
+    assert e_cal < e_rtn, (e_cal, e_rtn)
+
+    # resume path: second run loads from disk and reproduces the same params
+    qparams2, _ = calibrate_model(params, config, tokens, cfg, output_dir=tmp_path)
+    l_cal2, _ = model_forward(qparams2, config, test_tokens)
+    np.testing.assert_allclose(np.asarray(l_cal2), np.asarray(l_cal), atol=1e-4)
