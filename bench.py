@@ -1,0 +1,81 @@
+"""Driver benchmark: W4 decode throughput vs BF16 baseline, one JSON line.
+
+Protocol mirrors the reference cli/benchmark.py:30-49: single-stream greedy
+decode, 2 warmup + 5 timed runs. Model: Qwen3-0.6B geometry (random weights),
+RTN-quantized to the PARO runtime format, decoding through the fused Pallas
+rotation+dequant kernel. Baseline: the same model dense BF16 through XLA.
+
+vs_baseline = W4 tokens/s / BF16 tokens/s (north star: >= 0.9).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import numpy as np
+
+
+def bench_decode(params, config, quant_mode, n_tokens=96, batch=1, warmup=2, runs=5):
+    import jax
+    import jax.numpy as jnp
+
+    from paroquant_tpu.models import KVCache
+    from paroquant_tpu.models.decoder import decode_step, prefill
+
+    rng = np.random.default_rng(0)
+    prompt = jnp.asarray(rng.integers(0, config.vocab_size, (batch, 16)), jnp.int32)
+    max_len = 16 + n_tokens + 8
+
+    def run():
+        cache = KVCache.create(config, batch, max_len, jnp.bfloat16)
+        logits, c = prefill(params, config, prompt, cache, quant_mode=quant_mode)
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
+        t0 = time.perf_counter()
+        for _ in range(n_tokens):
+            logits, c = decode_step(params, config, tok, c, quant_mode=quant_mode)
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
+        np.asarray(tok)  # full sync through host fetch
+        return n_tokens * batch / (time.perf_counter() - t0)
+
+    for _ in range(warmup):
+        run()
+    return float(np.mean([run() for _ in range(runs)]))
+
+
+def main():
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from paroquant_tpu.convert import quantize_model_rtn
+    from paroquant_tpu.models import PRESETS, init_params
+
+    config = PRESETS["qwen3-0.6b"]
+    params = init_params(config, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    qparams = quantize_model_rtn(params, config, n_bits=4, group_size=128)
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    qmode = "fused" if on_tpu else "xla"
+    tok_s_bf16 = bench_decode(params, config, "xla")
+    tok_s_w4 = bench_decode(qparams, config, qmode)
+
+    print(
+        json.dumps(
+            {
+                "metric": "qwen3_0.6b_w4_decode_throughput",
+                "value": round(tok_s_w4, 2),
+                "unit": "tokens/s/chip",
+                "vs_baseline": round(tok_s_w4 / tok_s_bf16, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

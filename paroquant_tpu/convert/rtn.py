@@ -27,6 +27,18 @@ from ..ops.packing import pack_wq_tpu
 
 QUANTIZED_LINEARS = ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj")
 
+_ROT_CACHE: dict[tuple, Any] = {}
+
+
+def _cached_rotation_params(in_features, group_size, num_rotations, seed):
+    """Pair generation is O(group_size^2) host work; cache per shape."""
+    key = (in_features, group_size, num_rotations, seed)
+    if key not in _ROT_CACHE:
+        _ROT_CACHE[key] = rot_ops.make_rotation_params(
+            in_features, group_size, num_rotations, seed
+        )
+    return _ROT_CACHE[key]
+
 
 def quantize_linear_rtn(
     lin: DenseLinear,
@@ -41,17 +53,19 @@ def quantize_linear_rtn(
     """Quantize one dense linear (w [I, O]) to the PARO runtime format."""
     w = np.asarray(lin.w, np.float32).T  # [O, I] reference orientation
     O, I = w.shape
-    params = rot_ops.make_rotation_params(I, group_size, num_rotations, seed)
+    params = _cached_rotation_params(I, group_size, num_rotations, seed if random_rotation else 0)
     if random_rotation:
         rng = np.random.default_rng(seed)
         theta = np.where(
             np.asarray(params.mask), 0.0, rng.normal(0, 0.1, params.theta.shape)
         ).astype(np.float32)
+        form_np = rot_ops.pairs_to_permutation(np.asarray(params.pairs), group_size)
+        form = rot_ops.PermutationForm(*(jnp.asarray(a) for a in form_np))
+        w_rot = rot_ops.apply_rotation_stages(jnp.asarray(w), jnp.asarray(theta), form)
     else:
+        # theta == 0 -> rotation is the identity; skip the stage application
         theta = np.zeros(params.theta.shape, np.float32)
-    form_np = rot_ops.pairs_to_permutation(np.asarray(params.pairs), group_size)
-    form = rot_ops.PermutationForm(*(jnp.asarray(a) for a in form_np))
-    w_rot = rot_ops.apply_rotation_stages(jnp.asarray(w), jnp.asarray(theta), form)
+        w_rot = jnp.asarray(w)
     qp = quant.calc_scales_and_zero_points(w_rot, group_size, n_bits)
     q, s, z = quant.quantize_to_int(w_rot, qp, n_bits, group_size)
     return make_quantized_linear(

@@ -1,0 +1,8 @@
+from .shard import (
+    cache_specs,
+    make_mesh,
+    param_specs,
+    replicate,
+    shard_cache,
+    shard_params,
+)

@@ -1,0 +1,149 @@
+"""Tensor-parallel sharding rules over a jax.sharding Mesh.
+
+The reference's only first-class parallelism is the vLLM TP plugin, which
+hand-slices rotation params per rank (plugin.py:33-76) and relies on NCCL
+all-reduce. Here TP is declarative: every parameter gets a NamedSharding and
+pjit/GSPMD inserts the all-gather/reduce-scatter/psum collectives over ICI
+(SURVEY.md §2.6, §5.8).
+
+Rules (mesh axes: "data" for batch DP, "model" for TP):
+- column-parallel (q/k/v/gate/up, lm_head): weight [I, O] sharded on O;
+  for QuantizedLinear, qweight [I//2, O] + scales/zeros [G, O] shard on the
+  last axis; rotation (input-side) replicates.
+- row-parallel (o_proj/down): weight sharded on I; quantized scales/zeros
+  shard on the G axis and the rotation matrices [G, S, S] shard on G — valid
+  because rotations never cross a 128-group boundary (the same contiguous
+  group-slice property the reference exploits, plugin.py:33-50).
+- KV cache [L, B, S, Hkv, D]: batch on "data", kv heads on "model".
+- MoE experts: expert dim on "model" (weights-sharded EP; cheap for W4).
+- everything else (norms, embeddings) replicated; activations batch-sharded.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.config import ModelConfig
+from ..models.decoder import DenseLinear, KVCache
+from ..ops.moe import QuantizedMoEExperts
+from ..ops.qlinear import QuantizedLinear
+
+
+def make_mesh(n_data: int = 1, n_model: int | None = None) -> Mesh:
+    devices = np.array(jax.devices())
+    if n_model is None:
+        n_model = len(devices) // n_data
+    assert n_data * n_model == len(devices), (n_data, n_model, len(devices))
+    return Mesh(devices.reshape(n_data, n_model), ("data", "model"))
+
+
+def _linear_spec(lin: Any, kind: str):
+    """PartitionSpec pytree for one linear. kind: 'col' | 'row' | 'rep'."""
+    if isinstance(lin, DenseLinear):
+        if kind == "col":
+            return DenseLinear(P(None, "model"), None if lin.b is None else P("model"))
+        if kind == "row":
+            return DenseLinear(P("model", None), None if lin.b is None else P())
+        return DenseLinear(P(), None if lin.b is None else P())
+    if isinstance(lin, QuantizedLinear):
+        b = None if lin.bias is None else (P("model") if kind == "col" else P())
+        if kind == "col":
+            return QuantizedLinear(
+                qweight=P(None, "model"), scales=P(None, "model"),
+                zeros=P(None, "model"), rot=P(), bias=b,
+            )
+        if kind == "row":
+            return QuantizedLinear(
+                qweight=P("model", None), scales=P("model", None),
+                zeros=P("model", None), rot=P("model", None, None), bias=b,
+            )
+        return QuantizedLinear(qweight=P(), scales=P(), zeros=P(), rot=P(), bias=b)
+    raise TypeError(type(lin))
+
+
+def _experts_spec(experts: Any):
+    if isinstance(experts, QuantizedMoEExperts):
+        e = P("model", None, None)
+        return QuantizedMoEExperts(
+            gate_qweight=e, gate_scales=e, gate_zeros=e,
+            up_qweight=e, up_scales=e, up_zeros=e,
+            down_qweight=e, down_scales=e, down_zeros=e,
+            gate_up_rot=P(), down_rot=P(),
+        )
+    return {k: P("model", None, None) for k in experts}
+
+
+def param_specs(params: dict[str, Any], config: ModelConfig) -> dict[str, Any]:
+    """PartitionSpec pytree matching the model params pytree."""
+    specs: dict[str, Any] = {
+        "embed_tokens": P(),
+        "norm": P(),
+        "layers": [],
+    }
+    if "lm_head" in params:
+        specs["lm_head"] = _linear_spec(params["lm_head"], "col")
+    for lp in params["layers"]:
+        ls: dict[str, Any] = {}
+        for name, val in lp.items():
+            if name in ("q_proj", "k_proj", "v_proj"):
+                ls[name] = _linear_spec(val, "col")
+            elif name == "o_proj":
+                ls[name] = _linear_spec(val, "row")
+            elif name == "mlp":
+                ms: dict[str, Any] = {}
+                for mn, mv in val.items():
+                    if mn in ("gate_proj", "up_proj"):
+                        ms[mn] = _linear_spec(mv, "col")
+                    elif mn == "down_proj":
+                        ms[mn] = _linear_spec(mv, "row")
+                    elif mn == "experts":
+                        ms[mn] = _experts_spec(mv)
+                    elif mn == "router":
+                        ms[mn] = _linear_spec(mv, "rep")
+                    else:
+                        ms[mn] = jax.tree.map(lambda _: P(), mv)
+                ls[name] = ms
+            else:
+                ls[name] = jax.tree.map(lambda _: P(), val)
+        specs["layers"].append(ls)
+    return specs
+
+
+def cache_specs(config: ModelConfig) -> KVCache:
+    kv = P(None, "data", None, "model", None)
+    return KVCache(k=kv, v=kv, length=P())
+
+
+def shard_params(params: dict[str, Any], config: ModelConfig, mesh: Mesh) -> dict[str, Any]:
+    """device_put every param with its TP sharding (head-count permitting)."""
+    n_model = mesh.shape["model"]
+    if config.num_key_value_heads % n_model != 0:
+        raise ValueError(
+            f"num_key_value_heads={config.num_key_value_heads} not divisible by"
+            f" model-axis size {n_model}"
+        )
+    specs = param_specs(params, config)
+    return jax.tree.map(
+        lambda a, s: None if a is None else jax.device_put(a, NamedSharding(mesh, s)),
+        params, specs,
+        is_leaf=lambda x: x is None,
+    )
+
+
+def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
+    specs = cache_specs(None)
+    return KVCache(
+        k=jax.device_put(cache.k, NamedSharding(mesh, specs.k)),
+        v=jax.device_put(cache.v, NamedSharding(mesh, specs.v)),
+        length=jax.device_put(cache.length, NamedSharding(mesh, P())),
+    )
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    return jax.tree.map(
+        lambda a: jax.device_put(a, NamedSharding(mesh, P())), tree
+    )

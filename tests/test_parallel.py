@@ -1,0 +1,87 @@
+"""TP/DP sharding tests on the virtual 8-device CPU mesh (SURVEY.md §4:
+multi-device tests via xla_force_host_platform_device_count)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from paroquant_tpu.convert import quantize_model_rtn
+from paroquant_tpu.models import PRESETS, KVCache, init_params, model_forward
+from paroquant_tpu.parallel import make_mesh, shard_cache, shard_params
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    config = PRESETS["tiny"]  # 4 heads, 2 kv heads
+    params = init_params(config, jax.random.PRNGKey(0), dtype=jnp.float32)
+    tokens = jnp.asarray(
+        np.random.default_rng(0).integers(0, config.vocab_size, (4, 8)), jnp.int32
+    )
+    ref_logits, _ = model_forward(params, config, tokens)
+    return config, params, tokens, ref_logits
+
+
+def test_tp_forward_matches_single_device(setup):
+    config, params, tokens, ref_logits = setup
+    mesh = make_mesh(n_data=4, n_model=2)
+    sharded = shard_params(params, config, mesh)
+    with jax.set_mesh(mesh) if hasattr(jax, "set_mesh") else mesh:
+        logits, _ = jax.jit(
+            lambda p, t: model_forward(p, config, t)
+        )(sharded, tokens)
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(ref_logits), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_tp_quantized_forward_matches(setup):
+    config, params, tokens, _ = setup
+    qparams = quantize_model_rtn(params, config, n_bits=4, group_size=64)
+    ref, _ = model_forward(qparams, config, tokens)
+    mesh = make_mesh(n_data=2, n_model=4)
+    cfg2 = config  # kv=2 not divisible by 4 -> expect error
+    with pytest.raises(ValueError):
+        shard_params(qparams, cfg2, mesh)
+    mesh = make_mesh(n_data=4, n_model=2)
+    sharded = shard_params(qparams, config, mesh)
+    logits, _ = jax.jit(lambda p, t: model_forward(p, config, t))(sharded, tokens)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref), rtol=1e-3, atol=1e-3)
+
+
+def test_tp_decode_with_sharded_cache(setup):
+    config, params, tokens, _ = setup
+    mesh = make_mesh(n_data=4, n_model=2)
+    sharded = shard_params(params, config, mesh)
+    cache = shard_cache(KVCache.create(config, 4, 16, jnp.float32), mesh)
+
+    @jax.jit
+    def step(p, t, c):
+        return model_forward(p, config, t, c)
+
+    logits, cache = step(sharded, tokens[:, :4], cache)
+    l2, cache = step(sharded, tokens[:, 4:5], cache)
+    # reference: unsharded incremental
+    cache_ref = KVCache.create(config, 4, 16, jnp.float32)
+    _, cache_ref = model_forward(params, config, tokens[:, :4], cache_ref)
+    lr, _ = model_forward(params, config, tokens[:, 4:5], cache_ref)
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(lr), rtol=1e-3, atol=1e-3)
+
+
+def test_tp_moe_forward(setup):
+    config = PRESETS["tiny-moe"]
+    params = init_params(config, jax.random.PRNGKey(1), dtype=jnp.float32)
+    tokens = jnp.asarray(
+        np.random.default_rng(1).integers(0, config.vocab_size, (4, 6)), jnp.int32
+    )
+    ref, _ = model_forward(params, config, tokens)
+    mesh = make_mesh(n_data=4, n_model=2)
+    sharded = shard_params(params, config, mesh)
+    logits, _ = jax.jit(lambda p, t: model_forward(p, config, t))(sharded, tokens)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref), rtol=1e-3, atol=1e-3)
