@@ -1,0 +1,288 @@
+"""Checkpoint I/O: PARO-TPU format, HF dense loading, AWQ reference import.
+
+Three formats (reference SURVEY.md §5.4):
+1. **PARO-TPU** (ours, safetensors): per quantized linear, HF-style keys
+     <prefix>.qweight            uint8 [I//2, O]   (PARO-TPU half-split packing)
+     <prefix>.scales             f32   [G, O]
+     <prefix>.zeros              uint8 [G, O]
+     <prefix>.theta              f16   [K, I//2]
+     <prefix>.pairs              i16   [K, I]
+     <prefix>.channel_scales     f16   [1, I]      (inverse optimizer scales,
+                                                    matching reference convert.py:264-266)
+   plus dense tensors in bf16, and `quantization_config` in config.json with
+   quant_method="paroquant" (format: "paro-tpu").
+2. **HF dense** safetensors (bf16/f16/f32) -> DenseLinear params.
+3. **AWQ-format reference checkpoints** (z-lab/*-PARO): qweight int32
+   [I, O//8] with the (0,2,4,6,1,3,5,7) nibble reorder, qzeros int32
+   [G, O//8], scales f16 [G, O], theta/pairs/channel_scales — imported by
+   undoing the AWQ packing (reference backends/mlx/load.py:21-54 does the
+   same for MLX).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+from safetensors import safe_open
+from safetensors.numpy import save_file
+
+from ..models.config import ModelConfig, from_hf_dict
+from ..models.decoder import DenseLinear
+from ..ops.packing import pack_wq_tpu, unpack_awq
+from ..ops.qlinear import make_quantized_linear
+
+QUANT_SUFFIXES = ("qweight", "scales", "zeros", "theta", "pairs", "channel_scales")
+
+
+# ---------------------------------------------------------------------------
+# key naming
+# ---------------------------------------------------------------------------
+
+_ATTN = {"q_proj", "k_proj", "v_proj", "o_proj"}
+_MLP = {"gate_proj", "up_proj", "down_proj"}
+
+
+def hf_prefix(layer_idx: int, name: str) -> str:
+    """Our layer-param name -> HF tensor prefix."""
+    if name.startswith("mlp."):
+        return f"model.layers.{layer_idx}.mlp.{name[4:]}"
+    if name in _ATTN:
+        return f"model.layers.{layer_idx}.self_attn.{name}"
+    raise ValueError(name)
+
+
+# ---------------------------------------------------------------------------
+# save
+# ---------------------------------------------------------------------------
+
+
+def save_paro_checkpoint(
+    path: str | Path,
+    params: dict[str, Any],
+    config: ModelConfig,
+    layer_exports: list[dict[str, dict[str, Any]]],
+    hf_config: dict[str, Any] | None = None,
+) -> None:
+    """Write a PARO-TPU checkpoint. `layer_exports[i][name]` are the export
+    dicts from optim.pseudo.export_quantized (or the AWQ importer)."""
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    tensors: dict[str, np.ndarray] = {}
+
+    # dense / shared tensors
+    tensors["model.embed_tokens.weight"] = _to_f16(params["embed_tokens"])
+    tensors["model.norm.weight"] = _to_f16(params["norm"])
+    if "lm_head" in params:
+        tensors["lm_head.weight"] = _to_f16(np.asarray(params["lm_head"].w).T)
+
+    n_bits, group_size, krot = 4, 128, 8
+    for li, lp in enumerate(params["layers"]):
+        exp_layer = layer_exports[li] if li < len(layer_exports) else {}
+        for name in ("input_layernorm", "post_attention_layernorm",
+                     "pre_feedforward_layernorm", "post_feedforward_layernorm"):
+            if name in lp:
+                tensors[f"model.layers.{li}.{name}.weight"] = _to_f16(lp[name])
+        for name in ("q_norm", "k_norm"):
+            if name in lp:
+                tensors[f"model.layers.{li}.self_attn.{name}.weight"] = _to_f16(lp[name])
+        for name in list(_ATTN) + [f"mlp.{m}" for m in _MLP]:
+            base = name[4:] if name.startswith("mlp.") else name
+            holder = lp["mlp"] if name.startswith("mlp.") else lp
+            if base not in holder:
+                continue
+            prefix = hf_prefix(li, name)
+            if name in exp_layer:
+                exp = exp_layer[name]
+                n_bits = int(exp["n_bits"])
+                group_size = int(exp["group_size"])
+                krot = int(exp["theta"].shape[0])
+                tensors[f"{prefix}.qweight"] = pack_wq_tpu(
+                    np.asarray(exp["q"]).T, n_bits, group_size
+                )
+                tensors[f"{prefix}.scales"] = np.asarray(exp["scales"], np.float32).T
+                tensors[f"{prefix}.zeros"] = np.asarray(exp["zeros"], np.uint8).T
+                tensors[f"{prefix}.theta"] = np.asarray(exp["theta"], np.float16)
+                tensors[f"{prefix}.pairs"] = np.asarray(exp["pairs"], np.int16)
+                tensors[f"{prefix}.channel_scales"] = np.asarray(
+                    exp["inv_channel_scales"], np.float16
+                ).reshape(1, -1)
+                if exp.get("bias") is not None:
+                    tensors[f"{prefix}.bias"] = _to_f16(exp["bias"])
+            else:
+                lin = holder[base]
+                tensors[f"{prefix}.weight"] = _to_f16(np.asarray(lin.w).T)
+                if lin.b is not None:
+                    tensors[f"{prefix}.bias"] = _to_f16(lin.b)
+
+    # safetensors serializes the raw buffer; non-C-contiguous arrays (e.g. .T
+    # views) would be written in the wrong order
+    tensors = {k: np.ascontiguousarray(v) for k, v in tensors.items()}
+    save_file(tensors, str(path / "model.safetensors"))
+    cfg = dict(hf_config) if hf_config else _config_to_hf(config)
+    cfg["quantization_config"] = {
+        "quant_method": "paroquant",
+        "format": "paro-tpu",
+        "bits": n_bits,
+        "group_size": group_size,
+        "krot": krot,
+    }
+    (path / "config.json").write_text(json.dumps(cfg, indent=2) + "\n")
+
+
+def _to_f16(a) -> np.ndarray:
+    return np.asarray(a, np.float32).astype(np.float16)
+
+
+def _config_to_hf(config: ModelConfig) -> dict[str, Any]:
+    return {
+        "model_type": config.model_type,
+        "vocab_size": config.vocab_size,
+        "hidden_size": config.hidden_size,
+        "intermediate_size": config.intermediate_size,
+        "num_hidden_layers": config.num_hidden_layers,
+        "num_attention_heads": config.num_attention_heads,
+        "num_key_value_heads": config.num_key_value_heads,
+        "head_dim": config.head_dim,
+        "rms_norm_eps": config.rms_norm_eps,
+        "rope_theta": config.rope_theta,
+        "max_position_embeddings": config.max_position_embeddings,
+        "tie_word_embeddings": config.tie_word_embeddings,
+    }
+
+
+# ---------------------------------------------------------------------------
+# load
+# ---------------------------------------------------------------------------
+
+
+def _open_all(model_dir: Path) -> dict[str, np.ndarray]:
+    tensors: dict[str, np.ndarray] = {}
+    files = sorted(model_dir.glob("*.safetensors"))
+    if not files:
+        raise FileNotFoundError(f"no safetensors in {model_dir}")
+    for f in files:
+        with safe_open(str(f), framework="np") as sf:
+            for k in sf.keys():
+                tensors[k] = sf.get_tensor(k)
+    return tensors
+
+
+def _strip_prefix(tensors: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Normalize 'model.language_model.layers' style prefixes (reference
+    vllm plugin name normalization, plugin.py:123-151)."""
+    out = {}
+    for k, v in tensors.items():
+        k = k.replace("language_model.", "")
+        out[k] = v
+    return out
+
+
+def load_checkpoint(
+    model_dir: str | Path, rot_dtype=jnp.float32, dtype=jnp.bfloat16
+) -> tuple[dict[str, Any], ModelConfig]:
+    """Load a model directory: PARO-TPU, AWQ-format PARO, or plain HF dense."""
+    model_dir = Path(model_dir)
+    with open(model_dir / "config.json") as f:
+        hf_cfg = json.load(f)
+    config = from_hf_dict(hf_cfg)
+    tensors = _strip_prefix(_open_all(model_dir))
+
+    qc = config.quantization or {}
+    is_quant = qc.get("quant_method") in ("paroquant", "awq")
+    fmt = qc.get("format", "awq" if qc.get("quant_method") else None)
+    group_size = int(qc.get("group_size", 128))
+    n_bits = int(qc.get("bits", 4))
+
+    params: dict[str, Any] = {
+        "embed_tokens": jnp.asarray(tensors["model.embed_tokens.weight"], dtype),
+        "norm": jnp.asarray(tensors["model.norm.weight"], dtype),
+        "layers": [],
+    }
+    if "lm_head.weight" in tensors:
+        params["lm_head"] = DenseLinear(
+            jnp.asarray(tensors["lm_head.weight"].T.copy(), dtype), None
+        )
+
+    def dense_linear(prefix):
+        w = jnp.asarray(tensors[f"{prefix}.weight"].T.copy(), dtype)
+        b = (
+            jnp.asarray(tensors[f"{prefix}.bias"], jnp.float32)
+            if f"{prefix}.bias" in tensors
+            else None
+        )
+        return DenseLinear(w, b)
+
+    def quant_linear(prefix):
+        bias = (
+            np.asarray(tensors[f"{prefix}.bias"], np.float32)
+            if f"{prefix}.bias" in tensors
+            else None
+        )
+        theta = np.asarray(tensors[f"{prefix}.theta"], np.float32)
+        pairs = np.asarray(tensors[f"{prefix}.pairs"], np.int32)
+        inv_cs = np.asarray(tensors[f"{prefix}.channel_scales"], np.float32).reshape(-1)
+        if fmt == "paro-tpu":
+            packed = tensors[f"{prefix}.qweight"]  # [I//2, O] ours
+            scales = np.asarray(tensors[f"{prefix}.scales"], np.float32)  # [G, O]
+            zeros = np.asarray(tensors[f"{prefix}.zeros"], np.float32)  # [G, O]
+            from ..ops.packing import unpack_w4_tpu
+
+            q = np.asarray(unpack_w4_tpu(jnp.asarray(packed), group_size))  # [I, O]
+        else:  # AWQ layout from reference checkpoints
+            q = unpack_awq(tensors[f"{prefix}.qweight"], n_bits)  # [I, O]
+            zeros = unpack_awq(tensors[f"{prefix}.qzeros"], n_bits).astype(np.float32)
+            scales = np.asarray(tensors[f"{prefix}.scales"], np.float32)  # [G, O]
+        return make_quantized_linear(
+            q.T.copy(), scales.T.copy(), zeros.T.copy(), pairs, theta, inv_cs,
+            group_size, bias=bias, rot_dtype=rot_dtype, n_bits=n_bits,
+        )
+
+    def pick_linear(prefix):
+        if is_quant and f"{prefix}.qweight" in tensors:
+            return quant_linear(prefix)
+        return dense_linear(prefix)
+
+    for li in range(config.num_hidden_layers):
+        lbase = f"model.layers.{li}"
+        lp: dict[str, Any] = {
+            "input_layernorm": jnp.asarray(tensors[f"{lbase}.input_layernorm.weight"], dtype),
+            "post_attention_layernorm": jnp.asarray(
+                tensors[f"{lbase}.post_attention_layernorm.weight"], dtype
+            ),
+        }
+        for name in ("pre_feedforward_layernorm", "post_feedforward_layernorm"):
+            k = f"{lbase}.{name}.weight"
+            if k in tensors:
+                lp[name] = jnp.asarray(tensors[k], dtype)
+        for name in ("q_norm", "k_norm"):
+            k = f"{lbase}.self_attn.{name}.weight"
+            if k in tensors:
+                lp[name] = jnp.asarray(tensors[k], dtype)
+        for name in _ATTN:
+            lp[name] = pick_linear(f"{lbase}.self_attn.{name}")
+        mlp: dict[str, Any] = {}
+        if f"{lbase}.mlp.gate.weight" in tensors:  # MoE router
+            mlp["router"] = DenseLinear(
+                jnp.asarray(tensors[f"{lbase}.mlp.gate.weight"].T.copy(), dtype), None
+            )
+            experts: dict[str, list] = {"gate_proj": [], "up_proj": [], "down_proj": []}
+            e = 0
+            while f"{lbase}.mlp.experts.{e}.gate_proj.weight" in tensors:
+                for pn in experts:
+                    experts[pn].append(
+                        tensors[f"{lbase}.mlp.experts.{e}.{pn}.weight"].T.copy()
+                    )
+                e += 1
+            mlp["experts"] = {
+                pn: jnp.asarray(np.stack(ws), dtype) for pn, ws in experts.items()
+            }
+        else:
+            for name in _MLP:
+                mlp[name] = pick_linear(f"{lbase}.mlp.{name}")
+        lp["mlp"] = mlp
+        params["layers"].append(lp)
+    return params, config
