@@ -1,0 +1,47 @@
+"""OpenAI-compatible serving CLI (reference cli/serve.py).
+
+    python -m paroquant_tpu.cli.serve --model <dir> --port 8000
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="Serve a PARO-TPU model (OpenAI API)")
+    ap.add_argument("--model", required=True, help="model directory (PARO/HF checkpoint)")
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--max-batch", type=int, default=8)
+    ap.add_argument("--max-len", type=int, default=4096)
+    ap.add_argument("--page-size", type=int, default=128)
+    ap.add_argument("--quant-mode", default=None, choices=["xla", "fused"])
+    ap.add_argument("--served-model-name", default=None)
+    ap.add_argument("--device", default="auto", choices=["cpu", "tpu", "auto"])
+    args = ap.parse_args(argv)
+
+    from ..utils import force_platform
+
+    force_platform(args.device)
+
+    from ..convert import load_checkpoint
+    from ..serve.api import Server
+    from ..serve.engine import Engine
+    from ..serve.generator import detect_backend, load_tokenizer
+
+    params, config = load_checkpoint(args.model)
+    tokenizer = load_tokenizer(args.model)
+    qmode = args.quant_mode or ("fused" if detect_backend() == "tpu" else "xla")
+    engine = Engine(
+        params, config, tokenizer,
+        max_batch=args.max_batch, max_len=args.max_len, page_size=args.page_size,
+        quant_mode=qmode,
+    )
+    name = args.served_model_name or str(args.model).rstrip("/").split("/")[-1]
+    print(f"serving {name} on {args.host}:{args.port} (quant_mode={qmode})")
+    Server(engine, name).run(args.host, args.port)
+
+
+if __name__ == "__main__":
+    main()

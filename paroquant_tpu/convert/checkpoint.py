@@ -133,6 +133,81 @@ def save_paro_checkpoint(
     (path / "config.json").write_text(json.dumps(cfg, indent=2) + "\n")
 
 
+def save_awq_checkpoint(
+    path: str | Path,
+    params: dict[str, Any],
+    config: ModelConfig,
+    layer_exports: list[dict[str, dict[str, Any]]],
+    hf_config: dict[str, Any] | None = None,
+) -> None:
+    """Write the reference's AWQ-packed layout (cli/convert.py:268-273):
+    qweight int32 [I, O//8] nibble-reordered, qzeros int32 [G, O//8],
+    scales f16 [G, O], theta/pairs/channel_scales — loadable by the
+    reference's transformers/vLLM/MLX backends and by our importer."""
+    from ..ops.packing import pack_awq
+
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    tensors: dict[str, np.ndarray] = {}
+    tensors["model.embed_tokens.weight"] = _to_f16(params["embed_tokens"])
+    tensors["model.norm.weight"] = _to_f16(params["norm"])
+    if "lm_head" in params:
+        tensors["lm_head.weight"] = _to_f16(np.asarray(params["lm_head"].w).T)
+
+    n_bits, group_size, krot = 4, 128, 8
+    for li, lp in enumerate(params["layers"]):
+        exp_layer = layer_exports[li] if li < len(layer_exports) else {}
+        for name in ("input_layernorm", "post_attention_layernorm",
+                     "pre_feedforward_layernorm", "post_feedforward_layernorm"):
+            if name in lp:
+                tensors[f"model.layers.{li}.{name}.weight"] = _to_f16(lp[name])
+        for name in ("q_norm", "k_norm"):
+            if name in lp:
+                tensors[f"model.layers.{li}.self_attn.{name}.weight"] = _to_f16(lp[name])
+        for name in list(_ATTN) + [f"mlp.{m}" for m in _MLP]:
+            base = name[4:] if name.startswith("mlp.") else name
+            holder = lp["mlp"] if name.startswith("mlp.") else lp
+            if base not in holder:
+                continue
+            prefix = hf_prefix(li, name)
+            if name in exp_layer:
+                exp = exp_layer[name]
+                n_bits = int(exp["n_bits"])
+                group_size = int(exp["group_size"])
+                krot = int(exp["theta"].shape[0])
+                q = np.asarray(exp["q"])  # [O, I]
+                tensors[f"{prefix}.qweight"] = pack_awq(q.T, n_bits)
+                tensors[f"{prefix}.qzeros"] = pack_awq(
+                    np.asarray(exp["zeros"]).T, n_bits
+                )
+                tensors[f"{prefix}.scales"] = np.ascontiguousarray(
+                    np.asarray(exp["scales"], np.float32).T
+                ).astype(np.float16)
+                tensors[f"{prefix}.theta"] = np.asarray(exp["theta"], np.float16)
+                tensors[f"{prefix}.pairs"] = np.asarray(exp["pairs"], np.int16)
+                tensors[f"{prefix}.channel_scales"] = np.asarray(
+                    exp["inv_channel_scales"], np.float16
+                ).reshape(1, -1)
+                if exp.get("bias") is not None:
+                    tensors[f"{prefix}.bias"] = _to_f16(exp["bias"])
+            else:
+                lin = holder[base]
+                tensors[f"{prefix}.weight"] = _to_f16(np.asarray(lin.w).T)
+                if lin.b is not None:
+                    tensors[f"{prefix}.bias"] = _to_f16(lin.b)
+
+    tensors = {k: np.ascontiguousarray(v) for k, v in tensors.items()}
+    save_file(tensors, str(path / "model.safetensors"))
+    cfg = dict(hf_config) if hf_config else _config_to_hf(config)
+    cfg["quantization_config"] = {
+        "quant_method": "paroquant",
+        "bits": n_bits,
+        "group_size": group_size,
+        "krot": krot,
+    }
+    (path / "config.json").write_text(json.dumps(cfg, indent=2) + "\n")
+
+
 def _to_f16(a) -> np.ndarray:
     return np.asarray(a, np.float32).astype(np.float16)
 

@@ -45,8 +45,16 @@ class ModelConfig:
     norm_topk_prob: bool = True
     decoder_sparse_step: int = 1
     shared_expert_intermediate_size: int = 0
-    # quantization (populated when loading a PARO checkpoint)
-    quantization: dict[str, Any] | None = None
+    # quantization config, stored as a frozen tuple of (key, value) pairs so
+    # ModelConfig stays hashable (it's a jit static argument); use
+    # .quantization for the dict view
+    quantization_items: tuple | None = None
+
+    @property
+    def quantization(self) -> dict[str, Any] | None:
+        if self.quantization_items is None:
+            return None
+        return dict(self.quantization_items)
 
     @property
     def is_moe(self) -> bool:
@@ -67,6 +75,15 @@ class ModelConfig:
         if (layer_idx + 1) % self.sliding_window_pattern == 0:
             return None  # global attention layer
         return self.sliding_window
+
+
+def _freeze(d: dict[str, Any] | None) -> tuple | None:
+    if d is None:
+        return None
+    return tuple(
+        (k, _freeze(v) if isinstance(v, dict) else tuple(v) if isinstance(v, list) else v)
+        for k, v in sorted(d.items())
+    )
 
 
 def from_hf_dict(cfg: dict[str, Any]) -> ModelConfig:
@@ -106,7 +123,7 @@ def from_hf_dict(cfg: dict[str, Any]) -> ModelConfig:
         rope_local_theta=cfg.get("rope_local_base_freq"),
         logit_softcap=cfg.get("final_logit_softcapping"),
         attn_logit_softcap=cfg.get("attn_logit_softcapping"),
-        quantization=cfg.get("quantization_config"),
+        quantization_items=_freeze(cfg.get("quantization_config")),
     )
     if mt in ("qwen3_moe", "qwen2_moe", "qwen3_next"):
         kwargs.update(

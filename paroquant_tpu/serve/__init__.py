@@ -1,0 +1,11 @@
+from .engine import Engine, Request
+from .generator import (
+    GenerationResult,
+    GenerationStats,
+    Generator,
+    create_generator,
+    detect_backend,
+    load_tokenizer,
+)
+from .paged import PagedKVCache, paged_decode_step
+from .sampling import SamplingParams, sample_token

@@ -1,0 +1,183 @@
+"""OpenAI-compatible HTTP server (aiohttp) over the continuous-batching engine.
+
+Reference counterpart: cli/serve.py (delegates to vLLM's api_server or
+monkey-patches mlx_lm.server). Endpoints:
+  POST /v1/chat/completions   (stream + non-stream)
+  POST /v1/completions
+  GET  /v1/models
+  GET  /health, /metrics
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import queue
+import time
+import uuid
+from typing import Any
+
+from aiohttp import web
+
+from .engine import Engine
+from .sampling import SamplingParams
+
+
+def _sampling_from_body(body: dict[str, Any], engine: Engine) -> SamplingParams:
+    room = engine.max_len - 64
+    return SamplingParams(
+        max_tokens=min(int(body.get("max_tokens") or 512), room),
+        temperature=float(body.get("temperature", 1.0)),
+        top_p=float(body.get("top_p", 1.0)),
+        top_k=int(body.get("top_k", 0)),
+        seed=body.get("seed"),
+    )
+
+
+class Server:
+    def __init__(self, engine: Engine, model_name: str = "paroquant-tpu"):
+        self.engine = engine
+        self.model_name = model_name
+        self.app = web.Application()
+        self.app.router.add_post("/v1/chat/completions", self.chat_completions)
+        self.app.router.add_post("/v1/completions", self.completions)
+        self.app.router.add_get("/v1/models", self.models)
+        self.app.router.add_get("/health", self.health)
+        self.app.router.add_get("/metrics", self.metrics)
+
+    # ------------------------------------------------------------------
+
+    async def health(self, request: web.Request) -> web.Response:
+        return web.json_response({"status": "ok"})
+
+    async def metrics(self, request: web.Request) -> web.Response:
+        return web.json_response(dict(self.engine.metrics))
+
+    async def models(self, request: web.Request) -> web.Response:
+        return web.json_response(
+            {
+                "object": "list",
+                "data": [
+                    {"id": self.model_name, "object": "model", "owned_by": "paroquant-tpu"}
+                ],
+            }
+        )
+
+    # ------------------------------------------------------------------
+
+    def _encode_chat(self, messages: list[dict[str, str]]) -> list[int]:
+        tok = self.engine.tokenizer
+        if tok is None:
+            raise web.HTTPBadRequest(reason="server has no tokenizer loaded")
+        return tok.apply_chat_template(messages, add_generation_prompt=True)
+
+    async def chat_completions(self, request: web.Request) -> web.StreamResponse:
+        body = await request.json()
+        try:
+            prompt = self._encode_chat(body["messages"])
+        except KeyError:
+            raise web.HTTPBadRequest(reason="missing 'messages'")
+        return await self._run(request, body, prompt, chat=True)
+
+    async def completions(self, request: web.Request) -> web.StreamResponse:
+        body = await request.json()
+        tok = self.engine.tokenizer
+        if "prompt_token_ids" in body:
+            prompt = list(body["prompt_token_ids"])
+        elif tok is not None and "prompt" in body:
+            prompt = tok.encode(body["prompt"])
+        else:
+            raise web.HTTPBadRequest(reason="missing 'prompt'")
+        return await self._run(request, body, prompt, chat=False)
+
+    async def _run(
+        self, request: web.Request, body: dict, prompt: list[int], chat: bool
+    ) -> web.StreamResponse:
+        sp = _sampling_from_body(body, self.engine)
+        try:
+            req = self.engine.submit(prompt, sp)
+        except ValueError as e:
+            raise web.HTTPBadRequest(reason=str(e))
+        created = int(time.time())
+        rid = f"chatcmpl-{uuid.uuid4().hex[:12]}" if chat else f"cmpl-{uuid.uuid4().hex[:12]}"
+        tok = self.engine.tokenizer
+
+        if body.get("stream"):
+            resp = web.StreamResponse(
+                headers={
+                    "Content-Type": "text/event-stream",
+                    "Cache-Control": "no-cache",
+                }
+            )
+            await resp.prepare(request)
+            pending: list[int] = []
+            while True:
+                kind, t = await asyncio.get_event_loop().run_in_executor(
+                    None, req.out_queue.get
+                )
+                if kind == "done":
+                    break
+                pending.append(t)
+                text = tok.decode(pending, skip_special_tokens=True) if tok else ""
+                if tok and text and not text.endswith("�"):
+                    pending.clear()
+                elif tok:
+                    continue
+                delta = {"content": text} if chat else None
+                chunk = {
+                    "id": rid,
+                    "object": "chat.completion.chunk" if chat else "text_completion",
+                    "created": created,
+                    "model": self.model_name,
+                    "choices": [
+                        {
+                            "index": 0,
+                            **({"delta": delta} if chat else {"text": text}),
+                            "finish_reason": None,
+                        }
+                    ],
+                }
+                if not tok:
+                    chunk["choices"][0]["token_ids"] = [t]
+                await resp.write(f"data: {json.dumps(chunk)}\n\n".encode())
+            await resp.write(b"data: [DONE]\n\n")
+            await resp.write_eof()
+            return resp
+
+        out: list[int] = []
+        while True:
+            kind, t = await asyncio.get_event_loop().run_in_executor(
+                None, req.out_queue.get
+            )
+            if kind == "done":
+                break
+            out.append(t)
+        text = tok.decode(out, skip_special_tokens=True) if tok else ""
+        payload = {
+            "id": rid,
+            "object": "chat.completion" if chat else "text_completion",
+            "created": created,
+            "model": self.model_name,
+            "usage": {
+                "prompt_tokens": len(prompt),
+                "completion_tokens": len(out),
+                "total_tokens": len(prompt) + len(out),
+            },
+            "choices": [
+                {
+                    "index": 0,
+                    **(
+                        {"message": {"role": "assistant", "content": text}}
+                        if chat
+                        else {"text": text}
+                    ),
+                    "token_ids": out,
+                    "finish_reason": "stop",
+                }
+            ],
+        }
+        return web.json_response(payload)
+
+    def run(self, host: str = "0.0.0.0", port: int = 8000):
+        self.engine.start()
+        web.run_app(self.app, host=host, port=port, print=None)

@@ -1,0 +1,325 @@
+"""Continuous-batching engine over the paged KV cache.
+
+The production serving loop the reference gets from vLLM (AsyncLLMEngine,
+backends/vllm/generator.py:15-41), rebuilt TPU-native:
+
+- fixed decode slots (max_batch); ONE compiled paged decode step serves any
+  request mix (static shapes)
+- prefill admission with pow-2 length bucketing (bounded compile count)
+- host-side page allocator (free list) + per-slot state
+- per-slot sampling parameters as device arrays (temperature/top_p vectors),
+  so mixed greedy/sampled requests share the same compiled sampler
+- request/response via queues; Engine.step() is the scheduler tick:
+  admit -> decode -> emit/evict
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import queue
+import threading
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import ModelConfig
+from ..models.decoder import KVCache, model_forward
+from .paged import PagedKVCache, paged_decode_step, scatter_prefill_kv
+from .sampling import SamplingParams
+
+
+@dataclasses.dataclass
+class Request:
+    request_id: str
+    prompt_tokens: list[int]
+    sampling: SamplingParams
+    out_queue: "queue.SimpleQueue[tuple[str, int | None]]" = dataclasses.field(
+        default_factory=queue.SimpleQueue
+    )
+    enqueue_time: float = dataclasses.field(default_factory=time.perf_counter)
+    first_token_time: float | None = None
+    finish_time: float | None = None
+
+    @property
+    def ttft(self) -> float | None:
+        if self.first_token_time is None:
+            return None
+        return self.first_token_time - self.enqueue_time
+
+
+@dataclasses.dataclass
+class _Slot:
+    request: Request | None = None
+    n_generated: int = 0
+    pages: list[int] = dataclasses.field(default_factory=list)
+
+
+@jax.jit
+def _sample_batch(logits, key, temps, top_ps):
+    """Vectorized per-slot sampling: greedy where temp==0, else top-p."""
+    logits = logits.astype(jnp.float32)
+    greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    safe_t = jnp.where(temps > 0, temps, 1.0)
+    scaled = logits / safe_t[:, None]
+    sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    cutoff_mask = cum - probs > top_ps[:, None]
+    cutoff_logit = jnp.min(
+        jnp.where(cutoff_mask, jnp.inf, sorted_logits), axis=-1, keepdims=True
+    )
+    masked = jnp.where(scaled < cutoff_logit, -jnp.inf, scaled)
+    sampled = jax.random.categorical(key, masked, axis=-1).astype(jnp.int32)
+    return jnp.where(temps == 0, greedy_tok, sampled)
+
+
+class Engine:
+    """Continuous-batching inference engine."""
+
+    def __init__(
+        self,
+        params: dict[str, Any],
+        config: ModelConfig,
+        tokenizer=None,
+        *,
+        max_batch: int = 8,
+        max_len: int = 2048,
+        page_size: int = 128,
+        num_pages: int | None = None,
+        quant_mode: str = "xla",
+        cache_dtype=jnp.bfloat16,
+    ):
+        self.params = params
+        self.config = config
+        self.tokenizer = tokenizer
+        self.max_batch = max_batch
+        self.max_len = max_len
+        self.page_size = page_size
+        self.max_pages_per_seq = (max_len + page_size - 1) // page_size
+        if num_pages is None:
+            num_pages = max_batch * self.max_pages_per_seq
+        self.quant_mode = quant_mode
+        self.cache = PagedKVCache.create(config, num_pages, page_size, cache_dtype)
+        self.free_pages: list[int] = list(range(num_pages))
+        self.slots = [_Slot() for _ in range(max_batch)]
+        self.waiting: "queue.SimpleQueue[Request]" = queue.SimpleQueue()
+        self._pending: list[Request] = []
+        # device-side slot state
+        self.tokens = np.zeros(max_batch, np.int32)
+        self.seq_lens = np.zeros(max_batch, np.int32)
+        self.page_table = np.zeros((max_batch, self.max_pages_per_seq), np.int32)
+        self.temps = np.zeros(max_batch, np.float32)
+        self.top_ps = np.ones(max_batch, np.float32)
+        self.key = jax.random.PRNGKey(0)
+        self._id_counter = itertools.count()
+        self._lock = threading.Lock()
+        self._stop_flag = False
+        self._thread: threading.Thread | None = None
+        self.eos_ids: set[int] = set()
+        if tokenizer is not None and getattr(tokenizer, "eos_token_id", None) is not None:
+            self.eos_ids.add(int(tokenizer.eos_token_id))
+        self.metrics = {"requests": 0, "tokens_generated": 0, "steps": 0}
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+
+    def submit(self, prompt_tokens: list[int], sampling: SamplingParams) -> Request:
+        if len(prompt_tokens) + sampling.max_tokens > self.max_len:
+            raise ValueError(
+                f"prompt+max_tokens {len(prompt_tokens)}+{sampling.max_tokens} "
+                f"exceeds engine max_len {self.max_len}"
+            )
+        req = Request(f"req-{next(self._id_counter)}", list(prompt_tokens), sampling)
+        self.waiting.put(req)
+        self.metrics["requests"] += 1
+        return req
+
+    def run_forever(self):
+        while not self._stop_flag:
+            if not self.step():
+                time.sleep(0.002)
+
+    def start(self):
+        self._thread = threading.Thread(target=self.run_forever, daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        self._stop_flag = True
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+
+    # ------------------------------------------------------------------
+    # scheduler tick
+    # ------------------------------------------------------------------
+
+    def step(self) -> bool:
+        """One tick: admit waiting requests, run one decode step.
+        Returns False when fully idle."""
+        self._admit()
+        active = [i for i, s in enumerate(self.slots) if s.request is not None]
+        if not active:
+            return False
+        self._decode(active)
+        return True
+
+    # ------------------------------------------------------------------
+
+    def _num_free_pages(self) -> int:
+        return len(self.free_pages)
+
+    def _admit(self):
+        while True:
+            free_slots = [i for i, s in enumerate(self.slots) if s.request is None]
+            if not free_slots:
+                return
+            if not self._pending:
+                try:
+                    self._pending.append(self.waiting.get_nowait())
+                except queue.Empty:
+                    return
+            req = self._pending[0]
+            T = len(req.prompt_tokens)
+            total = T + req.sampling.max_tokens
+            need_pages = (total + self.page_size - 1) // self.page_size
+            if need_pages > self._num_free_pages():
+                return  # wait for pages to free up
+            self._pending.pop(0)
+            slot_id = free_slots[0]
+            self._prefill_into_slot(slot_id, req)
+
+    def _bucket(self, T: int) -> int:
+        b = 16
+        while b < T:
+            b *= 2
+        return min(b, self.max_len)
+
+    def _prefill_into_slot(self, slot_id: int, req: Request):
+        T = len(req.prompt_tokens)
+        bucket = self._bucket(T)
+        toks = np.zeros((1, bucket), np.int32)
+        toks[0, :T] = req.prompt_tokens
+        cache = KVCache.create(self.config, 1, bucket, self.cache.k.dtype)
+        logits, cache = _prefill_jit(
+            self.params, self.config, jnp.asarray(toks), cache, self.quant_mode
+        )
+        # allocate pages and scatter KV
+        need_pages = (
+            T + req.sampling.max_tokens + self.page_size - 1
+        ) // self.page_size
+        pages = [self.free_pages.pop() for _ in range(need_pages)]
+        page_vec = np.zeros(self.max_pages_per_seq, np.int32)
+        page_vec[: len(pages)] = pages
+        kv_pages_needed = (T + self.page_size - 1) // self.page_size
+        pad_T = kv_pages_needed * self.page_size
+        layer_k = cache.k[:, 0, :pad_T]
+        layer_v = cache.v[:, 0, :pad_T]
+        self.cache = scatter_prefill_kv(
+            self.config, self.cache, layer_k, layer_v, jnp.asarray(page_vec)
+        )
+        # first sampled token
+        self.key, sub = jax.random.split(self.key)
+        sp = req.sampling
+        tok = int(
+            _sample_batch(
+                logits[:, T - 1, :], sub,
+                jnp.asarray([sp.temperature], jnp.float32),
+                jnp.asarray([sp.top_p], jnp.float32),
+            )[0]
+        )
+        slot = self.slots[slot_id]
+        slot.request = req
+        slot.n_generated = 1
+        slot.pages = pages
+        self.tokens[slot_id] = tok
+        self.seq_lens[slot_id] = T
+        self.page_table[slot_id] = page_vec
+        self.temps[slot_id] = sp.temperature
+        self.top_ps[slot_id] = sp.top_p
+        req.first_token_time = time.perf_counter()
+        self._emit(slot_id, tok)
+
+    def _decode(self, active: list[int]):
+        logits, self.cache = paged_decode_step(
+            self.params, self.config,
+            jnp.asarray(self.tokens), jnp.asarray(self.seq_lens),
+            jnp.asarray(self.page_table), self.cache,
+            quant_mode=self.quant_mode,
+        )
+        self.seq_lens[active] += 1
+        self.key, sub = jax.random.split(self.key)
+        toks = np.asarray(
+            _sample_batch(
+                logits, sub, jnp.asarray(self.temps), jnp.asarray(self.top_ps)
+            )
+        )
+        self.metrics["steps"] += 1
+        for i in active:
+            tok = int(toks[i])
+            self.tokens[i] = tok
+            self.slots[i].n_generated += 1
+            self._emit(i, tok)
+
+    def _emit(self, slot_id: int, tok: int):
+        slot = self.slots[slot_id]
+        req = slot.request
+        self.metrics["tokens_generated"] += 1
+        stop_ids = set(req.sampling.stop_token_ids) | self.eos_ids
+        finished = (
+            tok in stop_ids or slot.n_generated >= req.sampling.max_tokens
+        )
+        req.out_queue.put(("token", tok))
+        if finished:
+            req.finish_time = time.perf_counter()
+            req.out_queue.put(("done", None))
+            self.free_pages.extend(slot.pages)
+            slot.request = None
+            slot.pages = []
+            self.seq_lens[slot_id] = 0
+            self.tokens[slot_id] = 0
+            self.temps[slot_id] = 0.0
+            self.top_ps[slot_id] = 1.0
+
+    # convenience: synchronous generation through the engine
+    def generate_sync(
+        self, prompt_tokens: list[int], sampling: SamplingParams,
+        timeout: float = 300.0,
+    ) -> list[int]:
+        req = self.submit(prompt_tokens, sampling)
+        out: list[int] = []
+        deadline = time.time() + timeout
+        driving = self._thread is None
+        while True:
+            if driving:
+                self.step()
+                try:
+                    while True:
+                        kind, tok = req.out_queue.get_nowait()
+                        if kind == "done":
+                            return out
+                        out.append(tok)
+                except queue.Empty:
+                    pass
+            else:
+                try:
+                    kind, tok = req.out_queue.get(timeout=0.1)
+                    if kind == "done":
+                        return out
+                    out.append(tok)
+                except queue.Empty:
+                    pass
+            if time.time() > deadline:
+                raise TimeoutError(req.request_id)
+
+
+from functools import partial  # noqa: E402
+
+
+@partial(jax.jit, static_argnames=("config", "quant_mode"))
+def _prefill_jit(params, config, tokens, cache, quant_mode):
+    logits, cache = model_forward(params, config, tokens, cache, quant_mode=quant_mode)
+    return logits, cache

@@ -1,0 +1,200 @@
+"""Paged KV cache + paged decode step (pure JAX, static shapes).
+
+The reference delegates paged attention to vLLM (SURVEY.md §2.6 row SP:
+"32k generation handled by vLLM paged attention"). TPU-native version:
+
+- a global page pool  k/v [L, P, page_size, Hkv, D]  (donated through the
+  jitted decode step -> in-place updates, no copies)
+- per-slot page tables [max_batch, max_pages] int32 + seq lens [max_batch]
+- decode = ONE jitted step over every active slot: new k/v are scattered
+  into pages by (page, offset) advanced indexing; attention gathers each
+  slot's pages and masks by its length. All shapes static: batch slots,
+  page count and pages-per-slot are engine constants, so the step compiles
+  once and serves any request mix.
+
+Prefill runs through the standard contiguous path (bucketed lengths) and
+the resulting KV is scattered into freshly allocated pages.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import ModelConfig
+from ..models.decoder import (
+    apply_linear,
+    apply_rope,
+    layer_forward,
+    mlp_forward,
+    moe_forward,
+    rms_norm,
+    rope_tables,
+)
+
+
+class PagedKVCache(NamedTuple):
+    k: jax.Array  # [L, P, ps, Hkv, D]
+    v: jax.Array  # [L, P, ps, Hkv, D]
+
+    @property
+    def page_size(self) -> int:
+        return self.k.shape[2]
+
+    @property
+    def num_pages(self) -> int:
+        return self.k.shape[1]
+
+    @classmethod
+    def create(
+        cls, config: ModelConfig, num_pages: int, page_size: int = 128,
+        dtype=jnp.bfloat16,
+    ) -> "PagedKVCache":
+        shape = (
+            config.num_hidden_layers, num_pages, page_size,
+            config.num_key_value_heads, config.head_dim,
+        )
+        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def paged_attention(
+    q: jax.Array,  # [B, Hq, D] one query token per slot
+    k_pages: jax.Array,  # [B, maxP, ps, Hkv, D] gathered pages
+    v_pages: jax.Array,
+    seq_lens: jax.Array,  # [B] int32, lengths INCLUDING current token
+    *,
+    scale: float,
+    sliding_window: int | None = None,
+) -> jax.Array:
+    B, Hq, D = q.shape
+    _, maxP, ps, Hkv, _ = k_pages.shape
+    S = maxP * ps
+    k = k_pages.reshape(B, S, Hkv, D)
+    v = v_pages.reshape(B, S, Hkv, D)
+    group = Hq // Hkv
+    qf = q.reshape(B, Hkv, group, D).astype(jnp.float32)
+    scores = jnp.einsum("bhgd,bshd->bhgs", qf, k.astype(jnp.float32),
+                        preferred_element_type=jnp.float32) * scale
+    kv_pos = jnp.arange(S, dtype=jnp.int32)[None, :]  # [1, S]
+    mask = kv_pos < seq_lens[:, None]
+    if sliding_window is not None:
+        mask &= kv_pos > seq_lens[:, None] - 1 - sliding_window
+    scores = jnp.where(mask[:, None, None, :], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhgs,bshd->bhgd", probs, v.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    return out.reshape(B, Hq, D)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "quant_mode"),
+    donate_argnames=("cache",),
+)
+def paged_decode_step(
+    params: dict[str, Any],
+    config: ModelConfig,
+    tokens: jax.Array,  # [B] int32 current token per slot
+    seq_lens: jax.Array,  # [B] int32 length BEFORE this token
+    page_table: jax.Array,  # [B, maxP] int32
+    cache: PagedKVCache,
+    *,
+    quant_mode: str = "xla",
+) -> tuple[jax.Array, PagedKVCache]:
+    """One decode step for every slot. Returns (logits [B, V], cache)."""
+    B = tokens.shape[0]
+    ps = cache.page_size
+    Hq, Hkv, D = config.num_attention_heads, config.num_key_value_heads, config.head_dim
+
+    x = jnp.take(params["embed_tokens"], tokens, axis=0)  # [B, H]
+    if config.gemma_norm:
+        x = x * jnp.asarray(np.sqrt(config.hidden_size), x.dtype)
+    positions = seq_lens  # 0-based position of the current token
+    cos, sin = rope_tables(positions[:, None], config.head_dim, config.rope_theta)
+
+    page_idx = jnp.take_along_axis(
+        page_table, (seq_lens // ps)[:, None], axis=1
+    )[:, 0]  # [B]
+    offset = seq_lens % ps
+
+    new_k, new_v = cache.k, cache.v
+    x = x[:, None, :]  # [B, 1, H]
+    for li, lp in enumerate(params["layers"]):
+        h = rms_norm(x, lp["input_layernorm"], config.rms_norm_eps, config.gemma_norm)
+        q = apply_linear(lp["q_proj"], h, quant_mode=quant_mode).reshape(B, 1, Hq, D)
+        k = apply_linear(lp["k_proj"], h, quant_mode=quant_mode).reshape(B, 1, Hkv, D)
+        v = apply_linear(lp["v_proj"], h, quant_mode=quant_mode).reshape(B, 1, Hkv, D)
+        if config.qk_norm:
+            q = rms_norm(q, lp["q_norm"], config.rms_norm_eps, config.gemma_norm)
+            k = rms_norm(k, lp["k_norm"], config.rms_norm_eps, config.gemma_norm)
+        q = apply_rope(q, cos, sin)[:, 0]  # [B, Hq, D]
+        k = apply_rope(k, cos, sin)[:, 0]  # [B, Hkv, D]
+        v = v[:, 0]
+
+        new_k = new_k.at[li, page_idx, offset].set(k.astype(new_k.dtype))
+        new_v = new_v.at[li, page_idx, offset].set(v.astype(new_v.dtype))
+
+        k_pages = new_k[li][page_table]  # [B, maxP, ps, Hkv, D]
+        v_pages = new_v[li][page_table]
+        attn = paged_attention(
+            q, k_pages, v_pages, seq_lens + 1,
+            scale=1.0 / float(np.sqrt(D)),
+            sliding_window=config.layer_sliding_window(li),
+        )
+        attn = apply_linear(
+            lp["o_proj"], attn.reshape(B, 1, Hq * D), quant_mode=quant_mode
+        )
+        if config.post_norms:
+            attn = rms_norm(attn, lp["post_attention_layernorm"], config.rms_norm_eps, config.gemma_norm)
+            x = x + attn
+            h2 = rms_norm(x, lp["pre_feedforward_layernorm"], config.rms_norm_eps, config.gemma_norm)
+        else:
+            x = x + attn
+            h2 = rms_norm(x, lp["post_attention_layernorm"], config.rms_norm_eps, config.gemma_norm)
+        if config.layer_is_sparse(li):
+            mlp_out = moe_forward(lp["mlp"], h2, config, quant_mode)
+        else:
+            mlp_out = mlp_forward(lp["mlp"], h2, quant_mode)
+        if config.post_norms:
+            mlp_out = rms_norm(mlp_out, lp["post_feedforward_layernorm"], config.rms_norm_eps, config.gemma_norm)
+        x = x + mlp_out
+
+    x = rms_norm(x[:, 0], params["norm"], config.rms_norm_eps, config.gemma_norm)
+    lm_head = params.get("lm_head")
+    if lm_head is None:
+        logits = jnp.dot(x, params["embed_tokens"].T.astype(x.dtype),
+                         preferred_element_type=jnp.float32)
+    else:
+        logits = apply_linear(lm_head, x, quant_mode=quant_mode)
+    logits = logits.astype(jnp.float32)
+    if config.logit_softcap:
+        logits = jnp.tanh(logits / config.logit_softcap) * config.logit_softcap
+    return logits, PagedKVCache(new_k, new_v)
+
+
+@partial(jax.jit, static_argnames=("config",), donate_argnames=("cache",))
+def scatter_prefill_kv(
+    config: ModelConfig,
+    cache: PagedKVCache,
+    layer_k: jax.Array,  # [L, T_pad, Hkv, D] from the contiguous prefill
+    layer_v: jax.Array,
+    page_ids: jax.Array,  # [maxP_req] int32 pages allocated for this request
+) -> PagedKVCache:
+    """Copy a prefilled sequence's KV into its pages (padded length)."""
+    L, T_pad = layer_k.shape[0], layer_k.shape[1]
+    ps = cache.page_size
+    n_pages = T_pad // ps if T_pad % ps == 0 else T_pad // ps + 1
+    pad = n_pages * ps - T_pad
+    if pad:
+        layer_k = jnp.pad(layer_k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        layer_v = jnp.pad(layer_v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    kp = layer_k.reshape(L, n_pages, ps, *layer_k.shape[2:])
+    vp = layer_v.reshape(L, n_pages, ps, *layer_v.shape[2:])
+    pages = page_ids[:n_pages]
+    new_k = cache.k.at[:, pages].set(kp.astype(cache.k.dtype))
+    new_v = cache.v.at[:, pages].set(vp.astype(cache.v.dtype))
+    return PagedKVCache(new_k, new_v)

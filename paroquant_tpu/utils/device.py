@@ -1,0 +1,23 @@
+"""Platform selection helpers.
+
+The axon boot shim imports jax at interpreter startup with JAX_PLATFORMS
+pinned to the TPU plugin, so env-var overrides don't work; use
+jax.config.update before first backend use instead. Host-side tooling
+(conversion, packing) runs orders of magnitude faster on the CPU backend
+than eager-dispatching per-op over the TPU relay.
+"""
+
+from __future__ import annotations
+
+
+def force_platform(name: str) -> None:
+    """name: 'cpu' | 'tpu' | 'auto'. Must be called before first device use."""
+    if name == "auto":
+        return
+    import jax
+
+    target = {"tpu": "axon", "cpu": "cpu"}.get(name, name)
+    try:
+        jax.config.update("jax_platforms", target)
+    except Exception as e:
+        print(f"warning: could not switch platform to {name}: {e}")

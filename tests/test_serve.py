@@ -1,0 +1,148 @@
+"""Serving stack tests: paged decode == contiguous decode, engine continuous
+batching correctness (greedy engine output == simple generator output),
+sampling behavior, page reuse."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from paroquant_tpu.models import PRESETS, KVCache, init_params, model_forward
+from paroquant_tpu.serve import Engine, Generator, SamplingParams, sample_token
+from paroquant_tpu.serve.paged import PagedKVCache, paged_decode_step, scatter_prefill_kv
+
+CFG = dataclasses.replace(PRESETS["tiny"], num_hidden_layers=2)
+
+
+@pytest.fixture(scope="module")
+def model():
+    params = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+    return params
+
+
+def test_paged_decode_matches_contiguous(model):
+    params = model
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(0, CFG.vocab_size, (1, 12)).astype(np.int32)
+
+    # contiguous reference
+    cache = KVCache.create(CFG, 1, 32, jnp.float32)
+    logits, cache = model_forward(params, CFG, jnp.asarray(prompt), cache)
+    ref_logits, _ = model_forward(
+        params, CFG, jnp.asarray([[7]], jnp.int32), cache
+    )
+
+    # paged: scatter prefill kv into pages then decode token 7
+    ps = 8
+    pcache = PagedKVCache.create(CFG, num_pages=8, page_size=ps, dtype=jnp.float32)
+    page_ids = np.array([3, 1, 5, 0], np.int32)  # deliberately non-contiguous
+    pad_T = 16  # 12 tokens -> 2 pages of 8
+    ck = jnp.pad(cache.k[:, 0, :12], ((0, 0), (0, 4), (0, 0), (0, 0)))
+    cv = jnp.pad(cache.v[:, 0, :12], ((0, 0), (0, 4), (0, 0), (0, 0)))
+    pcache = scatter_prefill_kv(CFG, pcache, ck, cv, jnp.asarray(page_ids))
+
+    page_table = np.zeros((1, 4), np.int32)
+    page_table[0] = page_ids
+    logits_paged, _ = paged_decode_step(
+        params, CFG,
+        jnp.asarray([7], jnp.int32), jnp.asarray([12], jnp.int32),
+        jnp.asarray(page_table), pcache,
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits_paged[0]), np.asarray(ref_logits[0, -1]), rtol=2e-3, atol=2e-3
+    )
+
+
+def test_engine_matches_generator_greedy(model):
+    params = model
+    gen = Generator(params, CFG, quant_mode="xla", cache_dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    prompts = [list(rng.integers(0, CFG.vocab_size, n)) for n in (5, 9, 17)]
+    sp = SamplingParams(max_tokens=8, temperature=0.0)
+    ref = [[t for t in gen.stream_generate(p, sp)] for p in prompts]
+
+    eng = Engine(
+        params, CFG, max_batch=4, max_len=64, page_size=8,
+        quant_mode="xla", cache_dtype=jnp.float32,
+    )
+    reqs = [eng.submit(p, sp) for p in prompts]
+    for _ in range(200):
+        if not eng.step():
+            break
+    outs = []
+    for r in reqs:
+        toks = []
+        while True:
+            kind, t = r.out_queue.get_nowait()
+            if kind == "done":
+                break
+            toks.append(t)
+        outs.append(toks)
+    assert outs == ref, (outs, ref)
+    # all pages returned
+    assert len(eng.free_pages) == eng.cache.num_pages
+
+
+def test_engine_interleaved_admission(model):
+    """Requests submitted mid-decode join the running batch."""
+    params = model
+    eng = Engine(
+        params, CFG, max_batch=2, max_len=64, page_size=8,
+        quant_mode="xla", cache_dtype=jnp.float32,
+    )
+    sp = SamplingParams(max_tokens=6, temperature=0.0)
+    r1 = eng.submit([1, 2, 3], sp)
+    eng.step()
+    eng.step()
+    r2 = eng.submit([4, 5, 6, 7], sp)  # joins while r1 is decoding
+    for _ in range(100):
+        if not eng.step():
+            break
+    done = 0
+    for r in (r1, r2):
+        toks = []
+        while True:
+            kind, t = r.out_queue.get_nowait()
+            if kind == "done":
+                done += 1
+                break
+            toks.append(t)
+        assert len(toks) == 6
+    assert done == 2
+
+    # single-stream equivalence for r2's prompt
+    gen = Generator(params, CFG, quant_mode="xla", cache_dtype=jnp.float32)
+    ref = [t for t in gen.stream_generate([4, 5, 6, 7], sp)]
+    eng2 = Engine(params, CFG, max_batch=2, max_len=64, page_size=8,
+                  quant_mode="xla", cache_dtype=jnp.float32)
+    got = eng2.generate_sync([4, 5, 6, 7], sp)
+    assert got == ref
+
+
+def test_sampling_modes():
+    rng = np.random.default_rng(2)
+    logits = jnp.asarray(rng.normal(size=(2, 64)) * 3, jnp.float32)
+    key = jax.random.PRNGKey(0)
+    greedy = sample_token(logits, key, temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(greedy), np.asarray(jnp.argmax(logits, -1)))
+    # top_k=1 == greedy regardless of temperature
+    tk1 = sample_token(logits, key, temperature=1.0, top_k=1)
+    np.testing.assert_array_equal(np.asarray(tk1), np.asarray(greedy))
+    # tiny top_p keeps only the argmax
+    tp = sample_token(logits, key, temperature=1.0, top_p=1e-6)
+    np.testing.assert_array_equal(np.asarray(tp), np.asarray(greedy))
+    # repetition penalty suppresses a dominant repeated token
+    counts = jnp.zeros((2, 64), jnp.int32).at[:, int(greedy[0])].set(5)
+    pen = sample_token(
+        logits, key, counts, temperature=0.0, repetition_penalty=1e9
+    )
+    assert int(pen[0]) != int(greedy[0])
+
+
+def test_engine_rejects_oversized(model):
+    eng = Engine(model, CFG, max_batch=2, max_len=32, page_size=8,
+                 quant_mode="xla", cache_dtype=jnp.float32)
+    with pytest.raises(ValueError):
+        eng.submit(list(range(30)), SamplingParams(max_tokens=10))
