@@ -89,6 +89,44 @@ def save_paro_checkpoint(
         for name in ("q_norm", "k_norm"):
             if name in lp:
                 tensors[f"model.layers.{li}.self_attn.{name}.weight"] = _to_f16(lp[name])
+        mlp = lp.get("mlp", {})
+        if "router" in mlp:
+            tensors[f"model.layers.{li}.mlp.gate.weight"] = _to_f16(
+                np.asarray(mlp["router"].w).T
+            )
+        if "mlp.experts" in exp_layer:
+            exp = exp_layer["mlp.experts"]
+            n_bits = int(exp["n_bits"])
+            group_size = int(exp["group_size"])
+            krot = int(exp["gate_up_theta"].shape[0])
+            eb = f"model.layers.{li}.mlp.experts"
+            for pn in ("gate", "up", "down"):
+                sub = exp[pn]
+                q = np.asarray(sub["q"])  # [E, O, In]
+                E = q.shape[0]
+                tensors[f"{eb}.{pn}_qweight"] = np.stack(
+                    [pack_wq_tpu(q[e].T, n_bits, group_size) for e in range(E)]
+                )
+                tensors[f"{eb}.{pn}_scales"] = np.ascontiguousarray(
+                    np.swapaxes(np.asarray(sub["scales"], np.float32), 1, 2)
+                )
+                tensors[f"{eb}.{pn}_zeros"] = np.ascontiguousarray(
+                    np.swapaxes(np.asarray(sub["zeros"], np.uint8), 1, 2)
+                )
+            for side in ("gate_up", "down"):
+                tensors[f"{eb}.{side}_theta"] = np.asarray(exp[f"{side}_theta"], np.float16)
+                tensors[f"{eb}.{side}_pairs"] = np.asarray(exp[f"{side}_pairs"], np.int16)
+                tensors[f"{eb}.{side}_channel_scales"] = np.asarray(
+                    exp[f"{side}_inv_channel_scales"], np.float16
+                ).reshape(1, -1)
+        elif "experts" in mlp and not hasattr(mlp["experts"], "gate_qweight"):
+            ex = mlp["experts"]
+            E = np.asarray(ex["gate_proj"]).shape[0]
+            for e in range(E):
+                for pn in ("gate_proj", "up_proj", "down_proj"):
+                    tensors[
+                        f"model.layers.{li}.mlp.experts.{e}.{pn}.weight"
+                    ] = _to_f16(np.asarray(ex[pn][e]).T)
         for name in list(_ATTN) + [f"mlp.{m}" for m in _MLP]:
             base = name[4:] if name.startswith("mlp.") else name
             holder = lp["mlp"] if name.startswith("mlp.") else lp
@@ -213,7 +251,16 @@ def _to_f16(a) -> np.ndarray:
 
 
 def _config_to_hf(config: ModelConfig) -> dict[str, Any]:
-    return {
+    out: dict[str, Any] = {}
+    if config.is_moe:
+        out.update(
+            num_experts=config.num_experts,
+            num_experts_per_tok=config.num_experts_per_tok,
+            moe_intermediate_size=config.moe_intermediate_size,
+            norm_topk_prob=config.norm_topk_prob,
+            decoder_sparse_step=config.decoder_sparse_step,
+        )
+    return out | {
         "model_type": config.model_type,
         "vocab_size": config.vocab_size,
         "hidden_size": config.hidden_size,
@@ -344,17 +391,54 @@ def load_checkpoint(
             mlp["router"] = DenseLinear(
                 jnp.asarray(tensors[f"{lbase}.mlp.gate.weight"].T.copy(), dtype), None
             )
-            experts: dict[str, list] = {"gate_proj": [], "up_proj": [], "down_proj": []}
-            e = 0
-            while f"{lbase}.mlp.experts.{e}.gate_proj.weight" in tensors:
-                for pn in experts:
-                    experts[pn].append(
-                        tensors[f"{lbase}.mlp.experts.{e}.{pn}.weight"].T.copy()
+            eb = f"{lbase}.mlp.experts"
+            if f"{eb}.gate_qweight" in tensors:  # quantized stacked experts
+                from ..ops.moe import QuantizedMoEExperts
+                from ..ops import rotation as _rot
+                from ..ops.packing import unpack_w4_tpu as _unpack
+
+                def _rotm(side):
+                    pairs = np.asarray(tensors[f"{eb}.{side}_pairs"], np.int32)
+                    theta = np.asarray(tensors[f"{eb}.{side}_theta"], np.float32)
+                    inv_cs = np.asarray(
+                        tensors[f"{eb}.{side}_channel_scales"], np.float32
+                    ).reshape(-1)
+                    form_np = _rot.pairs_to_permutation(pairs, group_size)
+                    form = _rot.PermutationForm(*(jnp.asarray(a) for a in form_np))
+                    R = _rot.build_rotation_matrices(
+                        jnp.asarray(theta), form, group_size, dtype=jnp.float32
                     )
-                e += 1
-            mlp["experts"] = {
-                pn: jnp.asarray(np.stack(ws), dtype) for pn, ws in experts.items()
-            }
+                    inv = jnp.asarray(inv_cs).reshape(-1, group_size)
+                    return (R * inv[:, None, :]).astype(rot_dtype)
+
+                def _stack(pn):
+                    return (
+                        jnp.asarray(tensors[f"{eb}.{pn}_qweight"]),
+                        jnp.asarray(tensors[f"{eb}.{pn}_scales"], jnp.float32),
+                        jnp.asarray(tensors[f"{eb}.{pn}_zeros"], jnp.float32),
+                    )
+
+                gq, gsc, gz = _stack("gate")
+                uq, usc, uz = _stack("up")
+                dq, dsc, dz = _stack("down")
+                mlp["experts"] = QuantizedMoEExperts(
+                    gate_qweight=gq, gate_scales=gsc, gate_zeros=gz,
+                    up_qweight=uq, up_scales=usc, up_zeros=uz,
+                    down_qweight=dq, down_scales=dsc, down_zeros=dz,
+                    gate_up_rot=_rotm("gate_up"), down_rot=_rotm("down"),
+                )
+            else:
+                experts: dict[str, list] = {"gate_proj": [], "up_proj": [], "down_proj": []}
+                e = 0
+                while f"{lbase}.mlp.experts.{e}.gate_proj.weight" in tensors:
+                    for pn in experts:
+                        experts[pn].append(
+                            tensors[f"{lbase}.mlp.experts.{e}.{pn}.weight"].T.copy()
+                        )
+                    e += 1
+                mlp["experts"] = {
+                    pn: jnp.asarray(np.stack(ws), dtype) for pn, ws in experts.items()
+                }
         else:
             for name in _MLP:
                 mlp[name] = pick_linear(f"{lbase}.mlp.{name}")

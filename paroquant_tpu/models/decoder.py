@@ -165,6 +165,13 @@ def moe_forward(p: dict[str, Any], x: jax.Array, config: ModelConfig, quant_mode
     """
     from ..ops.moe import moe_apply
 
+    experts = p["experts"]
+    if type(experts).__name__ == "PseudoQuantMoEExperts":  # calibration path
+        from ..optim.pseudo_moe import pseudo_moe_effective_experts
+
+        p = dict(p)
+        p["experts"] = pseudo_moe_effective_experts(experts)
+
     shape = x.shape
     xt = x.reshape(-1, shape[-1])
     router_logits = jnp.dot(

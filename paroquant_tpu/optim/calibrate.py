@@ -80,7 +80,36 @@ def _layer_linear_names(layer_params: dict[str, Any]) -> list[str]:
     names = [n for n in LINEAR_NAMES if n in layer_params]
     mlp = layer_params.get("mlp", {})
     names += [f"mlp.{n}" for n in MLP_NAMES if n in mlp]
+    if "experts" in mlp:
+        names.append("mlp.experts")
     return names
+
+
+def flatten_export(exp: dict[str, Any]) -> dict[str, Any]:
+    """Flatten (possibly nested) export dicts for npz storage."""
+    out = {}
+    for k, v in exp.items():
+        if isinstance(v, dict):
+            for k2, v2 in v.items():
+                out[f"{k}.{k2}"] = v2
+        elif v is not None:
+            out[k] = v
+    return out
+
+
+def unflatten_export(flat: dict[str, Any]) -> dict[str, Any]:
+    out: dict[str, Any] = {}
+    for k, v in flat.items():
+        if hasattr(v, "ndim") and v.ndim == 0:
+            v = v.item()
+        if "." in k:
+            k1, k2 = k.split(".", 1)
+            out.setdefault(k1, {})[k2] = v
+        else:
+            out[k] = v
+    if not isinstance(out.get("bias"), np.ndarray):
+        out["bias"] = None
+    return out
 
 
 def _get_linear(layer_params, name):
@@ -100,6 +129,10 @@ def _set_linear(layer_params, name, value):
 
 
 def quantized_from_export(exp: dict[str, Any], rot_dtype=jnp.float32):
+    if exp.get("moe"):
+        from .pseudo_moe import quantized_moe_from_export
+
+        return quantized_moe_from_export(exp, rot_dtype)
     return make_quantized_linear(
         exp["q"], exp["scales"], exp["zeros"], exp["pairs"], exp["theta"],
         exp["inv_channel_scales"], exp["group_size"], bias=exp["bias"],
@@ -171,17 +204,27 @@ def calibrate_model(
             # resume: rebuild quantized layer from saved results
             new_lp = lp
             for name in names:
-                exp = {
-                    k: (v.item() if v.ndim == 0 else v) for k, v in saved[name].items()
-                }
-                exp["bias"] = exp.get("bias") if isinstance(exp.get("bias"), np.ndarray) else None
+                exp = unflatten_export(saved[name])
                 new_lp = _set_linear(new_lp, name, quantized_from_export(exp, cfg.rot_dtype))
                 layer_result[name] = exp
             layers[li] = new_lp
         else:
             # build pseudo linears
-            linears: dict[str, PseudoQuantLinear] = {}
+            linears: dict[str, Any] = {}
             for name in names:
+                if name == "mlp.experts":
+                    from .pseudo_moe import make_pseudo_moe
+
+                    experts = lp["mlp"]["experts"]
+                    H = experts["gate_proj"].shape[1]
+                    I_moe = experts["gate_proj"].shape[2]
+                    linears[name] = make_pseudo_moe(
+                        experts,
+                        _rotation_for(cfg, H, cfg.seed + li),
+                        _rotation_for(cfg, I_moe, cfg.seed + li + 1000),
+                        n_bits=cfg.n_bits, group_size=cfg.group_size,
+                    )
+                    continue
                 dense = _get_linear(lp, name)
                 w = np.asarray(dense.w, np.float32).T  # [O, I]
                 rot = _rotation_for(cfg, w.shape[1], cfg.seed + li)
@@ -219,11 +262,15 @@ def calibrate_model(
             # export + swap in runtime quantized linears
             new_lp = lp
             for name, lin in linears.items():
-                exp = export_quantized(lin)
+                if name == "mlp.experts":
+                    from .pseudo_moe import export_quantized_moe
+
+                    exp = export_quantized_moe(lin)
+                else:
+                    exp = export_quantized(lin)
                 layer_result[name] = exp
                 if outdir is not None:
-                    save = {k: v for k, v in exp.items() if v is not None}
-                    np.savez(outdir / f"{li}.{name}.npz", **save)
+                    np.savez(outdir / f"{li}.{name}.npz", **flatten_export(exp))
                 new_lp = _set_linear(new_lp, name, quantized_from_export(exp, cfg.rot_dtype))
             layers[li] = new_lp
 

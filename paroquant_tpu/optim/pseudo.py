@@ -47,6 +47,14 @@ class PseudoQuantLinear:
     n_bits: int = flax.struct.field(pytree_node=False, default=4)
     group_size: int = flax.struct.field(pytree_node=False, default=128)
 
+    PARAM_FIELDS = {
+        "weight": ("weight",),
+        "bias": ("bias",),
+        "angles": ("theta",),
+        "channel_scales": ("channel_scales",),
+        "quantizer": ("q_scale", "q_zero_point"),
+    }
+
     @property
     def form(self) -> rot_ops.PermutationForm:
         return rot_ops.PermutationForm(self.perm, self.sign, self.theta_idx)

@@ -31,12 +31,17 @@ LinearDict = dict[str, PseudoQuantLinear]
 def split_trainable(
     linears: LinearDict, groups: dict[str, float]
 ) -> dict[str, dict[str, dict[str, jax.Array]]]:
-    """Extract {group: {linear_name: {field: array}}} for the stage's groups."""
+    """Extract {group: {linear_name: {field: array}}} for the stage's groups.
+
+    Field names per group come from each object's PARAM_FIELDS class attr
+    (PseudoQuantLinear and PseudoQuantMoEExperts define their own mappings)."""
     out: dict[str, dict[str, dict[str, jax.Array]]] = {}
     for gname in groups:
-        fields = PARAM_GROUPS[gname]
         gdict = {}
         for lname, lin in linears.items():
+            fields = getattr(type(lin), "PARAM_FIELDS", {}).get(
+                gname, PARAM_GROUPS.get(gname, ())
+            )
             fdict = {
                 f: getattr(lin, f) for f in fields if getattr(lin, f) is not None
             }
@@ -95,10 +100,14 @@ def optimize_linears(
 ) -> tuple[LinearDict, int]:
     """Run one optimization stage. Returns (updated linears, step count)."""
     if "quantizer" in stage_groups:
-        linears = {
-            n: (lin if lin.q_scale is not None else init_quantizer(lin))
-            for n, lin in linears.items()
-        }
+        from .pseudo_moe import PseudoQuantMoEExperts, init_moe_quantizers
+
+        def _ensure_quantizer(lin):
+            if isinstance(lin, PseudoQuantMoEExperts):
+                return lin if lin.gate_up_q_scale is not None else init_moe_quantizers(lin)
+            return lin if lin.q_scale is not None else init_quantizer(lin)
+
+        linears = {n: _ensure_quantizer(lin) for n, lin in linears.items()}
 
     trainable = split_trainable(linears, stage_groups)
     num_train = len(train_batches)
