@@ -25,7 +25,7 @@ def bench_decode(params, config, quant_mode, n_tokens=96, batch=1, warmup=2, run
     import jax.numpy as jnp
 
     from paroquant_tpu.models import KVCache
-    from paroquant_tpu.models.decoder import decode_step, prefill
+    from paroquant_tpu.models.decoder import greedy_decode_scan, prefill
 
     rng = np.random.default_rng(0)
     prompt = jnp.asarray(rng.integers(0, config.vocab_size, (batch, 16)), jnp.int32)
@@ -34,12 +34,13 @@ def bench_decode(params, config, quant_mode, n_tokens=96, batch=1, warmup=2, run
     def run():
         cache = KVCache.create(config, batch, max_len, jnp.bfloat16)
         logits, c = prefill(params, config, prompt, cache, quant_mode=quant_mode)
-        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        np.asarray(tok)  # sync prefill out of the timed region
         t0 = time.perf_counter()
-        for _ in range(n_tokens):
-            logits, c = decode_step(params, config, tok, c, quant_mode=quant_mode)
-            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
-        np.asarray(tok)  # full sync through host fetch
+        toks, c = greedy_decode_scan(
+            params, config, tok, c, n_tokens, quant_mode=quant_mode
+        )
+        np.asarray(toks)  # full sync through host fetch
         return n_tokens * batch / (time.perf_counter() - t0)
 
     for _ in range(warmup):
@@ -57,10 +58,17 @@ def main():
     from paroquant_tpu.models import PRESETS, init_params
 
     config = PRESETS["qwen3-0.6b"]
-    params = init_params(config, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-    qparams = quantize_model_rtn(params, config, n_bits=4, group_size=128)
-
     on_tpu = jax.devices()[0].platform != "cpu"
+    # build + quantize on the host CPU backend (packing and per-op work is
+    # pathological over the TPU relay), then ship both models to the device
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        params = init_params(config, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+        qparams = quantize_model_rtn(params, config, n_bits=4, group_size=128)
+    if on_tpu:
+        dev = jax.devices()[0]
+        params = jax.device_put(params, dev)
+        qparams = jax.device_put(qparams, dev)
     qmode = "fused" if on_tpu else "xla"
     tok_s_bf16 = bench_decode(params, config, "xla")
     tok_s_w4 = bench_decode(qparams, config, qmode)

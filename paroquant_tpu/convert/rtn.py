@@ -27,6 +27,19 @@ from ..ops.packing import pack_wq_tpu
 
 QUANTIZED_LINEARS = ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj")
 
+import functools
+
+import jax
+
+
+@functools.partial(jax.jit, static_argnames=("n_bits", "group_size"))
+def _rtn_quantize_jit(w_rot, n_bits, group_size):
+    """One fused device computation per weight shape (eager per-op dispatch
+    is pathologically slow over a remote TPU relay)."""
+    qp = quant.calc_scales_and_zero_points(w_rot, group_size, n_bits)
+    return quant.quantize_to_int(w_rot, qp, n_bits, group_size)
+
+
 _ROT_CACHE: dict[tuple, Any] = {}
 
 
@@ -66,8 +79,7 @@ def quantize_linear_rtn(
         # theta == 0 -> rotation is the identity; skip the stage application
         theta = np.zeros(params.theta.shape, np.float32)
         w_rot = jnp.asarray(w)
-    qp = quant.calc_scales_and_zero_points(w_rot, group_size, n_bits)
-    q, s, z = quant.quantize_to_int(w_rot, qp, n_bits, group_size)
+    q, s, z = _rtn_quantize_jit(w_rot, n_bits, group_size)
     return make_quantized_linear(
         np.asarray(q), np.asarray(s), np.asarray(z),
         np.asarray(params.pairs), theta, np.ones(I, np.float32), group_size,
@@ -90,8 +102,7 @@ def quantize_experts_rtn(
         qs, ss, zs = [], [], []
         for e in range(w_stack.shape[0]):
             w = w_stack[e].T  # [Out, In]
-            qp = quant.calc_scales_and_zero_points(jnp.asarray(w), group_size, n_bits)
-            q, s, z = quant.quantize_to_int(jnp.asarray(w), qp, n_bits, group_size)
+            q, s, z = _rtn_quantize_jit(jnp.asarray(w), n_bits, group_size)
             qs.append(pack_wq_tpu(np.asarray(q).T, n_bits, group_size))
             ss.append(np.asarray(s).T)
             zs.append(np.asarray(z).T)

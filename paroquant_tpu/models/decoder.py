@@ -395,6 +395,30 @@ def decode_step(params, config: ModelConfig, token, cache: KVCache, *, quant_mod
     return logits[:, -1, :], cache
 
 
+@partial(jax.jit, static_argnames=("config", "n_tokens", "quant_mode"),
+         donate_argnames=("cache",))
+def greedy_decode_scan(
+    params, config: ModelConfig, first_token, cache: KVCache, n_tokens: int,
+    *, quant_mode: str = "xla",
+):
+    """n_tokens greedy decode steps as ONE compiled lax.scan — a single
+    dispatch for the whole generation (the relay/driver-friendly hot loop).
+    first_token: [B] int32. Returns (tokens [B, n_tokens], cache)."""
+
+    def body(carry, _):
+        tok, cache = carry
+        logits, cache = model_forward(
+            params, config, tok[:, None], cache, quant_mode=quant_mode
+        )
+        nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        return (nxt, cache), tok
+
+    (_, cache), toks = jax.lax.scan(
+        body, (first_token, cache), None, length=n_tokens
+    )
+    return jnp.moveaxis(toks, 0, 1), cache
+
+
 def greedy_generate(
     params,
     config: ModelConfig,

@@ -31,9 +31,18 @@ AWQ_REORDER = (0, 2, 4, 6, 1, 3, 5, 7)
 # ---------------------------------------------------------------------------
 
 
+_NATIVE_MIN_BYTES = 1 << 20  # use the C++ path for >=1MB tensors
+
+
 def pack_w4_tpu(q: np.ndarray | jax.Array, group_size: int = 128) -> np.ndarray:
     """q int [I, O] in [0,16) -> uint8 [I//2, O] (group-aligned half-split)."""
     q = np.asarray(q)
+    if q.nbytes >= _NATIVE_MIN_BYTES:
+        from .native_packing import pack_w4_tpu_native
+
+        out = pack_w4_tpu_native(q, group_size)
+        if out is not None:
+            return out
     I, O = q.shape
     assert I % group_size == 0, (I, group_size)
     half = group_size // 2
@@ -79,6 +88,14 @@ def unpack_w4_tpu(packed: jax.Array, group_size: int = 128) -> jax.Array:
 
 def pack_awq(values: np.ndarray, bits: int = 4) -> np.ndarray:
     """int [R, C] -> int32 [R, C//8] with the AWQ nibble reorder."""
+    if bits == 4:
+        v = np.asarray(values)
+        if v.nbytes >= _NATIVE_MIN_BYTES:
+            from .native_packing import pack_awq_native
+
+            out = pack_awq_native(v)
+            if out is not None:
+                return out
     pack_factor = 32 // bits
     values = np.asarray(values, dtype=np.int64)
     R = values.shape[0]
@@ -91,6 +108,14 @@ def pack_awq(values: np.ndarray, bits: int = 4) -> np.ndarray:
 
 def unpack_awq(packed: np.ndarray, bits: int = 4) -> np.ndarray:
     """int32 [R, C//8] -> int32 [R, C], undoing the nibble reorder."""
+    if bits == 4:
+        pk = np.asarray(packed)
+        if pk.nbytes >= _NATIVE_MIN_BYTES // 8:
+            from .native_packing import unpack_awq_native
+
+            out = unpack_awq_native(pk)
+            if out is not None:
+                return out
     pack_factor = 32 // bits
     p = np.asarray(packed).view(np.uint32).astype(np.int64)
     R, Cp = p.shape

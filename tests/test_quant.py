@@ -111,3 +111,39 @@ def test_quantized_linear_batch_shapes():
     x = jnp.ones((2, 3, 256), jnp.bfloat16)
     y = quantized_linear_forward(layer, x, mode="xla")
     assert y.shape == (2, 3, 96) and y.dtype == jnp.bfloat16
+
+
+def test_native_packing_matches_numpy():
+    """C++ paropack (if buildable) must agree with the numpy reference."""
+    from paroquant_tpu.ops import native_packing as npk
+
+    rng = np.random.default_rng(7)
+    q = rng.integers(0, 16, (512, 1024), dtype=np.int32)
+    native = npk.pack_w4_tpu_native(q, 128)
+    if native is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    np.testing.assert_array_equal(native, _numpy_pack(q))
+    np.testing.assert_array_equal(npk.unpack_w4_tpu_native(native, 128), q)
+    pa = npk.pack_awq_native(q)
+    np.testing.assert_array_equal(npk.unpack_awq_native(pa), q)
+    np.testing.assert_array_equal(pa, _numpy_pack_awq(q))
+
+
+def _numpy_pack(q, gs=128):
+    qg = q.reshape(q.shape[0] // gs, gs, q.shape[1]).astype(np.uint8)
+    return ((qg[:, : gs // 2] & 0xF) | ((qg[:, gs // 2 :] & 0xF) << 4)).reshape(
+        q.shape[0] // 2, -1
+    )
+
+
+def _numpy_pack_awq(values, bits=4):
+    pack_factor = 32 // bits
+    values = np.asarray(values, dtype=np.int64)
+    R = values.shape[0]
+    reordered = values.reshape(R, -1, pack_factor)[:, :, list(packing.AWQ_REORDER)]
+    packed = np.zeros((R, reordered.shape[1]), dtype=np.int64)
+    for i in range(pack_factor):
+        packed |= (reordered[:, :, i] & 0xF) << (bits * i)
+    return packed.astype(np.uint32).view(np.int32)
