@@ -103,7 +103,11 @@ class Engine:
         if num_pages is None:
             num_pages = max_batch * self.max_pages_per_seq
         self.quant_mode = quant_mode
-        self.cache = PagedKVCache.create(config, num_pages, page_size, cache_dtype)
+        # one extra "trash" page absorbs the KV writes of inactive slots
+        # (every slot writes each decode step; without this, idle slots would
+        # clobber page 0 of an active request)
+        self.trash_page = num_pages
+        self.cache = PagedKVCache.create(config, num_pages + 1, page_size, cache_dtype)
         self.free_pages: list[int] = list(range(num_pages))
         self.slots = [_Slot() for _ in range(max_batch)]
         self.waiting: "queue.SimpleQueue[Request]" = queue.SimpleQueue()
@@ -111,7 +115,9 @@ class Engine:
         # device-side slot state
         self.tokens = np.zeros(max_batch, np.int32)
         self.seq_lens = np.zeros(max_batch, np.int32)
-        self.page_table = np.zeros((max_batch, self.max_pages_per_seq), np.int32)
+        self.page_table = np.full(
+            (max_batch, self.max_pages_per_seq), self.trash_page, np.int32
+        )
         self.temps = np.zeros(max_batch, np.float32)
         self.top_ps = np.ones(max_batch, np.float32)
         self.key = jax.random.PRNGKey(0)
@@ -244,17 +250,21 @@ class Engine:
         self._emit(slot_id, tok)
 
     def _decode(self, active: list[int]):
+        # jnp.asarray on the CPU backend can ZERO-COPY the numpy buffer; the
+        # async computation then races with our in-place host mutations below
+        # (observed: nondeterministic decode). Ship fresh copies to the device.
         logits, self.cache = paged_decode_step(
             self.params, self.config,
-            jnp.asarray(self.tokens), jnp.asarray(self.seq_lens),
-            jnp.asarray(self.page_table), self.cache,
+            jnp.asarray(np.array(self.tokens)), jnp.asarray(np.array(self.seq_lens)),
+            jnp.asarray(np.array(self.page_table)), self.cache,
             quant_mode=self.quant_mode,
         )
         self.seq_lens[active] += 1
         self.key, sub = jax.random.split(self.key)
         toks = np.asarray(
             _sample_batch(
-                logits, sub, jnp.asarray(self.temps), jnp.asarray(self.top_ps)
+                logits, sub, jnp.asarray(np.array(self.temps)),
+                jnp.asarray(np.array(self.top_ps)),
             )
         )
         self.metrics["steps"] += 1
@@ -283,6 +293,7 @@ class Engine:
             self.tokens[slot_id] = 0
             self.temps[slot_id] = 0.0
             self.top_ps[slot_id] = 1.0
+            self.page_table[slot_id] = self.trash_page
 
     # convenience: synchronous generation through the engine
     def generate_sync(

@@ -90,12 +90,7 @@ def paged_attention(
     return out.reshape(B, Hq, D)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("config", "quant_mode"),
-    donate_argnames=("cache",),
-)
-def paged_decode_step(
+def _paged_decode_step_impl(
     params: dict[str, Any],
     config: ModelConfig,
     tokens: jax.Array,  # [B] int32 current token per slot
@@ -176,8 +171,31 @@ def paged_decode_step(
     return logits, PagedKVCache(new_k, new_v)
 
 
-@partial(jax.jit, static_argnames=("config",), donate_argnames=("cache",))
-def scatter_prefill_kv(
+# Donation aliases the page pool through the step (no copy of the KV pool per
+# token) — essential on TPU. On the CPU backend, donation + in-step
+# scatter/gather aliasing produced corrupted cached-executable runs (observed
+# with jax 0.9: first call correct, subsequent calls wrong), so CPU uses the
+# non-donating compilation.
+_paged_decode_step_donate = partial(
+    jax.jit, static_argnames=("config", "quant_mode"), donate_argnames=("cache",)
+)(_paged_decode_step_impl)
+_paged_decode_step_nodonate = partial(
+    jax.jit, static_argnames=("config", "quant_mode")
+)(_paged_decode_step_impl)
+
+
+def paged_decode_step(params, config, tokens, seq_lens, page_table, cache, *,
+                      quant_mode="xla"):
+    fn = (
+        _paged_decode_step_donate
+        if jax.devices()[0].platform not in ("cpu",)
+        else _paged_decode_step_nodonate
+    )
+    return fn(params, config, tokens, seq_lens, page_table, cache,
+              quant_mode=quant_mode)
+
+
+def _scatter_prefill_impl(
     config: ModelConfig,
     cache: PagedKVCache,
     layer_k: jax.Array,  # [L, T_pad, Hkv, D] from the contiguous prefill
@@ -198,3 +216,20 @@ def scatter_prefill_kv(
     new_k = cache.k.at[:, pages].set(kp.astype(cache.k.dtype))
     new_v = cache.v.at[:, pages].set(vp.astype(cache.v.dtype))
     return PagedKVCache(new_k, new_v)
+
+
+_scatter_prefill_donate = partial(
+    jax.jit, static_argnames=("config",), donate_argnames=("cache",)
+)(_scatter_prefill_impl)
+_scatter_prefill_nodonate = partial(jax.jit, static_argnames=("config",))(
+    _scatter_prefill_impl
+)
+
+
+def scatter_prefill_kv(config, cache, layer_k, layer_v, page_ids):
+    fn = (
+        _scatter_prefill_donate
+        if jax.devices()[0].platform not in ("cpu",)
+        else _scatter_prefill_nodonate
+    )
+    return fn(config, cache, layer_k, layer_v, page_ids)

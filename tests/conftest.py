@@ -9,9 +9,14 @@ import os
 # The axon boot shim exports JAX_PLATFORMS=axon; force-override (not
 # setdefault) so the suite runs on the virtual CPU mesh, not the TPU tunnel.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# single-threaded Eigen keeps CPU matmul reduction order (and therefore
+# greedy argmax on near-tie logits) deterministic run to run
 os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+    + " --xla_cpu_multi_thread_eigen=false"
 )
+os.environ.setdefault("OMP_NUM_THREADS", "1")
 
 import jax  # noqa: E402
 
