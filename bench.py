@@ -19,6 +19,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import numpy as np
 
+from paroquant_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 
 def bench_decode(params, config, quant_mode, n_tokens=96, batch=1, warmup=2, runs=5):
     import jax

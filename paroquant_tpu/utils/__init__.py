@@ -1,1 +1,2 @@
 from .device import force_platform
+from .cache import enable_compilation_cache

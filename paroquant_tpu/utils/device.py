@@ -12,6 +12,9 @@ from __future__ import annotations
 
 def force_platform(name: str) -> None:
     """name: 'cpu' | 'tpu' | 'auto'. Must be called before first device use."""
+    from .cache import enable_compilation_cache
+
+    enable_compilation_cache()
     if name == "auto":
         return
     import jax
