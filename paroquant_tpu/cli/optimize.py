@@ -53,6 +53,7 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--device", default="auto", choices=["cpu", "tpu", "auto"])
+    ap.add_argument("--wandb", default=None, help="wandb project name (optional)")
     ap.add_argument("--save-checkpoint", action="store_true",
                     help="also write the quantized PARO-TPU checkpoint to <output>/model")
     args = ap.parse_args(argv)
@@ -101,11 +102,21 @@ def main(argv=None):
         seed=args.seed, stages=stages, loss=args.loss,
         grad_accum=args.grad_accum, early_stop=args.early_stop,
     )
+    run = None
+    if args.wandb:
+        try:
+            import wandb
+
+            run = wandb.init(project=args.wandb, config=vars(args))
+        except ImportError:
+            print("wandb not installed; continuing without metric logging")
+
     t0 = time.time()
     qparams, exports = calibrate_model(
         params, config, tokens, ccfg, output_dir=out, resume=args.resume,
-        progress_fn=lambda li, n, info: print(
-            f"[{li+1}/{n}] layer done in {info['seconds']:.1f}s", flush=True
+        progress_fn=lambda li, n, info: (
+            print(f"[{li+1}/{n}] layer done in {info['seconds']:.1f}s", flush=True),
+            run.log({"layer": li, "layer_seconds": info["seconds"]}) if run else None,
         ),
     )
     print(f"calibration finished in {time.time()-t0:.1f}s; results in {out}")

@@ -1,0 +1,110 @@
+"""Family-specific decoder paths: Llama (no qk-norm), Gemma-class
+(post-norms, embed scaling, softcaps, sliding-window pattern), config
+mapping from HF dicts, and the driver entry points."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from paroquant_tpu.models import KVCache, from_hf_dict, init_params, model_forward
+from paroquant_tpu.models.config import ModelConfig
+
+
+LLAMA_MINI = ModelConfig(
+    model_type="llama", vocab_size=256, hidden_size=128, intermediate_size=256,
+    num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+    head_dim=32, rope_theta=10000.0, qk_norm=False, tie_word_embeddings=False,
+)
+
+GEMMA_MINI = ModelConfig(
+    model_type="gemma3", vocab_size=256, hidden_size=128, intermediate_size=256,
+    num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+    head_dim=32, qk_norm=True, gemma_norm=True, post_norms=True,
+    sliding_window=8, sliding_window_pattern=2, logit_softcap=30.0,
+    attn_logit_softcap=50.0, tie_word_embeddings=True,
+)
+
+
+def test_llama_forward_and_cache():
+    params = init_params(LLAMA_MINI, jax.random.PRNGKey(0), dtype=jnp.float32)
+    toks = jnp.asarray(np.random.default_rng(0).integers(0, 256, (2, 10)), jnp.int32)
+    full, _ = model_forward(params, LLAMA_MINI, toks)
+    assert np.isfinite(np.asarray(full)).all()
+    cache = KVCache.create(LLAMA_MINI, 2, 16, jnp.float32)
+    _, cache = model_forward(params, LLAMA_MINI, toks[:, :6], cache)
+    inc, _ = model_forward(params, LLAMA_MINI, toks[:, 6:7], cache)
+    np.testing.assert_allclose(
+        np.asarray(inc[:, 0]), np.asarray(full[:, 6]), rtol=2e-3, atol=2e-3
+    )
+
+
+def test_gemma_forward_and_cache():
+    params = init_params(GEMMA_MINI, jax.random.PRNGKey(1), dtype=jnp.float32)
+    toks = jnp.asarray(np.random.default_rng(1).integers(0, 256, (1, 12)), jnp.int32)
+    full, _ = model_forward(params, GEMMA_MINI, toks)
+    f = np.asarray(full)
+    assert np.isfinite(f).all()
+    assert np.abs(f).max() <= 30.0 + 1e-3  # final softcap bound
+    # sliding window pattern: layers 0,2 local (window 8), layers 1,3 global
+    assert GEMMA_MINI.layer_sliding_window(0) == 8
+    assert GEMMA_MINI.layer_sliding_window(1) is None
+    # incremental consistency across the sliding-window boundary
+    cache = KVCache.create(GEMMA_MINI, 1, 16, jnp.float32)
+    _, cache = model_forward(params, GEMMA_MINI, toks[:, :11], cache)
+    inc, _ = model_forward(params, GEMMA_MINI, toks[:, 11:12], cache)
+    np.testing.assert_allclose(
+        np.asarray(inc[:, 0]), f[:, 11], rtol=2e-3, atol=2e-3
+    )
+
+
+def test_hf_config_mapping():
+    cfg = from_hf_dict(
+        {
+            "model_type": "qwen3",
+            "vocab_size": 1000,
+            "hidden_size": 512,
+            "intermediate_size": 1024,
+            "num_hidden_layers": 3,
+            "num_attention_heads": 8,
+            "num_key_value_heads": 4,
+            "head_dim": 64,
+            "rope_theta": 5e6,
+            "tie_word_embeddings": True,
+            "quantization_config": {"quant_method": "paroquant", "bits": 4,
+                                    "group_size": 128, "krot": 8},
+        }
+    )
+    assert cfg.qk_norm and cfg.tie_word_embeddings
+    assert cfg.quantization["bits"] == 4
+    assert hash(cfg)  # must stay hashable (jit static arg)
+
+    moe = from_hf_dict(
+        {
+            "model_type": "qwen3_moe", "num_experts": 64,
+            "num_experts_per_tok": 8, "moe_intermediate_size": 768,
+            "hidden_size": 2048, "num_attention_heads": 16,
+            "num_key_value_heads": 4,
+        }
+    )
+    assert moe.is_moe and moe.layer_is_sparse(0)
+
+    vlm = from_hf_dict(
+        {
+            "model_type": "gemma3",
+            "text_config": {"model_type": "gemma3_text", "hidden_size": 640,
+                            "num_attention_heads": 4, "sliding_window": 512},
+        }
+    )
+    assert vlm.hidden_size == 640 and vlm.gemma_norm
+
+
+def test_graft_entry_smoke():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(len(jax.devices()))
