@@ -395,7 +395,6 @@ def load_checkpoint(
             if f"{eb}.gate_qweight" in tensors:  # quantized stacked experts
                 from ..ops.moe import QuantizedMoEExperts
                 from ..ops import rotation as _rot
-                from ..ops.packing import unpack_w4_tpu as _unpack
 
                 def _rotm(side):
                     pairs = np.asarray(tensors[f"{eb}.{side}_pairs"], np.int32)

@@ -32,7 +32,6 @@ import numpy as np
 
 from . import rotation as rot_ops
 from .packing import pack_wq_tpu, unpack_wq_tpu
-from .quant import dequantize_int
 
 
 class QuantizedLinear(NamedTuple):

@@ -16,7 +16,7 @@ pjit-shards over a mesh like any other JAX computation).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Iterable
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ import itertools
 import queue
 import threading
 import time
-from typing import Any, Callable
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -29,7 +29,6 @@ from ..models.config import ModelConfig
 from ..models.decoder import (
     apply_linear,
     apply_rope,
-    layer_forward,
     mlp_forward,
     moe_forward,
     rms_norm,
