@@ -1,0 +1,117 @@
+"""Llama-2-7B-geometry W4 decode benchmark (BASELINE.json config 2).
+
+Builds the quantized model layer-by-layer on the host CPU backend (full BF16
+7B would not fit the 16GB chip — W4 is what makes single-chip 7B serving
+possible here), ships it to the TPU, and measures scan-decode throughput.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from paroquant_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from paroquant_tpu.convert.rtn import quantize_linear_rtn
+from paroquant_tpu.models import PRESETS, KVCache
+from paroquant_tpu.models.decoder import DenseLinear, greedy_decode_scan, prefill
+
+
+def build_quantized_llama7b(rot_dtype=jnp.float32):
+    cfg = PRESETS["llama-2-7b"]
+    rng = np.random.default_rng(0)
+    H, I, D = cfg.hidden_size, cfg.intermediate_size, cfg.head_dim
+    Hq = cfg.num_attention_heads
+
+    def qlin(fan_in, fan_out):
+        w = (rng.standard_normal((fan_in, fan_out), np.float32) / np.sqrt(fan_in)).astype(np.float32)
+        return quantize_linear_rtn(
+            DenseLinear(jnp.asarray(w), None), n_bits=4, group_size=128,
+            num_rotations=8, rot_dtype=rot_dtype,
+        )
+
+    params = {
+        "embed_tokens": jnp.asarray(
+            rng.standard_normal((cfg.vocab_size, H), np.float32) * 0.02, jnp.bfloat16
+        ),
+        "norm": jnp.ones((H,), jnp.bfloat16),
+        "lm_head": DenseLinear(
+            jnp.asarray(rng.standard_normal((H, cfg.vocab_size), np.float32) / np.sqrt(H), jnp.bfloat16),
+            None,
+        ),
+        "layers": [],
+    }
+    t0 = time.time()
+    for li in range(cfg.num_hidden_layers):
+        lp = {
+            "input_layernorm": jnp.ones((H,), jnp.bfloat16),
+            "post_attention_layernorm": jnp.ones((H,), jnp.bfloat16),
+            "q_proj": qlin(H, Hq * D),
+            "k_proj": qlin(H, Hq * D),
+            "v_proj": qlin(H, Hq * D),
+            "o_proj": qlin(Hq * D, H),
+            "mlp": {
+                "gate_proj": qlin(H, I),
+                "up_proj": qlin(H, I),
+                "down_proj": qlin(I, H),
+            },
+        }
+        params["layers"].append(lp)
+        if li % 8 == 0:
+            print(f"  built layer {li} ({time.time()-t0:.0f}s)", flush=True)
+    return params, cfg
+
+
+def main():
+    cpu = jax.local_devices(backend="cpu")[0]
+    t0 = time.time()
+    with jax.default_device(cpu):
+        params, cfg = build_quantized_llama7b()
+    print(f"built W4 7B in {time.time()-t0:.0f}s", flush=True)
+
+    dev = jax.devices()[0]
+    t0 = time.time()
+    params = jax.device_put(params, dev)
+    jax.block_until_ready(params["layers"][0]["q_proj"].qweight)
+    print(f"transferred to {dev} in {time.time()-t0:.0f}s", flush=True)
+
+    rng = np.random.default_rng(1)
+    prompt = jax.device_put(
+        jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 16)), jnp.int32), dev
+    )
+    n_tokens = 64
+
+    def run():
+        cache = KVCache.create(cfg, 1, 16 + n_tokens + 8, jnp.bfloat16)
+        logits, c = prefill(params, cfg, prompt, cache, quant_mode="fused")
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        np.asarray(tok)
+        t0 = time.perf_counter()
+        toks, _ = greedy_decode_scan(params, cfg, tok, c, n_tokens, quant_mode="fused")
+        np.asarray(toks)
+        return n_tokens / (time.perf_counter() - t0)
+
+    for i in range(2):
+        r = run()
+        print(f"warmup {i}: {r:.1f} tok/s", flush=True)
+    rates = [run() for _ in range(5)]
+    w4_gb = sum(
+        np.prod(l[p].qweight.shape) + np.prod(l[p].scales.shape) * 8 + np.prod(l[p].rot.shape) * 4
+        for l in params["layers"] for p in ("q_proj", "k_proj", "v_proj", "o_proj")
+    ) / 1e9
+    print(f"llama-2-7b W4 decode: {np.mean(rates):.1f} tok/s "
+          f"(min {min(rates):.1f}, max {max(rates):.1f})")
+    print(f"per-token HBM floor est: ~4.6GB -> SoL ~{819/4.6:.0f} tok/s at full BW")
+
+
+if __name__ == "__main__":
+    main()
