@@ -59,8 +59,10 @@ class _Slot:
 
 
 @jax.jit
-def _sample_batch(logits, key, temps, top_ps):
-    """Vectorized per-slot sampling: greedy where temp==0, else top-p."""
+def _sample_batch(logits, keys, temps, top_ps):
+    """Vectorized per-slot sampling: greedy where temp==0, else top-p.
+    `keys` is a per-slot [B, 2] uint32 PRNG-key array so each request's
+    sampling stream is independent and seed-reproducible."""
     logits = logits.astype(jnp.float32)
     greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     safe_t = jnp.where(temps > 0, temps, 1.0)
@@ -73,7 +75,7 @@ def _sample_batch(logits, key, temps, top_ps):
         jnp.where(cutoff_mask, jnp.inf, sorted_logits), axis=-1, keepdims=True
     )
     masked = jnp.where(scaled < cutoff_logit, -jnp.inf, scaled)
-    sampled = jax.random.categorical(key, masked, axis=-1).astype(jnp.int32)
+    sampled = jax.vmap(jax.random.categorical)(keys, masked).astype(jnp.int32)
     return jnp.where(temps == 0, greedy_tok, sampled)
 
 
@@ -120,7 +122,11 @@ class Engine:
         )
         self.temps = np.zeros(max_batch, np.float32)
         self.top_ps = np.ones(max_batch, np.float32)
-        self.key = jax.random.PRNGKey(0)
+        # per-slot PRNG state: base key from the request's seed, folded with a
+        # per-step counter so each request's sampling is seed-reproducible
+        # regardless of batch composition
+        self.slot_keys = np.zeros((max_batch, 2), np.uint32)
+        self.slot_steps = np.zeros(max_batch, np.int64)
         self._id_counter = itertools.count()
         self._lock = threading.Lock()
         self._stop_flag = False
@@ -227,12 +233,15 @@ class Engine:
         self.cache = scatter_prefill_kv(
             self.config, self.cache, layer_k, layer_v, jnp.asarray(page_vec)
         )
-        # first sampled token
-        self.key, sub = jax.random.split(self.key)
+        # first sampled token (request-seeded stream)
         sp = req.sampling
+        base_key = jax.random.PRNGKey(
+            sp.seed if sp.seed is not None else abs(hash(req.request_id)) % (1 << 31)
+        )
+        key0 = np.asarray(jax.random.fold_in(base_key, 0), np.uint32)
         tok = int(
             _sample_batch(
-                logits[:, T - 1, :], sub,
+                logits[:, T - 1, :], jnp.asarray(key0[None, :]),
                 jnp.asarray([sp.temperature], jnp.float32),
                 jnp.asarray([sp.top_p], jnp.float32),
             )[0]
@@ -246,6 +255,8 @@ class Engine:
         self.page_table[slot_id] = page_vec
         self.temps[slot_id] = sp.temperature
         self.top_ps[slot_id] = sp.top_p
+        self.slot_keys[slot_id] = np.asarray(base_key, np.uint32)
+        self.slot_steps[slot_id] = 1
         req.first_token_time = time.perf_counter()
         self._emit(slot_id, tok)
 
@@ -260,10 +271,17 @@ class Engine:
             quant_mode=self.quant_mode,
         )
         self.seq_lens[active] += 1
-        self.key, sub = jax.random.split(self.key)
+        step_keys = np.asarray(
+            jax.vmap(jax.random.fold_in)(
+                jnp.asarray(np.array(self.slot_keys)),
+                jnp.asarray(np.array(self.slot_steps, np.uint32)),
+            ),
+            np.uint32,
+        )
+        self.slot_steps += 1
         toks = np.asarray(
             _sample_batch(
-                logits, sub, jnp.asarray(np.array(self.temps)),
+                logits, jnp.asarray(step_keys), jnp.asarray(np.array(self.temps)),
                 jnp.asarray(np.array(self.top_ps)),
             )
         )

@@ -162,3 +162,32 @@ def test_engine_rejects_oversized(model):
                  quant_mode="xla", cache_dtype=jnp.float32)
     with pytest.raises(ValueError):
         eng.submit(list(range(30)), SamplingParams(max_tokens=10))
+
+
+def test_engine_per_request_seeds(model):
+    """Sampled requests are seed-reproducible regardless of batch mix."""
+    params = model
+
+    def run(seed, extra_load):
+        eng = Engine(params, CFG, max_batch=4, max_len=64, page_size=8,
+                     quant_mode="xla", cache_dtype=jnp.float32)
+        sp = SamplingParams(max_tokens=6, temperature=0.9, top_p=0.9, seed=seed)
+        req = eng.submit([3, 1, 4], sp)
+        if extra_load:  # other concurrent requests must not perturb the stream
+            eng.submit([9, 9], SamplingParams(max_tokens=6, temperature=0.7, seed=123))
+        toks = []
+        for _ in range(100):
+            if not eng.step():
+                break
+        while True:
+            kind, t = req.out_queue.get_nowait()
+            if kind == "done":
+                break
+            toks.append(t)
+        return toks
+
+    a = run(7, extra_load=False)
+    b = run(7, extra_load=True)
+    c = run(8, extra_load=False)
+    assert a == b, (a, b)
+    assert a != c
