@@ -138,9 +138,20 @@ def quantize_model_rtn(
     num_rotations: int = 8,
     seed: int = 0,
     rot_dtype=jnp.float32,
+    quantize_lm_head: bool = False,
 ) -> dict[str, Any]:
-    """Swap every eligible DenseLinear for a QuantizedLinear (functional copy)."""
+    """Swap every eligible DenseLinear for a QuantizedLinear (functional copy).
+
+    quantize_lm_head extends past the reference (which keeps the lm_head
+    dense): at small model scale the vocab projection dominates per-token
+    HBM traffic, so W4-ing it buys real decode throughput (untied heads only).
+    """
     out = dict(params)
+    if quantize_lm_head and "lm_head" in params:
+        out["lm_head"] = quantize_linear_rtn(
+            params["lm_head"], n_bits=n_bits, group_size=group_size,
+            num_rotations=num_rotations, seed=seed + 10_000, rot_dtype=rot_dtype,
+        )
     layers = []
     for i, lp in enumerate(params["layers"]):
         nlp = dict(lp)

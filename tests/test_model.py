@@ -118,3 +118,19 @@ def test_moe_model_forward():
     assert np.isfinite(np.asarray(logits)).all()
     out = greedy_generate(params, config, np.array([[1, 2]], np.int64), 4, cache_dtype=jnp.float32)
     assert out.shape == (1, 4)
+
+
+def test_quantized_lm_head():
+    import dataclasses
+
+    config = dataclasses.replace(PRESETS["tiny"], tie_word_embeddings=False)
+    params = init_params(config, jax.random.PRNGKey(2), dtype=jnp.float32)
+    q = quantize_model_rtn(params, config, n_bits=8, group_size=64, quantize_lm_head=True)
+    from paroquant_tpu.ops.qlinear import QuantizedLinear
+
+    assert isinstance(q["lm_head"], QuantizedLinear)
+    tokens = jnp.asarray(np.random.default_rng(5).integers(0, config.vocab_size, (1, 6)), jnp.int32)
+    l_d, _ = model_forward(params, config, tokens)
+    l_q, _ = model_forward(q, config, tokens)
+    rel = float(jnp.linalg.norm(l_q - l_d) / jnp.linalg.norm(l_d))
+    assert rel < 0.05, rel
