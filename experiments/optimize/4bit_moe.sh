@@ -8,5 +8,5 @@ python -m paroquant_tpu.cli.optimize \
   --train-size 2048 --seqlen 2048 --batch-size 8 \
   --params "channel_scales:0.05,angles:0.05" "weight:1e-5,quantizer:1e-6" \
   --epochs 10 10 \
-  --n-bits 4 --group-size 128 --num-rotations 8 \
+  --n-bits 4 --group-size 128 --num-rotations 8 --pair-mode random \
   --seed 0 --resume --save-checkpoint

@@ -46,7 +46,9 @@ def main(argv=None):
     ap.add_argument("--n-bits", type=int, default=4)
     ap.add_argument("--group-size", type=int, default=128)
     ap.add_argument("--num-rotations", type=int, default=8)
-    ap.add_argument("--pair-mode", default="butterfly", choices=["butterfly", "random"])
+    ap.add_argument("--pair-mode", default="random", choices=["random", "butterfly"],
+                    help="'random' matches the reference protocol (seeded "
+                    "independent pairs); 'butterfly' is the structured variant")
     ap.add_argument("--loss", default="mse", choices=["mse", "smooth_l1"])
     ap.add_argument("--grad-accum", type=int, default=1)
     ap.add_argument("--early-stop", type=int, default=None)

@@ -96,6 +96,16 @@ def from_hf_dict(cfg: dict[str, Any]) -> ModelConfig:
         if "quantization_config" in outer:
             cfg.setdefault("quantization_config", outer["quantization_config"])
     mt = cfg.get("model_type", "llama")
+    if mt == "qwen3_next" or "linear_attention" in cfg.get("layer_types", ()):
+        # qwen3_next interleaves full attention with linear-attention
+        # (gated delta-net) layers; running such a checkpoint through the
+        # standard GQA decoder would silently produce garbage. Fail loudly
+        # until the linear-attention family lands (reference runs these via
+        # the HF/vLLM model zoos, optim/util.py:32-41).
+        raise NotImplementedError(
+            f"model_type {mt!r} uses linear-attention (delta-net) layers, "
+            "which paroquant_tpu does not implement yet"
+        )
     heads = cfg.get("num_attention_heads", 32)
     hidden = cfg.get("hidden_size", 4096)
     head_dim = cfg.get("head_dim") or hidden // heads

@@ -11,8 +11,8 @@ surgery, backends/transformers/quantizer.py:88-115).
 Design notes (TPU-first):
 - static shapes everywhere; decode uses a preallocated KV cache with
   dynamic_update_slice, prefill is one batched pass
-- attention is einsum-based GQA (XLA fuses well at these sizes; a Pallas
-  paged-attention kernel backs the serving path)
+- attention is einsum-based GQA for the contiguous path; the serving engine
+  additionally has a paged decode path (serve/paged.py)
 - math in bf16 with f32 accumulators (preferred_element_type), RMSNorm in f32
 """
 
@@ -71,6 +71,32 @@ def rope_tables(positions: jax.Array, head_dim: int, theta: float) -> tuple[jax.
     freqs = 1.0 / (theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
     angles = positions.astype(jnp.float32)[..., None] * freqs  # [..., T, half]
     return jnp.cos(angles), jnp.sin(angles)
+
+
+def layer_rope_theta(config: ModelConfig, layer_idx: int) -> float:
+    """Per-layer RoPE base: Gemma-3-class local (sliding-window) layers use
+    rope_local_base_freq (e.g. 10k) while global layers keep rope_theta
+    (e.g. 1e6) — HF Gemma3 rotary handling, parsed in config.py."""
+    if (
+        config.rope_local_theta is not None
+        and config.layer_sliding_window(layer_idx) is not None
+    ):
+        return config.rope_local_theta
+    return config.rope_theta
+
+
+def rope_tables_per_layer(
+    positions: jax.Array, config: ModelConfig
+) -> list[tuple[jax.Array, jax.Array]]:
+    """One (cos, sin) pair per layer, computed once per distinct theta."""
+    by_theta: dict[float, tuple[jax.Array, jax.Array]] = {}
+    out = []
+    for li in range(config.num_hidden_layers):
+        th = layer_rope_theta(config, li)
+        if th not in by_theta:
+            by_theta[th] = rope_tables(positions, config.head_dim, th)
+        out.append(by_theta[th])
+    return out
 
 
 def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
@@ -281,11 +307,12 @@ def model_forward(
     offset = cache.length if cache is not None else jnp.zeros((), jnp.int32)
     positions = offset + jnp.arange(T, dtype=jnp.int32)[None, :]  # [1, T]
     positions = jnp.broadcast_to(positions, (B, T))
-    cos, sin = rope_tables(positions, config.head_dim, config.rope_theta)
+    rope_by_layer = rope_tables_per_layer(positions, config)
 
     new_k, new_v = [], []
     for i, layer_params in enumerate(params["layers"]):
         layer_cache = None if cache is None else (cache.k[i], cache.v[i])
+        cos, sin = rope_by_layer[i]
         x, updated = layer_forward(
             layer_params, x, config, i, cos, sin, positions, layer_cache, offset,
             quant_mode,

@@ -53,7 +53,11 @@ class CalibConfig:
     group_size: int = 128
     num_rotations: int = 8
     num_pairs_factor: float = 0.5
-    pair_mode: str = "butterfly"  # "butterfly" | "random"
+    # "random" = the reference's seeded independent pairs (train.py:56-91),
+    # bit-validated against the reference generator in
+    # tests/test_reference_parity.py — the canonical protocol default.
+    # "butterfly" = our structured TPU-friendly variant (opt-in, ablation).
+    pair_mode: str = "random"  # "random" | "butterfly"
     seed: int = 0
     # stages: list of (param-group -> lr, epochs); canonical recipe from
     # experiments/optimize/4bit.sh

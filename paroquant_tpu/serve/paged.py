@@ -32,7 +32,7 @@ from ..models.decoder import (
     mlp_forward,
     moe_forward,
     rms_norm,
-    rope_tables,
+    rope_tables_per_layer,
 )
 
 
@@ -68,6 +68,7 @@ def paged_attention(
     *,
     scale: float,
     sliding_window: int | None = None,
+    logit_softcap: float | None = None,
 ) -> jax.Array:
     B, Hq, D = q.shape
     _, maxP, ps, Hkv, _ = k_pages.shape
@@ -78,6 +79,10 @@ def paged_attention(
     qf = q.reshape(B, Hkv, group, D).astype(jnp.float32)
     scores = jnp.einsum("bhgd,bshd->bhgs", qf, k.astype(jnp.float32),
                         preferred_element_type=jnp.float32) * scale
+    if logit_softcap:
+        # Gemma-2-class attention softcapping, applied before masking like the
+        # contiguous path (models/decoder.py attention)
+        scores = jnp.tanh(scores / logit_softcap) * logit_softcap
     kv_pos = jnp.arange(S, dtype=jnp.int32)[None, :]  # [1, S]
     mask = kv_pos < seq_lens[:, None]
     if sliding_window is not None:
@@ -108,7 +113,7 @@ def _paged_decode_step_impl(
     if config.gemma_norm:
         x = x * jnp.asarray(np.sqrt(config.hidden_size), x.dtype)
     positions = seq_lens  # 0-based position of the current token
-    cos, sin = rope_tables(positions[:, None], config.head_dim, config.rope_theta)
+    rope_by_layer = rope_tables_per_layer(positions[:, None], config)
 
     page_idx = jnp.take_along_axis(
         page_table, (seq_lens // ps)[:, None], axis=1
@@ -118,6 +123,7 @@ def _paged_decode_step_impl(
     new_k, new_v = cache.k, cache.v
     x = x[:, None, :]  # [B, 1, H]
     for li, lp in enumerate(params["layers"]):
+        cos, sin = rope_by_layer[li]
         h = rms_norm(x, lp["input_layernorm"], config.rms_norm_eps, config.gemma_norm)
         q = apply_linear(lp["q_proj"], h, quant_mode=quant_mode).reshape(B, 1, Hq, D)
         k = apply_linear(lp["k_proj"], h, quant_mode=quant_mode).reshape(B, 1, Hkv, D)
@@ -138,6 +144,7 @@ def _paged_decode_step_impl(
             q, k_pages, v_pages, seq_lens + 1,
             scale=1.0 / float(np.sqrt(D)),
             sliding_window=config.layer_sliding_window(li),
+            logit_softcap=config.attn_logit_softcap,
         )
         attn = apply_linear(
             lp["o_proj"], attn.reshape(B, 1, Hq * D), quant_mode=quant_mode

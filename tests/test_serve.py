@@ -10,6 +10,7 @@ import numpy as np
 import pytest
 
 from paroquant_tpu.models import PRESETS, KVCache, init_params, model_forward
+from paroquant_tpu.models.config import ModelConfig
 from paroquant_tpu.serve import Engine, Generator, SamplingParams, sample_token
 from paroquant_tpu.serve.paged import PagedKVCache, paged_decode_step, scatter_prefill_kv
 
@@ -52,6 +53,44 @@ def test_paged_decode_matches_contiguous(model):
     )
     np.testing.assert_allclose(
         np.asarray(logits_paged[0]), np.asarray(ref_logits[0, -1]), rtol=2e-3, atol=2e-3
+    )
+
+
+def test_paged_decode_matches_contiguous_gemma():
+    """Gemma-class serving parity: attention softcapping and local-layer RoPE
+    must flow through the paged path identically to the contiguous path
+    (round-1 ADVICE items 1-2)."""
+    gcfg = ModelConfig(
+        model_type="gemma3", vocab_size=256, hidden_size=128,
+        intermediate_size=256, num_hidden_layers=4, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=32, qk_norm=True, gemma_norm=True,
+        post_norms=True, sliding_window=8, sliding_window_pattern=2,
+        logit_softcap=30.0, attn_logit_softcap=50.0, tie_word_embeddings=True,
+        rope_theta=1e6, rope_local_theta=1e4,
+    )
+    params = init_params(gcfg, jax.random.PRNGKey(3), dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    prompt = rng.integers(0, gcfg.vocab_size, (1, 12)).astype(np.int32)
+
+    cache = KVCache.create(gcfg, 1, 32, jnp.float32)
+    _, cache = model_forward(params, gcfg, jnp.asarray(prompt), cache)
+    ref_logits, _ = model_forward(params, gcfg, jnp.asarray([[7]], jnp.int32), cache)
+
+    ps = 8
+    pcache = PagedKVCache.create(gcfg, num_pages=8, page_size=ps, dtype=jnp.float32)
+    page_ids = np.array([2, 6, 1, 4], np.int32)
+    ck = jnp.pad(cache.k[:, 0, :12], ((0, 0), (0, 4), (0, 0), (0, 0)))
+    cv = jnp.pad(cache.v[:, 0, :12], ((0, 0), (0, 4), (0, 0), (0, 0)))
+    pcache = scatter_prefill_kv(gcfg, pcache, ck, cv, jnp.asarray(page_ids))
+    page_table = np.zeros((1, 4), np.int32)
+    page_table[0] = page_ids
+    logits_paged, _ = paged_decode_step(
+        params, gcfg, jnp.asarray([7], jnp.int32), jnp.asarray([12], jnp.int32),
+        jnp.asarray(page_table), pcache,
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits_paged[0]), np.asarray(ref_logits[0, -1]),
+        rtol=2e-3, atol=2e-3,
     )
 
 
