@@ -202,6 +202,57 @@ def save_awq_checkpoint(
         for name in ("q_norm", "k_norm"):
             if name in lp:
                 tensors[f"model.layers.{li}.self_attn.{name}.weight"] = _to_f16(lp[name])
+        mlp = lp.get("mlp", {})
+        if "router" in mlp:
+            tensors[f"model.layers.{li}.mlp.gate.weight"] = _to_f16(
+                np.asarray(mlp["router"].w).T
+            )
+        if "mlp.experts" in exp_layer:
+            # reference per-expert AWQ MoE layout (cli/convert.py:382-405):
+            # experts.{e}.{proj}.{qweight,qzeros,scales} + shared rotation
+            # buffers {gate_up,down}_weight_{theta,pairs,channel_scales}
+            exp = exp_layer["mlp.experts"]
+            n_bits = int(exp["n_bits"])
+            group_size = int(exp["group_size"])
+            krot = int(exp["gate_up_theta"].shape[0])
+            eb = f"model.layers.{li}.mlp.experts"
+            for pn, proj in (("gate", "gate_proj"), ("up", "up_proj"),
+                             ("down", "down_proj")):
+                sub = exp[pn]
+                q = np.asarray(sub["q"])  # [E, O, In]
+                sc = np.asarray(sub["scales"], np.float32)  # [E, O, G]
+                zr = np.asarray(sub["zeros"])  # [E, O, G]
+                for e in range(q.shape[0]):
+                    tensors[f"{eb}.{e}.{proj}.qweight"] = pack_awq(q[e].T, n_bits)
+                    tensors[f"{eb}.{e}.{proj}.qzeros"] = pack_awq(zr[e].T, n_bits)
+                    tensors[f"{eb}.{e}.{proj}.scales"] = np.ascontiguousarray(
+                        sc[e].T
+                    ).astype(np.float16)
+            for side in ("gate_up", "down"):
+                tensors[f"{eb}.{side}_weight_theta"] = np.asarray(
+                    exp[f"{side}_theta"], np.float16
+                )
+                tensors[f"{eb}.{side}_weight_pairs"] = np.asarray(
+                    exp[f"{side}_pairs"], np.int16
+                )
+                tensors[f"{eb}.{side}_weight_channel_scales"] = np.asarray(
+                    exp[f"{side}_inv_channel_scales"], np.float16
+                ).reshape(1, -1)
+        elif "experts" in mlp:
+            ex = mlp["experts"]
+            if hasattr(ex, "gate_qweight"):
+                raise NotImplementedError(
+                    "AWQ export of already-quantized stacked experts requires "
+                    "the calibration export dicts (run convert from optimizer "
+                    "results); re-exporting runtime QuantizedMoEExperts to AWQ "
+                    "is not supported"
+                )
+            E = np.asarray(ex["gate_proj"]).shape[0]
+            for e in range(E):
+                for pn in ("gate_proj", "up_proj", "down_proj"):
+                    tensors[
+                        f"model.layers.{li}.mlp.experts.{e}.{pn}.weight"
+                    ] = _to_f16(np.asarray(ex[pn][e]).T)
         for name in list(_ATTN) + [f"mlp.{m}" for m in _MLP]:
             base = name[4:] if name.startswith("mlp.") else name
             holder = lp["mlp"] if name.startswith("mlp.") else lp
@@ -392,16 +443,22 @@ def load_checkpoint(
                 jnp.asarray(tensors[f"{lbase}.mlp.gate.weight"].T.copy(), dtype), None
             )
             eb = f"{lbase}.mlp.experts"
-            if f"{eb}.gate_qweight" in tensors:  # quantized stacked experts
+            awq_moe = f"{eb}.0.gate_proj.qweight" in tensors
+            if f"{eb}.gate_qweight" in tensors or awq_moe:  # quantized experts
                 from ..ops.moe import QuantizedMoEExperts
                 from ..ops import rotation as _rot
 
+                # paro-tpu names the shared rotation buffers {side}_theta;
+                # the reference AWQ layout names them {side}_weight_theta
+                rot_key = "{side}_weight_{leaf}" if awq_moe else "{side}_{leaf}"
+
                 def _rotm(side):
-                    pairs = np.asarray(tensors[f"{eb}.{side}_pairs"], np.int32)
-                    theta = np.asarray(tensors[f"{eb}.{side}_theta"], np.float32)
-                    inv_cs = np.asarray(
-                        tensors[f"{eb}.{side}_channel_scales"], np.float32
-                    ).reshape(-1)
+                    def t(leaf):
+                        return tensors[f"{eb}.{rot_key.format(side=side, leaf=leaf)}"]
+
+                    pairs = np.asarray(t("pairs"), np.int32)
+                    theta = np.asarray(t("theta"), np.float32)
+                    inv_cs = np.asarray(t("channel_scales"), np.float32).reshape(-1)
                     form_np = _rot.pairs_to_permutation(pairs, group_size)
                     form = _rot.PermutationForm(*(jnp.asarray(a) for a in form_np))
                     R = _rot.build_rotation_matrices(
@@ -411,10 +468,32 @@ def load_checkpoint(
                     return (R * inv[:, None, :]).astype(rot_dtype)
 
                 def _stack(pn):
+                    if not awq_moe:
+                        return (
+                            jnp.asarray(tensors[f"{eb}.{pn}_qweight"]),
+                            jnp.asarray(tensors[f"{eb}.{pn}_scales"], jnp.float32),
+                            jnp.asarray(tensors[f"{eb}.{pn}_zeros"], jnp.float32),
+                        )
+                    # per-expert AWQ buffers -> stacked PARO-TPU packing
+                    proj = {"gate": "gate_proj", "up": "up_proj", "down": "down_proj"}[pn]
+                    qs, scs, zrs = [], [], []
+                    e = 0
+                    while f"{eb}.{e}.{proj}.qweight" in tensors:
+                        q = unpack_awq(tensors[f"{eb}.{e}.{proj}.qweight"], n_bits)
+                        zr = unpack_awq(
+                            tensors[f"{eb}.{e}.{proj}.qzeros"], n_bits
+                        ).astype(np.float32)  # [G, O]
+                        sc = np.asarray(
+                            tensors[f"{eb}.{e}.{proj}.scales"], np.float32
+                        )  # [G, O]
+                        qs.append(np.asarray(pack_wq_tpu(q, n_bits, group_size)))
+                        scs.append(sc)
+                        zrs.append(zr)
+                        e += 1
                     return (
-                        jnp.asarray(tensors[f"{eb}.{pn}_qweight"]),
-                        jnp.asarray(tensors[f"{eb}.{pn}_scales"], jnp.float32),
-                        jnp.asarray(tensors[f"{eb}.{pn}_zeros"], jnp.float32),
+                        jnp.asarray(np.stack(qs)),
+                        jnp.asarray(np.stack(scs), jnp.float32),
+                        jnp.asarray(np.stack(zrs), jnp.float32),
                     )
 
                 gq, gsc, gz = _stack("gate")

@@ -101,10 +101,31 @@ def moe_apply(
 
 
 def _moe_gather(experts, x, idx, gates):
-    gate_w, up_w, down_w, rot_gu, rot_d = _expert_weights(experts)
+    T, K = idx.shape
+    if isinstance(experts, QuantizedMoEExperts):
+        # gather the PACKED buffers for the selected experts first, then
+        # dequantize only those [T*K] slices — decode reads just the top-k
+        # experts' bytes from HBM, not the whole expert pool
+        gs = experts.group_size
+        flat = idx.reshape(-1)
+
+        def deq(qw, s, z):
+            picked = _dequant_stacked(
+                jnp.take(qw, flat, axis=0), jnp.take(s, flat, axis=0),
+                jnp.take(z, flat, axis=0), gs,
+            )
+            return picked.reshape(T, K, *picked.shape[1:])
+
+        wg = deq(experts.gate_qweight, experts.gate_scales, experts.gate_zeros)
+        wu = deq(experts.up_qweight, experts.up_scales, experts.up_zeros)
+        wd = deq(experts.down_qweight, experts.down_scales, experts.down_zeros)
+        rot_gu, rot_d = experts.gate_up_rot, experts.down_rot
+    else:
+        gate_w, up_w, down_w, rot_gu, rot_d = _expert_weights(experts)
+        wg = jnp.take(gate_w, idx, axis=0)  # [T, K, H, I]
+        wu = jnp.take(up_w, idx, axis=0)
+        wd = jnp.take(down_w, idx, axis=0)  # [T, K, I, H]
     xr = x if rot_gu is None else _rotate_tokens(x, rot_gu)
-    wg = jnp.take(gate_w, idx, axis=0)  # [T, K, H, I]
-    wu = jnp.take(up_w, idx, axis=0)
     g = jnp.einsum("th,tkhi->tki", xr.astype(jnp.float32), wg.astype(jnp.float32),
                    preferred_element_type=jnp.float32)
     u = jnp.einsum("th,tkhi->tki", xr.astype(jnp.float32), wu.astype(jnp.float32),
@@ -115,7 +136,6 @@ def _moe_gather(experts, x, idx, gates):
         ag = act.reshape(act.shape[0], act.shape[1], G, S)
         act = jnp.einsum("gij,tkgj->tkgi", rot_d.astype(jnp.float32), ag.astype(jnp.float32),
                          preferred_element_type=jnp.float32).reshape(act.shape).astype(x.dtype)
-    wd = jnp.take(down_w, idx, axis=0)  # [T, K, I, H]
     y = jnp.einsum("tki,tkih->tkh", act.astype(jnp.float32), wd.astype(jnp.float32),
                    preferred_element_type=jnp.float32)
     return jnp.sum(y * gates[..., None].astype(jnp.float32), axis=1).astype(x.dtype)

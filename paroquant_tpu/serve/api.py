@@ -30,6 +30,7 @@ def _sampling_from_body(body: dict[str, Any], engine: Engine) -> SamplingParams:
         temperature=float(body.get("temperature", 1.0)),
         top_p=float(body.get("top_p", 1.0)),
         top_k=int(body.get("top_k", 0)),
+        repetition_penalty=float(body.get("repetition_penalty", 1.0)),
         seed=body.get("seed"),
     )
 

@@ -59,24 +59,54 @@ class _Slot:
 
 
 @jax.jit
-def _sample_batch(logits, keys, temps, top_ps):
-    """Vectorized per-slot sampling: greedy where temp==0, else top-p.
+def _sample_batch(logits, keys, temps, top_ps, top_ks, rep_pens, token_counts):
+    """Vectorized per-slot sampling: repetition penalty -> temperature ->
+    top-k -> top-p, the same operation order as the single-stream
+    `sampling.sample_token` so Engine output matches Generator output for
+    identical params. Greedy where temp==0 (after the penalty, like HF).
+
     `keys` is a per-slot [B, 2] uint32 PRNG-key array so each request's
-    sampling stream is independent and seed-reproducible."""
+    sampling stream is independent and seed-reproducible. `token_counts`
+    [B, V] int32 counts every token seen by the slot (prompt + generated);
+    returns (tokens [B], counts updated with the sampled tokens)."""
+    B, V = logits.shape
     logits = logits.astype(jnp.float32)
+    # HF-style repetition penalty on slots with penalty != 1
+    seen = token_counts > 0
+    penalized = jnp.where(
+        seen,
+        jnp.where(logits > 0, logits / rep_pens[:, None], logits * rep_pens[:, None]),
+        logits,
+    )
+    logits = jnp.where((rep_pens != 1.0)[:, None], penalized, logits)
     greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     safe_t = jnp.where(temps > 0, temps, 1.0)
     scaled = logits / safe_t[:, None]
     sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
-    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    # top-k: mask below the k-th largest (k=0 -> keep all)
+    k_idx = jnp.where(top_ks > 0, top_ks, V).astype(jnp.int32) - 1
+    kth = jnp.take_along_axis(sorted_logits, k_idx[:, None], axis=1)
+    scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+    # top-p over the post-top-k distribution
+    sorted_k = jnp.sort(scaled, axis=-1)[:, ::-1]
+    probs = jnp.where(
+        jnp.isfinite(sorted_k), jax.nn.softmax(sorted_k, axis=-1), 0.0
+    )
     cum = jnp.cumsum(probs, axis=-1)
     cutoff_mask = cum - probs > top_ps[:, None]
     cutoff_logit = jnp.min(
-        jnp.where(cutoff_mask, jnp.inf, sorted_logits), axis=-1, keepdims=True
+        jnp.where(cutoff_mask, jnp.inf, sorted_k), axis=-1, keepdims=True
     )
     masked = jnp.where(scaled < cutoff_logit, -jnp.inf, scaled)
     sampled = jax.vmap(jax.random.categorical)(keys, masked).astype(jnp.int32)
-    return jnp.where(temps == 0, greedy_tok, sampled)
+    toks = jnp.where(temps == 0, greedy_tok, sampled)
+    new_counts = token_counts.at[jnp.arange(B), toks].add(1)
+    return toks, new_counts
+
+
+@jax.jit
+def _set_count_row(counts, slot_id, row):
+    return counts.at[slot_id].set(row)
 
 
 class Engine:
@@ -122,6 +152,12 @@ class Engine:
         )
         self.temps = np.zeros(max_batch, np.float32)
         self.top_ps = np.ones(max_batch, np.float32)
+        self.top_ks = np.zeros(max_batch, np.int32)
+        self.rep_pens = np.ones(max_batch, np.float32)
+        # per-slot token occurrence counts [B, V] for repetition penalty;
+        # lives on device (int32, ~0.6MB/slot at 151k vocab), rewritten from
+        # the prompt at admission so stale rows never leak across requests
+        self.token_counts = jnp.zeros((max_batch, config.vocab_size), jnp.int32)
         # per-slot PRNG state: base key from the request's seed, folded with a
         # per-step counter so each request's sampling is seed-reproducible
         # regardless of batch composition
@@ -239,12 +275,21 @@ class Engine:
             sp.seed if sp.seed is not None else abs(hash(req.request_id)) % (1 << 31)
         )
         key0 = np.asarray(jax.random.fold_in(base_key, 0), np.uint32)
-        tok = int(
-            _sample_batch(
-                logits[:, T - 1, :], jnp.asarray(key0[None, :]),
-                jnp.asarray([sp.temperature], jnp.float32),
-                jnp.asarray([sp.top_p], jnp.float32),
-            )[0]
+        prompt_counts = np.bincount(
+            np.asarray(req.prompt_tokens, np.int64),
+            minlength=self.config.vocab_size,
+        ).astype(np.int32)[None, :]
+        tok_arr, row_counts = _sample_batch(
+            logits[:, T - 1, :], jnp.asarray(key0[None, :]),
+            jnp.asarray([sp.temperature], jnp.float32),
+            jnp.asarray([sp.top_p], jnp.float32),
+            jnp.asarray([sp.top_k], jnp.int32),
+            jnp.asarray([sp.repetition_penalty], jnp.float32),
+            jnp.asarray(prompt_counts),
+        )
+        tok = int(tok_arr[0])
+        self.token_counts = _set_count_row(
+            self.token_counts, jnp.asarray(slot_id), row_counts[0]
         )
         slot = self.slots[slot_id]
         slot.request = req
@@ -255,6 +300,8 @@ class Engine:
         self.page_table[slot_id] = page_vec
         self.temps[slot_id] = sp.temperature
         self.top_ps[slot_id] = sp.top_p
+        self.top_ks[slot_id] = sp.top_k
+        self.rep_pens[slot_id] = sp.repetition_penalty
         self.slot_keys[slot_id] = np.asarray(base_key, np.uint32)
         self.slot_steps[slot_id] = 1
         req.first_token_time = time.perf_counter()
@@ -279,12 +326,14 @@ class Engine:
             np.uint32,
         )
         self.slot_steps += 1
-        toks = np.asarray(
-            _sample_batch(
-                logits, jnp.asarray(step_keys), jnp.asarray(np.array(self.temps)),
-                jnp.asarray(np.array(self.top_ps)),
-            )
+        toks_arr, self.token_counts = _sample_batch(
+            logits, jnp.asarray(step_keys), jnp.asarray(np.array(self.temps)),
+            jnp.asarray(np.array(self.top_ps)),
+            jnp.asarray(np.array(self.top_ks)),
+            jnp.asarray(np.array(self.rep_pens)),
+            self.token_counts,
         )
+        toks = np.asarray(toks_arr)
         self.metrics["steps"] += 1
         for i in active:
             tok = int(toks[i])
@@ -311,6 +360,8 @@ class Engine:
             self.tokens[slot_id] = 0
             self.temps[slot_id] = 0.0
             self.top_ps[slot_id] = 1.0
+            self.top_ks[slot_id] = 0
+            self.rep_pens[slot_id] = 1.0
             self.page_table[slot_id] = self.trash_page
 
     # convenience: synchronous generation through the engine

@@ -114,3 +114,26 @@ def test_calibrate_moe_model_and_checkpoint(tmp_path):
     l_l, _ = model_forward(loaded, config2, t)
     rel2 = float(jnp.linalg.norm(l_l - l_q) / jnp.linalg.norm(l_q))
     assert rel2 < 5e-3, rel2
+
+    # AWQ interchange round trip: the reference per-expert layout
+    # (experts.{e}.{proj}.qweight + shared rotation buffers) must re-load to
+    # the same logits as the paro-tpu layout (round-1 ADVICE item 4)
+    from paroquant_tpu.convert import save_awq_checkpoint
+
+    save_awq_checkpoint(tmp_path / "ckpt_awq", params, CFG, exports)
+    import json as _json
+
+    awq_keys = set()
+    from safetensors import safe_open
+
+    with safe_open(str(tmp_path / "ckpt_awq" / "model.safetensors"), framework="np") as sf:
+        awq_keys = set(sf.keys())
+    assert "model.layers.0.mlp.experts.0.gate_proj.qweight" in awq_keys
+    assert "model.layers.0.mlp.experts.gate_up_weight_theta" in awq_keys
+    assert "model.layers.0.mlp.gate.weight" in awq_keys
+    loaded_awq, config3 = load_checkpoint(tmp_path / "ckpt_awq", dtype=jnp.float32)
+    assert config3.is_moe
+    l_a, _ = model_forward(loaded_awq, config3, t)
+    # f16 rotation/scale storage in the AWQ file adds ~1e-3-level noise
+    rel3 = float(jnp.linalg.norm(l_a - l_l) / jnp.linalg.norm(l_l))
+    assert rel3 < 5e-3, rel3

@@ -176,6 +176,62 @@ def test_engine_interleaved_admission(model):
     assert got2 == got3
 
 
+def test_engine_sampler_matches_single_stream():
+    """_sample_batch must implement the same rep-penalty -> temp -> top-k ->
+    top-p pipeline as sampling.sample_token: identical key + identical params
+    => identical token (round-1 VERDICT missing item 8)."""
+    from paroquant_tpu.serve.engine import _sample_batch
+
+    rng = np.random.default_rng(9)
+    V = 64
+    logits = jnp.asarray(rng.standard_normal((1, V)).astype(np.float32) * 3)
+    counts = np.zeros((1, V), np.int32)
+    counts[0, rng.integers(0, V, 20)] += 1
+    counts = jnp.asarray(counts)
+    for temp, top_p, top_k, pen in [
+        (0.8, 0.9, 5, 1.3),
+        (0.7, 1.0, 0, 1.0),
+        (1.2, 0.5, 0, 2.0),
+        (0.9, 1.0, 3, 1.0),
+        (0.0, 1.0, 0, 1.5),  # greedy with penalty
+        (1.0, 0.8, 10, 1.1),
+    ]:
+        key = jax.random.PRNGKey(hash((temp, top_p, top_k, pen)) % (1 << 31))
+        ref = sample_token(
+            logits, key, counts, temperature=temp, top_p=top_p, top_k=top_k,
+            repetition_penalty=pen,
+        )
+        raw_key = jnp.asarray(np.asarray(key, np.uint32)[None, :])
+        got, new_counts = _sample_batch(
+            logits, raw_key,
+            jnp.asarray([temp], jnp.float32), jnp.asarray([top_p], jnp.float32),
+            jnp.asarray([top_k], jnp.int32), jnp.asarray([pen], jnp.float32),
+            counts,
+        )
+        assert int(got[0]) == int(ref[0]), (temp, top_p, top_k, pen)
+        assert int(new_counts[0, int(got[0])]) == int(counts[0, int(got[0])]) + 1
+
+
+def test_engine_matches_generator_penalty_greedy(model):
+    """Greedy + repetition penalty end-to-end: the engine's batched path and
+    the single-stream Generator must emit identical tokens."""
+    params = model
+    gen = Generator(params, CFG, quant_mode="xla", cache_dtype=jnp.float32)
+    rng = np.random.default_rng(7)
+    prompt = list(rng.integers(0, CFG.vocab_size, 9))
+    sp = SamplingParams(max_tokens=10, temperature=0.0, repetition_penalty=1.8)
+    ref = [t for t in gen.stream_generate(prompt, sp)]
+    # penalty with temp=0 must actually change the sequence vs plain greedy
+    plain = [t for t in gen.stream_generate(
+        prompt, SamplingParams(max_tokens=10, temperature=0.0))]
+    assert ref != plain
+
+    eng = Engine(params, CFG, max_batch=2, max_len=64, page_size=8,
+                 quant_mode="xla", cache_dtype=jnp.float32)
+    got = eng.generate_sync(prompt, sp)
+    assert got == ref
+
+
 def test_sampling_modes():
     rng = np.random.default_rng(2)
     logits = jnp.asarray(rng.normal(size=(2, 64)) * 3, jnp.float32)
