@@ -355,7 +355,7 @@ def _strip_prefix(tensors: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
 
 
 def load_checkpoint(
-    model_dir: str | Path, rot_dtype=jnp.float32, dtype=jnp.bfloat16
+    model_dir: str | Path, rot_dtype=jnp.bfloat16, dtype=jnp.bfloat16
 ) -> tuple[dict[str, Any], ModelConfig]:
     """Load a model directory: PARO-TPU, AWQ-format PARO, or plain HF dense."""
     model_dir = Path(model_dir)

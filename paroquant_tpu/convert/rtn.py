@@ -61,7 +61,7 @@ def quantize_linear_rtn(
     num_rotations: int = 8,
     seed: int = 0,
     random_rotation: bool = False,
-    rot_dtype=jnp.float32,
+    rot_dtype=jnp.bfloat16,
 ) -> QuantizedLinear:
     """Quantize one dense linear (w [I, O]) to the PARO runtime format."""
     w = np.asarray(lin.w, np.float32).T  # [O, I] reference orientation
@@ -90,7 +90,7 @@ def quantize_linear_rtn(
 
 def quantize_experts_rtn(
     experts: dict[str, Any], *, n_bits: int = 4, group_size: int = 128,
-    num_rotations: int = 8, seed: int = 0, rot_dtype=jnp.float32,
+    num_rotations: int = 8, seed: int = 0, rot_dtype=jnp.bfloat16,
 ) -> QuantizedMoEExperts:
     """Quantize stacked MoE experts with identity shared rotations."""
     gate = np.asarray(experts["gate_proj"], np.float32)  # [E, H, I]
@@ -108,8 +108,8 @@ def quantize_experts_rtn(
             zs.append(np.asarray(z).T)
         return (
             jnp.asarray(np.stack(qs)),
-            jnp.asarray(np.stack(ss), jnp.float32),
-            jnp.asarray(np.stack(zs), jnp.float32),
+            jnp.asarray(np.stack(ss).astype(np.float16)),
+            jnp.asarray(np.stack(zs).astype(np.uint8)),
         )
 
     gq, gs, gz = quant_stack(gate)
@@ -137,7 +137,7 @@ def quantize_model_rtn(
     group_size: int = 128,
     num_rotations: int = 8,
     seed: int = 0,
-    rot_dtype=jnp.float32,
+    rot_dtype=jnp.bfloat16,
     quantize_lm_head: bool = False,
 ) -> dict[str, Any]:
     """Swap every eligible DenseLinear for a QuantizedLinear (functional copy).

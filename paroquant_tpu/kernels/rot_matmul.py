@@ -40,6 +40,39 @@ from jax.experimental.pallas import tpu as pltpu
 from ..ops.butterfly import butterfly_distances
 
 
+def _sublanes(dtype, G: int) -> int:
+    """Sublane-aligned block height for a [G, O] side array: the TPU min tile
+    is (8, 128) x (32 / itemsize) sublanes; clamp to G for tiny test shapes."""
+    n = {4: 8, 2: 16, 1: 32}[jnp.dtype(dtype).itemsize]
+    return n if G >= n else G
+
+
+def _row_select(ref, g) -> jax.Array:
+    """Extract row (g mod SB) of a [SB, O] block as [1, O] f32.
+
+    Mosaic cannot prove sublane alignment for a dynamic single-row vector
+    load of sub-f32 dtypes, so instead of ref[pl.ds(row,1)] the row is picked
+    with an iota==row mask + sum — a few VPU ops over an already-resident
+    VMEM block. uint8 routes through int32 (no direct uint8->f32 cast)."""
+    SB, O = ref.shape
+    row = jax.lax.rem(g, SB)
+    v = ref[:]
+    if v.dtype in (jnp.uint8, jnp.int8):
+        v = v.astype(jnp.int32)
+    v = v.astype(jnp.float32)
+    sel = jax.lax.broadcasted_iota(jnp.int32, (SB, O), 0) == row
+    return jnp.sum(jnp.where(sel, v, 0.0), axis=0, keepdims=True)
+
+
+def _dequant_contrib(acc, xsum, s_ref, z_ref, g):
+    """(acc - xsum*z_g) * s_g; scales/zeros stream in their storage dtype
+    (f16/uint8) and convert to f32 on the VPU — their HBM traffic is what
+    the narrow dtypes are for."""
+    s = _row_select(s_ref, g)
+    z = _row_select(z_ref, g)
+    return (acc - xsum * z) * s
+
+
 def _rotate_block_butterfly(x, cos_ref, sin_ref, distances):
     """Apply K butterfly Givens stages to x [TM, S] (f32) in registers."""
     TM, S = x.shape
@@ -85,8 +118,7 @@ def _kernel(
     w = jnp.concatenate([lo, hi], axis=0)  # [S, O]
 
     acc = jnp.dot(xr, w, preferred_element_type=jnp.float32)  # [TM, O]
-    row = jax.lax.rem(g, s_ref.shape[0])
-    contrib = (acc - xsum * z_ref[pl.ds(row, 1), :]) * s_ref[pl.ds(row, 1), :]
+    contrib = _dequant_contrib(acc, xsum, s_ref, z_ref, g)
 
     @pl.when(g == 0)
     def _init():
@@ -127,7 +159,8 @@ def butterfly_w4_matmul(
     if m_pad:
         x = jnp.pad(x, ((0, m_pad), (0, 0)))
     Mp = M + m_pad
-    SB = 8 if G >= 8 else G  # sublane-aligned scale/zero fetch (TPU min tile)
+    SBs = _sublanes(scales.dtype, G)
+    SBz = _sublanes(zeros.dtype, G)
 
     out = pl.pallas_call(
         functools.partial(_kernel, distances=distances, out_dtype=jnp.float32),
@@ -140,15 +173,16 @@ def butterfly_w4_matmul(
             pl.BlockSpec(
                 (group_size // 2, O), lambda i, g: (g, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((SB, O), lambda i, g: (g // SB, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SB, O), lambda i, g: (g // SB, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SBs, O), lambda i, g: (g // SBs, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SBz, O), lambda i, g: (g // SBz, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TM, O), lambda i, g: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Mp, O), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * Mp * I * O + 6 * Mp * I * K,
             bytes_accessed=I * O // 2 + Mp * I * x.dtype.itemsize + Mp * O * 4
-            + 2 * G * O * 4 + 2 * K * I * 4,
+            + G * O * (scales.dtype.itemsize + zeros.dtype.itemsize)
+            + 2 * K * I * 4,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -158,8 +192,8 @@ def butterfly_w4_matmul(
         cos_table.astype(jnp.float32),
         sin_table.astype(jnp.float32),
         qweight,
-        scales.astype(jnp.float32),
-        zeros.astype(jnp.float32),
+        scales,
+        zeros,
     )
     return out[:M].astype(x.dtype)
 
@@ -180,8 +214,7 @@ def _kernel_plain(x_ref, qw_ref, s_ref, z_ref, o_ref, *, out_dtype):
     hi = ((q >> 4) & 0xF).astype(jnp.bfloat16)
     w = jnp.concatenate([lo, hi], axis=0)
     acc = jnp.dot(xr, w, preferred_element_type=jnp.float32)
-    row = jax.lax.rem(g, s_ref.shape[0])
-    contrib = (acc - xsum * z_ref[pl.ds(row, 1), :]) * s_ref[pl.ds(row, 1), :]
+    contrib = _dequant_contrib(acc, xsum, s_ref, z_ref, g)
 
     @pl.when(g == 0)
     def _init():
@@ -213,25 +246,120 @@ def w4_matmul(
     if m_pad:
         x = jnp.pad(x, ((0, m_pad), (0, 0)))
     Mp = M + m_pad
-    SB = 8 if G >= 8 else G
+    SBs = _sublanes(scales.dtype, G)
+    SBz = _sublanes(zeros.dtype, G)
     out = pl.pallas_call(
         functools.partial(_kernel_plain, out_dtype=jnp.float32),
         grid=(Mp // TM, G),
         in_specs=[
             pl.BlockSpec((TM, group_size), lambda i, g: (i, g), memory_space=pltpu.VMEM),
             pl.BlockSpec((group_size // 2, O), lambda i, g: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SB, O), lambda i, g: (g // SB, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SB, O), lambda i, g: (g // SB, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SBs, O), lambda i, g: (g // SBs, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SBz, O), lambda i, g: (g // SBz, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TM, O), lambda i, g: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Mp, O), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * Mp * I * O,
-            bytes_accessed=I * O // 2 + Mp * I * x.dtype.itemsize + Mp * O * 4,
+            bytes_accessed=I * O // 2 + Mp * I * x.dtype.itemsize + Mp * O * 4
+            + G * O * (scales.dtype.itemsize + zeros.dtype.itemsize),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, qweight, scales.astype(jnp.float32), zeros.astype(jnp.float32))
+    )(x, qweight, scales, zeros)
+    return out[:M].astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Merged-projection fused kernel: P projections of the same input (QKV or
+# gate-up) share one weight stream and one launch; each partition applies its
+# own rotation to the x block in-registers before its column slice's matmul.
+# Counterpart of the reference vLLM plugin's per-partition rotate->GEMM loop
+# (plugin.py:281-311), collapsed into a single HBM pass.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_merged_rot(x_ref, rot_ref, qw_ref, s_ref, z_ref, o_ref, *,
+                       splits, out_dtype):
+    g = pl.program_id(1)
+    q = qw_ref[:].astype(jnp.int32)
+    lo = (q & 0xF).astype(jnp.bfloat16)
+    hi = ((q >> 4) & 0xF).astype(jnp.bfloat16)
+    w = jnp.concatenate([lo, hi], axis=0)  # [S, O_tot]
+    s_row = _row_select(s_ref, g)  # [1, O_tot] f32
+    z_row = _row_select(z_ref, g)
+    contribs = []
+    off = 0
+    for p, n in enumerate(splits):
+        rot = rot_ref[p, 0]  # [S, S]
+        x = x_ref[:].astype(rot.dtype)
+        xr = jax.lax.dot_general(
+            x, rot, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)
+        xsum = jnp.sum(xr.astype(jnp.float32), axis=1, keepdims=True)
+        acc = jnp.dot(xr, w[:, off : off + n], preferred_element_type=jnp.float32)
+        contribs.append((acc - xsum * z_row[:, off : off + n]) * s_row[:, off : off + n])
+        off += n
+    contrib = jnp.concatenate(contribs, axis=1)
+
+    @pl.when(g == 0)
+    def _init():
+        o_ref[:] = contrib.astype(out_dtype)
+
+    @pl.when(g > 0)
+    def _acc():
+        o_ref[:] = o_ref[:] + contrib.astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_splits", "block_m", "interpret"))
+def merged_rot_w4_matmul(
+    x: jax.Array,  # [M, I]
+    rot: jax.Array,  # [P, G, S, S]
+    qweight: jax.Array,  # [I//2, O_tot]
+    scales: jax.Array,  # [G, O_tot]
+    zeros: jax.Array,  # [G, O_tot]
+    *,
+    out_splits: tuple,
+    block_m: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    M, I = x.shape
+    P, G, S, _ = rot.shape
+    O = qweight.shape[1]
+    assert sum(out_splits) == O, (out_splits, O)
+    if block_m is None:
+        block_m = 128 if M >= 128 else 16
+    TM = block_m
+    m_pad = -M % TM
+    if m_pad:
+        x = jnp.pad(x, ((0, m_pad), (0, 0)))
+    Mp = M + m_pad
+    SBs = _sublanes(scales.dtype, G)
+    SBz = _sublanes(zeros.dtype, G)
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_merged_rot, splits=tuple(out_splits), out_dtype=jnp.float32
+        ),
+        grid=(Mp // TM, G),
+        in_specs=[
+            pl.BlockSpec((TM, S), lambda i, g: (i, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, 1, S, S), lambda i, g: (0, g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S // 2, O), lambda i, g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SBs, O), lambda i, g: (g // SBs, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SBz, O), lambda i, g: (g // SBz, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TM, O), lambda i, g: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, O), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * I * O + 2 * P * Mp * I * S,
+            bytes_accessed=I * O // 2 + P * G * S * S * rot.dtype.itemsize
+            + Mp * I * x.dtype.itemsize + Mp * O * 4
+            + G * O * (scales.dtype.itemsize + zeros.dtype.itemsize),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, rot, qweight, scales, zeros)
     return out[:M].astype(x.dtype)
 
 
@@ -244,8 +372,8 @@ def w4_matmul(
 
 def _kernel_dense_rot(x_ref, rot_ref, qw_ref, s_ref, z_ref, o_ref, *, out_dtype):
     g = pl.program_id(1)
-    x = x_ref[:].astype(jnp.float32)
-    rot = rot_ref[0]  # [S, S]; y_row = x_row @ rot^T
+    rot = rot_ref[0]  # [S, S] (bf16 storage; MXU-native); y_row = x_row @ rot^T
+    x = x_ref[:].astype(rot.dtype)
     xr_f32 = jax.lax.dot_general(
         x, rot, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -257,8 +385,7 @@ def _kernel_dense_rot(x_ref, rot_ref, qw_ref, s_ref, z_ref, o_ref, *, out_dtype)
     hi = ((q >> 4) & 0xF).astype(jnp.bfloat16)
     w = jnp.concatenate([lo, hi], axis=0)
     acc = jnp.dot(xr, w, preferred_element_type=jnp.float32)
-    row = jax.lax.rem(g, s_ref.shape[0])
-    contrib = (acc - xsum * z_ref[pl.ds(row, 1), :]) * s_ref[pl.ds(row, 1), :]
+    contrib = _dequant_contrib(acc, xsum, s_ref, z_ref, g)
 
     @pl.when(g == 0)
     def _init():
@@ -290,7 +417,8 @@ def rot_w4_matmul(
     if m_pad:
         x = jnp.pad(x, ((0, m_pad), (0, 0)))
     Mp = M + m_pad
-    SB = 8 if G >= 8 else G
+    SBs = _sublanes(scales.dtype, G)
+    SBz = _sublanes(zeros.dtype, G)
     out = pl.pallas_call(
         functools.partial(_kernel_dense_rot, out_dtype=jnp.float32),
         grid=(Mp // TM, G),
@@ -298,17 +426,18 @@ def rot_w4_matmul(
             pl.BlockSpec((TM, S), lambda i, g: (i, g), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, S, S), lambda i, g: (g, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((S // 2, O), lambda i, g: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SB, O), lambda i, g: (g // SB, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SB, O), lambda i, g: (g // SB, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SBs, O), lambda i, g: (g // SBs, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SBz, O), lambda i, g: (g // SBz, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TM, O), lambda i, g: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Mp, O), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * Mp * I * O + 2 * Mp * I * S,
             bytes_accessed=I * O // 2 + G * S * S * rot.dtype.itemsize
-            + Mp * I * x.dtype.itemsize + Mp * O * 4,
+            + Mp * I * x.dtype.itemsize + Mp * O * 4
+            + G * O * (scales.dtype.itemsize + zeros.dtype.itemsize),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, rot.astype(jnp.float32), qweight, scales.astype(jnp.float32), zeros.astype(jnp.float32))
+    )(x, rot, qweight, scales, zeros)
     return out[:M].astype(x.dtype)

@@ -25,7 +25,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.qlinear import QuantizedLinear, quantized_linear_forward
+from ..ops.qlinear import (
+    MergedQuantizedLinear,
+    QuantizedLinear,
+    merge_quantized_linears,
+    merged_linear_forward,
+    quantized_linear_forward,
+)
 from .config import ModelConfig
 
 
@@ -175,10 +181,63 @@ def attention(
 
 
 def mlp_forward(p: dict[str, Any], x: jax.Array, quant_mode: str) -> jax.Array:
-    gate = apply_linear(p["gate_proj"], x, quant_mode=quant_mode)
-    up = apply_linear(p["up_proj"], x, quant_mode=quant_mode)
+    if "gate_up_proj" in p:  # merged projections (one kernel launch)
+        gu = merged_linear_forward(p["gate_up_proj"], x, mode=quant_mode)
+        gate, up = jnp.split(gu, p["gate_up_proj"].split_points, axis=-1)
+    else:
+        gate = apply_linear(p["gate_proj"], x, quant_mode=quant_mode)
+        up = apply_linear(p["up_proj"], x, quant_mode=quant_mode)
     act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
     return apply_linear(p["down_proj"], act, quant_mode=quant_mode)
+
+
+def qkv_forward(
+    p: dict[str, Any], h: jax.Array, config: ModelConfig, quant_mode: str
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """q/k/v projections, via the merged layer when present."""
+    B, T, _ = h.shape
+    Hq, Hkv, D = config.num_attention_heads, config.num_key_value_heads, config.head_dim
+    if "qkv_proj" in p:
+        qkv = merged_linear_forward(p["qkv_proj"], h, mode=quant_mode)
+        q, k, v = jnp.split(qkv, p["qkv_proj"].split_points, axis=-1)
+    else:
+        q = apply_linear(p["q_proj"], h, quant_mode=quant_mode)
+        k = apply_linear(p["k_proj"], h, quant_mode=quant_mode)
+        v = apply_linear(p["v_proj"], h, quant_mode=quant_mode)
+    return (
+        q.reshape(B, T, Hq, D),
+        k.reshape(B, T, Hkv, D),
+        v.reshape(B, T, Hkv, D),
+    )
+
+
+def merge_projections(params: dict[str, Any], config: ModelConfig) -> dict[str, Any]:
+    """Post-load optimization: merge q/k/v and gate/up quantized projections
+    per layer into MergedQuantizedLinears (one kernel launch + one weight
+    stream each, like the reference vLLM plugin's merged QKV/gate-up,
+    plugin.py:193-205). Single-device layout; apply before TP sharding rules
+    only if the rules understand merged layers."""
+    out = dict(params)
+    layers = []
+    for lp in params["layers"]:
+        nlp = dict(lp)
+        if all(isinstance(lp.get(n), QuantizedLinear) for n in ("q_proj", "k_proj", "v_proj")):
+            nlp["qkv_proj"] = merge_quantized_linears(
+                [lp["q_proj"], lp["k_proj"], lp["v_proj"]]
+            )
+            for n in ("q_proj", "k_proj", "v_proj"):
+                nlp.pop(n)
+        mlp = dict(lp["mlp"])
+        if all(isinstance(mlp.get(n), QuantizedLinear) for n in ("gate_proj", "up_proj")):
+            mlp["gate_up_proj"] = merge_quantized_linears(
+                [mlp["gate_proj"], mlp["up_proj"]]
+            )
+            mlp.pop("gate_proj")
+            mlp.pop("up_proj")
+        nlp["mlp"] = mlp
+        layers.append(nlp)
+    out["layers"] = layers
+    return out
 
 
 def moe_forward(p: dict[str, Any], x: jax.Array, config: ModelConfig, quant_mode: str) -> jax.Array:
@@ -234,9 +293,7 @@ def layer_forward(
     Hq, Hkv, D = config.num_attention_heads, config.num_key_value_heads, config.head_dim
 
     h = rms_norm(x, p["input_layernorm"], config.rms_norm_eps, config.gemma_norm)
-    q = apply_linear(p["q_proj"], h, quant_mode=quant_mode).reshape(B, T, Hq, D)
-    k = apply_linear(p["k_proj"], h, quant_mode=quant_mode).reshape(B, T, Hkv, D)
-    v = apply_linear(p["v_proj"], h, quant_mode=quant_mode).reshape(B, T, Hkv, D)
+    q, k, v = qkv_forward(p, h, config, quant_mode)
     if config.qk_norm:
         q = rms_norm(q, p["q_norm"], config.rms_norm_eps, config.gemma_norm)
         k = rms_norm(k, p["k_norm"], config.rms_norm_eps, config.gemma_norm)

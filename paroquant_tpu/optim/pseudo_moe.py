@@ -270,7 +270,12 @@ def quantized_moe_from_export(exp: dict[str, Any], rot_dtype=jnp.float32) -> Qua
         qw = np.stack([pack_wq_tpu(q[e].T, n_bits, gs) for e in range(E)])
         s = np.ascontiguousarray(np.swapaxes(np.asarray(sub["scales"], np.float32), 1, 2))
         z = np.ascontiguousarray(np.swapaxes(np.asarray(sub["zeros"], np.float32), 1, 2))
-        return jnp.asarray(qw), jnp.asarray(s), jnp.asarray(z)
+        # narrow storage like QuantizedLinear: f16 scales, int8 zeros
+        return (
+            jnp.asarray(qw),
+            jnp.asarray(s.astype(np.float16)),
+            jnp.asarray(z.astype(np.uint8)),
+        )
 
     gq, gsc, gz = pack_stack(exp["gate"])
     uq, usc, uz = pack_stack(exp["up"])

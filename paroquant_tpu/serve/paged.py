@@ -31,6 +31,7 @@ from ..models.decoder import (
     apply_rope,
     mlp_forward,
     moe_forward,
+    qkv_forward,
     rms_norm,
     rope_tables_per_layer,
 )
@@ -125,9 +126,7 @@ def _paged_decode_step_impl(
     for li, lp in enumerate(params["layers"]):
         cos, sin = rope_by_layer[li]
         h = rms_norm(x, lp["input_layernorm"], config.rms_norm_eps, config.gemma_norm)
-        q = apply_linear(lp["q_proj"], h, quant_mode=quant_mode).reshape(B, 1, Hq, D)
-        k = apply_linear(lp["k_proj"], h, quant_mode=quant_mode).reshape(B, 1, Hkv, D)
-        v = apply_linear(lp["v_proj"], h, quant_mode=quant_mode).reshape(B, 1, Hkv, D)
+        q, k, v = qkv_forward(lp, h, config, quant_mode)
         if config.qk_norm:
             q = rms_norm(q, lp["q_norm"], config.rms_norm_eps, config.gemma_norm)
             k = rms_norm(k, lp["k_norm"], config.rms_norm_eps, config.gemma_norm)

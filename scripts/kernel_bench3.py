@@ -56,12 +56,15 @@ def main():
     x = jnp.asarray(rng.normal(size=(M, I)), jnp.bfloat16)
     q = rng.integers(0, 16, size=(I, O), dtype=np.int32)
     qweight = jnp.asarray(pack_w4_tpu(q, GS))
-    scales = jnp.asarray(rng.uniform(0.01, 0.05, (G, O)), jnp.float32)
-    zeros = jnp.asarray(rng.integers(0, 16, (G, O)), jnp.float32)
+    scales = jnp.asarray(rng.uniform(0.01, 0.05, (G, O)), jnp.float16)
+    zeros = jnp.asarray(rng.integers(0, 16, (G, O)), jnp.uint8)
     inv_s = jnp.asarray(rng.uniform(0.5, 2.0, I), jnp.float32)
     theta = rng.normal(0, 0.3, (K, I // 2)).astype(np.float32)
     cos_t, sin_t = (jnp.asarray(a) for a in bf.butterfly_tables(theta, GS))
-    rot = jnp.asarray(rng.normal(size=(G, GS, GS)), jnp.float32)
+    rot = jnp.asarray(rng.normal(size=(G, GS, GS)), jnp.bfloat16)
+    rot_f32 = jnp.asarray(rng.normal(size=(G, GS, GS)), jnp.float32)
+    scales_f32 = scales.astype(jnp.float32)
+    zeros_f32 = zeros.astype(jnp.float32)
     w_dense = jnp.asarray(rng.normal(size=(I, O)), jnp.bfloat16)
 
     def chain(step):
@@ -74,12 +77,17 @@ def main():
             return f
         return make
 
-    w4_bytes = I * O // 2 + 2 * G * O * 4
+    w4_bytes = I * O // 2 + G * O * 3
+    w4_bytes_f32 = I * O // 2 + 2 * G * O * 4
     slope_time(chain(lambda xv: jnp.dot(xv, w_dense, preferred_element_type=jnp.float32)),
                "xla_bf16_dense", I * O * 2)
     slope_time(chain(lambda xv: w4_matmul(xv, qweight, scales, zeros)), "w4_matmul", w4_bytes)
+    slope_time(chain(lambda xv: w4_matmul(xv, qweight, scales_f32, zeros_f32)),
+               "w4_matmul (f32 s/z)", w4_bytes_f32)
     slope_time(chain(lambda xv: rot_w4_matmul(xv, rot, qweight, scales, zeros)),
-               "dense_rot_w4", w4_bytes + G * GS * GS * 4)
+               "dense_rot_w4 (bf16)", w4_bytes + G * GS * GS * 2)
+    slope_time(chain(lambda xv: rot_w4_matmul(xv, rot_f32, qweight, scales_f32, zeros_f32)),
+               "dense_rot_w4 (f32)", w4_bytes_f32 + G * GS * GS * 4)
     slope_time(chain(lambda xv: butterfly_w4_matmul(xv, inv_s, cos_t, sin_t, qweight, scales, zeros)),
                "butterfly_w4 (K=8)", w4_bytes + 2 * K * I * 4)
 

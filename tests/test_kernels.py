@@ -119,3 +119,52 @@ def test_dense_rot_w4_matmul_matches_xla_path(M):
     yf, yx = np.asarray(y_fused), np.asarray(y_xla)
     np.testing.assert_allclose(yf, yx, rtol=5e-3, atol=6e-2)
     assert np.linalg.norm(yf - yx) / np.linalg.norm(yx) < 0.01
+
+
+def test_merged_projections_match_unmerged():
+    """QKV/gate-up merging must be a pure layout change: merged forward ==
+    per-projection forwards, in both xla and fused(interpret) modes."""
+    import dataclasses
+
+    from paroquant_tpu.convert.rtn import quantize_model_rtn
+    from paroquant_tpu.kernels.rot_matmul import merged_rot_w4_matmul
+    from paroquant_tpu.models import PRESETS, init_params, model_forward
+    from paroquant_tpu.models.decoder import merge_projections
+    from paroquant_tpu.ops.qlinear import merge_quantized_linears, merged_linear_forward
+
+    cfg = PRESETS["tiny"]
+    params = init_params(cfg, jax.random.PRNGKey(4), dtype=jnp.float32)
+    qparams = quantize_model_rtn(params, cfg, n_bits=4, group_size=64, seed=3)
+    mparams = merge_projections(qparams, cfg)
+    assert "qkv_proj" in mparams["layers"][0]
+    assert "gate_up_proj" in mparams["layers"][0]["mlp"]
+
+    toks = jnp.asarray(np.random.default_rng(6).integers(0, cfg.vocab_size, (2, 7)), jnp.int32)
+    l_ref, _ = model_forward(qparams, cfg, toks)
+    l_merged, _ = model_forward(mparams, cfg, toks)
+    np.testing.assert_allclose(
+        np.asarray(l_merged), np.asarray(l_ref), rtol=2e-3, atol=2e-3
+    )
+
+    # fused kernel (interpret) matches the xla merged path — with REAL
+    # (non-identity) per-partition rotations
+    from paroquant_tpu.convert.rtn import quantize_linear_rtn
+
+    lins = [
+        quantize_linear_rtn(
+            qp_dense, n_bits=4, group_size=64, random_rotation=True, seed=11 + i
+        )
+        for i, qp_dense in enumerate(
+            [params["layers"][0][n] for n in ("q_proj", "k_proj", "v_proj")]
+        )
+    ]
+    lp = merge_quantized_linears(lins)
+    x = jnp.asarray(np.random.default_rng(7).normal(size=(5, cfg.hidden_size)), jnp.float32)
+    y_xla = merged_linear_forward(lp, x, mode="xla")
+    y_fused = merged_rot_w4_matmul(
+        x, lp.rot, lp.qweight, lp.scales, lp.zeros,
+        out_splits=lp.out_splits, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(y_fused), np.asarray(y_xla), rtol=5e-3, atol=5e-2
+    )
