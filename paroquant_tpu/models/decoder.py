@@ -288,6 +288,7 @@ def layer_forward(
     kv_cache_layer: tuple[jax.Array, jax.Array] | None,
     cache_offset: jax.Array,
     quant_mode: str,
+    attn_mode: str = "einsum",
 ) -> tuple[jax.Array, tuple[jax.Array, jax.Array] | None]:
     B, T, _ = x.shape
     Hq, Hkv, D = config.num_attention_heads, config.num_key_value_heads, config.head_dim
@@ -312,12 +313,34 @@ def layer_forward(
         valid = jnp.asarray(T, jnp.int32)
         new_cache = None
 
-    attn_out = attention(
-        q, k_all, v_all, q_positions, valid,
-        scale=1.0 / float(np.sqrt(D)),
-        sliding_window=config.layer_sliding_window(layer_idx),
-        logit_softcap=config.attn_logit_softcap,
+    S_kv = k_all.shape[1]
+    flash_ok = (
+        attn_mode == "flash"
+        and T >= 128 and T % 128 == 0
+        and S_kv % min(256, S_kv) == 0
     )
+    if flash_ok:
+        # Pallas flash kernel (prefill-from-0 path: q_positions == arange(T));
+        # bucketed prefill pads kv to S==T and masks by `valid`
+        from ..kernels.attention import flash_attention
+
+        attn_out = flash_attention(
+            jnp.swapaxes(q, 1, 2), jnp.swapaxes(k_all, 1, 2),
+            jnp.swapaxes(v_all, 1, 2),
+            jnp.broadcast_to(valid.reshape(-1), (B,)),
+            scale=1.0 / float(np.sqrt(D)),
+            sliding_window=config.layer_sliding_window(layer_idx),
+            logit_softcap=config.attn_logit_softcap,
+            block_q=min(256, T), block_k=min(256, S_kv),
+        )
+        attn_out = jnp.swapaxes(attn_out, 1, 2)
+    else:
+        attn_out = attention(
+            q, k_all, v_all, q_positions, valid,
+            scale=1.0 / float(np.sqrt(D)),
+            sliding_window=config.layer_sliding_window(layer_idx),
+            logit_softcap=config.attn_logit_softcap,
+        )
     attn_out = apply_linear(
         p["o_proj"], attn_out.reshape(B, T, Hq * D), quant_mode=quant_mode
     )
@@ -354,6 +377,7 @@ def model_forward(
     cache: KVCache | None = None,
     *,
     quant_mode: str = "xla",
+    attn_mode: str = "einsum",
 ) -> tuple[jax.Array, KVCache | None]:
     """Returns (logits [B, T, V], updated cache)."""
     B, T = tokens.shape
@@ -372,7 +396,7 @@ def model_forward(
         cos, sin = rope_by_layer[i]
         x, updated = layer_forward(
             layer_params, x, config, i, cos, sin, positions, layer_cache, offset,
-            quant_mode,
+            quant_mode, attn_mode,
         )
         if updated is not None:
             new_k.append(updated[0])
@@ -467,9 +491,12 @@ def init_params(config: ModelConfig, key: jax.Array, dtype=jnp.bfloat16) -> dict
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("config", "quant_mode"))
-def prefill(params, config: ModelConfig, tokens, cache: KVCache, *, quant_mode="xla"):
-    logits, cache = model_forward(params, config, tokens, cache, quant_mode=quant_mode)
+@partial(jax.jit, static_argnames=("config", "quant_mode", "attn_mode"))
+def prefill(params, config: ModelConfig, tokens, cache: KVCache, *,
+            quant_mode="xla", attn_mode="einsum"):
+    logits, cache = model_forward(
+        params, config, tokens, cache, quant_mode=quant_mode, attn_mode=attn_mode
+    )
     return logits[:, -1, :], cache
 
 

@@ -134,6 +134,19 @@ def shard_params(params: dict[str, Any], config: ModelConfig, mesh: Mesh) -> dic
     )
 
 
+def shard_paged_cache(cache: Any, mesh: Mesh) -> Any:
+    """Shard a serve.paged.PagedKVCache [L, P, ps, Hkv, D] on kv heads.
+
+    Pages are replicated across the data axis (every rank serves every
+    request's pages — request-level DP happens at the engine/process level),
+    kv heads split on "model" like the contiguous cache.
+    """
+    spec = NamedSharding(mesh, P(None, None, None, "model", None))
+    return type(cache)(
+        k=jax.device_put(cache.k, spec), v=jax.device_put(cache.v, spec)
+    )
+
+
 def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
     specs = cache_specs(None)
     return KVCache(

@@ -124,7 +124,17 @@ class Engine:
         num_pages: int | None = None,
         quant_mode: str = "xla",
         cache_dtype=jnp.bfloat16,
+        mesh=None,
     ):
+        # Tensor-parallel serving (reference counterpart: the vLLM plugin's
+        # TP, plugin.py:167-311): pass a jax.sharding.Mesh and the engine
+        # shards params + the paged KV pool; GSPMD partitions the decode step
+        # and inserts the ICI collectives.
+        if mesh is not None:
+            from ..parallel.shard import shard_params
+
+            params = shard_params(params, config, mesh)
+        self.mesh = mesh
         self.params = params
         self.config = config
         self.tokenizer = tokenizer
@@ -140,6 +150,10 @@ class Engine:
         # clobber page 0 of an active request)
         self.trash_page = num_pages
         self.cache = PagedKVCache.create(config, num_pages + 1, page_size, cache_dtype)
+        if mesh is not None:
+            from ..parallel.shard import shard_paged_cache
+
+            self.cache = shard_paged_cache(self.cache, mesh)
         self.free_pages: list[int] = list(range(num_pages))
         self.slots = [_Slot() for _ in range(max_batch)]
         self.waiting: "queue.SimpleQueue[Request]" = queue.SimpleQueue()
@@ -171,6 +185,10 @@ class Engine:
         if tokenizer is not None and getattr(tokenizer, "eos_token_id", None) is not None:
             self.eos_ids.add(int(tokenizer.eos_token_id))
         self.metrics = {"requests": 0, "tokens_generated": 0, "steps": 0}
+        # Pallas flash prefill on real TPUs; einsum reference path on CPU
+        self.prefill_attn = (
+            "einsum" if jax.devices()[0].platform == "cpu" else "flash"
+        )
 
     # ------------------------------------------------------------------
     # public API
@@ -253,7 +271,8 @@ class Engine:
         toks[0, :T] = req.prompt_tokens
         cache = KVCache.create(self.config, 1, bucket, self.cache.k.dtype)
         logits, cache = _prefill_jit(
-            self.params, self.config, jnp.asarray(toks), cache, self.quant_mode
+            self.params, self.config, jnp.asarray(toks), cache, self.quant_mode,
+            self.prefill_attn,
         )
         # allocate pages and scatter KV
         need_pages = (
@@ -399,7 +418,9 @@ class Engine:
 from functools import partial  # noqa: E402
 
 
-@partial(jax.jit, static_argnames=("config", "quant_mode"))
-def _prefill_jit(params, config, tokens, cache, quant_mode):
-    logits, cache = model_forward(params, config, tokens, cache, quant_mode=quant_mode)
+@partial(jax.jit, static_argnames=("config", "quant_mode", "attn_mode"))
+def _prefill_jit(params, config, tokens, cache, quant_mode, attn_mode="einsum"):
+    logits, cache = model_forward(
+        params, config, tokens, cache, quant_mode=quant_mode, attn_mode=attn_mode
+    )
     return logits, cache

@@ -104,6 +104,7 @@ def _paged_decode_step_impl(
     cache: PagedKVCache,
     *,
     quant_mode: str = "xla",
+    attn_mode: str = "einsum",
 ) -> tuple[jax.Array, PagedKVCache]:
     """One decode step for every slot. Returns (logits [B, V], cache)."""
     B = tokens.shape[0]
@@ -137,14 +138,27 @@ def _paged_decode_step_impl(
         new_k = new_k.at[li, page_idx, offset].set(k.astype(new_k.dtype))
         new_v = new_v.at[li, page_idx, offset].set(v.astype(new_v.dtype))
 
-        k_pages = new_k[li][page_table]  # [B, maxP, ps, Hkv, D]
-        v_pages = new_v[li][page_table]
-        attn = paged_attention(
-            q, k_pages, v_pages, seq_lens + 1,
-            scale=1.0 / float(np.sqrt(D)),
-            sliding_window=config.layer_sliding_window(li),
-            logit_softcap=config.attn_logit_softcap,
-        )
+        if attn_mode == "kernel":
+            # Pallas paged kernel: reads ONLY the allocated pages (DMA clamps
+            # at the last page); step cost scales with cached tokens, not
+            # engine max_len
+            from ..kernels.attention import paged_decode_attention
+
+            attn = paged_decode_attention(
+                q, new_k[li], new_v[li], page_table, seq_lens + 1,
+                scale=1.0 / float(np.sqrt(D)),
+                sliding_window=config.layer_sliding_window(li),
+                logit_softcap=config.attn_logit_softcap,
+            )
+        else:
+            k_pages = new_k[li][page_table]  # [B, maxP, ps, Hkv, D]
+            v_pages = new_v[li][page_table]
+            attn = paged_attention(
+                q, k_pages, v_pages, seq_lens + 1,
+                scale=1.0 / float(np.sqrt(D)),
+                sliding_window=config.layer_sliding_window(li),
+                logit_softcap=config.attn_logit_softcap,
+            )
         attn = apply_linear(
             lp["o_proj"], attn.reshape(B, 1, Hq * D), quant_mode=quant_mode
         )
@@ -182,22 +196,23 @@ def _paged_decode_step_impl(
 # with jax 0.9: first call correct, subsequent calls wrong), so CPU uses the
 # non-donating compilation.
 _paged_decode_step_donate = partial(
-    jax.jit, static_argnames=("config", "quant_mode"), donate_argnames=("cache",)
+    jax.jit, static_argnames=("config", "quant_mode", "attn_mode"),
+    donate_argnames=("cache",),
 )(_paged_decode_step_impl)
 _paged_decode_step_nodonate = partial(
-    jax.jit, static_argnames=("config", "quant_mode")
+    jax.jit, static_argnames=("config", "quant_mode", "attn_mode")
 )(_paged_decode_step_impl)
 
 
 def paged_decode_step(params, config, tokens, seq_lens, page_table, cache, *,
-                      quant_mode="xla"):
-    fn = (
-        _paged_decode_step_donate
-        if jax.devices()[0].platform not in ("cpu",)
-        else _paged_decode_step_nodonate
-    )
+                      quant_mode="xla", attn_mode=None):
+    on_cpu = jax.devices()[0].platform in ("cpu",)
+    if attn_mode is None:
+        # kernel path on real TPUs; einsum reference on the CPU backend
+        attn_mode = "einsum" if on_cpu else "kernel"
+    fn = _paged_decode_step_nodonate if on_cpu else _paged_decode_step_donate
     return fn(params, config, tokens, seq_lens, page_table, cache,
-              quant_mode=quant_mode)
+              quant_mode=quant_mode, attn_mode=attn_mode)
 
 
 def _scatter_prefill_impl(

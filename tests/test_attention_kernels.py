@@ -1,0 +1,124 @@
+"""Pallas attention kernels vs einsum reference paths (interpret mode).
+
+paged_decode_attention must match serve.paged.paged_attention (the einsum
+full-gather reference) bit-closely for every feature: GQA, partial pages,
+sliding window, softcap. flash_attention must match models.decoder.attention.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from paroquant_tpu.kernels.attention import flash_attention, paged_decode_attention
+from paroquant_tpu.models.decoder import attention as einsum_attention
+from paroquant_tpu.serve.paged import paged_attention as einsum_paged
+
+
+def _mk_pages(rng, P, ps, Hkv, D):
+    k = rng.standard_normal((P, ps, Hkv, D)).astype(np.float32)
+    v = rng.standard_normal((P, ps, Hkv, D)).astype(np.float32)
+    return jnp.asarray(k), jnp.asarray(v)
+
+
+@pytest.mark.parametrize("window,softcap", [(None, None), (12, None), (None, 30.0), (10, 25.0)])
+def test_paged_decode_kernel_matches_einsum(window, softcap):
+    rng = np.random.default_rng(0)
+    B, Hq, Hkv, D, ps, P, maxP = 3, 8, 2, 128, 8, 16, 4
+    q = jnp.asarray(rng.standard_normal((B, Hq, D)).astype(np.float32))
+    k_pages, v_pages = _mk_pages(rng, P, ps, Hkv, D)
+    # slot 0: 1 page partially full; slot 1: 3 pages; slot 2: exactly 2 pages
+    seq_lens = jnp.asarray([5, 21, 16], jnp.int32)
+    table = np.zeros((B, maxP), np.int32)
+    table[0, :1] = [7]
+    table[1, :3] = [3, 11, 2]
+    table[2, :2] = [9, 1]
+    table = jnp.asarray(table)
+
+    got = paged_decode_attention(
+        q, k_pages, v_pages, table, seq_lens,
+        scale=0.1, sliding_window=window, logit_softcap=softcap,
+        interpret=True,
+    )
+
+    kg = k_pages[table]  # [B, maxP, ps, Hkv, D] full gather reference
+    vg = v_pages[table]
+    want = einsum_paged(
+        q, kg, vg, seq_lens, scale=0.1, sliding_window=window,
+        logit_softcap=softcap,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_paged_decode_kernel_ignores_unallocated_pages():
+    """Garbage in never-allocated pages must not affect the output."""
+    rng = np.random.default_rng(1)
+    B, Hq, Hkv, D, ps, P, maxP = 1, 4, 2, 128, 8, 8, 4
+    q = jnp.asarray(rng.standard_normal((B, Hq, D)).astype(np.float32))
+    k_pages, v_pages = _mk_pages(rng, P, ps, Hkv, D)
+    seq_lens = jnp.asarray([10], jnp.int32)  # 2 pages
+    table = jnp.asarray([[2, 5, 0, 0]], jnp.int32)  # trailing entries unused
+
+    base = paged_decode_attention(q, k_pages, v_pages, table, seq_lens,
+                                  scale=0.2, interpret=True)
+    # poison every page except 2 and 5
+    poison = np.asarray(k_pages).copy()
+    keep = {2, 5}
+    for p in range(P):
+        if p not in keep:
+            poison[p] = 1e4
+    got = paged_decode_attention(jnp.asarray(q), jnp.asarray(poison), v_pages,
+                                 table, seq_lens, scale=0.2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base), rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("window,softcap", [(None, None), (48, None), (None, 40.0)])
+def test_flash_prefill_matches_einsum(window, softcap):
+    rng = np.random.default_rng(2)
+    B, Hq, Hkv, D, T = 2, 4, 2, 128, 256
+    q = rng.standard_normal((B, T, Hq, D)).astype(np.float32)
+    k = rng.standard_normal((B, T, Hkv, D)).astype(np.float32)
+    v = rng.standard_normal((B, T, Hkv, D)).astype(np.float32)
+    positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
+
+    want = einsum_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), positions,
+        jnp.asarray(T, jnp.int32), scale=0.09, sliding_window=window,
+        logit_softcap=softcap,
+    )  # [B, T, Hq, D]
+
+    got = flash_attention(
+        jnp.asarray(q.transpose(0, 2, 1, 3)),
+        jnp.asarray(k.transpose(0, 2, 1, 3)),
+        jnp.asarray(v.transpose(0, 2, 1, 3)),
+        jnp.full((B,), T, jnp.int32),
+        scale=0.09, sliding_window=window, logit_softcap=softcap,
+        block_q=128, block_k=128, interpret=True,
+    ).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5)
+
+
+def test_flash_prefill_partial_kv_len():
+    """Rows beyond kv_lens[b] are masked (bucketed prefill padding)."""
+    rng = np.random.default_rng(3)
+    B, Hq, Hkv, D, T = 1, 4, 4, 128, 128
+    q = rng.standard_normal((B, T, Hq, D)).astype(np.float32)
+    k = rng.standard_normal((B, T, Hkv, D)).astype(np.float32)
+    v = rng.standard_normal((B, T, Hkv, D)).astype(np.float32)
+    n = 70
+    positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
+    want = einsum_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), positions,
+        jnp.asarray(n, jnp.int32), scale=0.09,
+    )
+    got = flash_attention(
+        jnp.asarray(q.transpose(0, 2, 1, 3)),
+        jnp.asarray(k.transpose(0, 2, 1, 3)),
+        jnp.asarray(v.transpose(0, 2, 1, 3)),
+        jnp.full((B,), n, jnp.int32),
+        scale=0.09, block_q=128, block_k=128, interpret=True,
+    ).transpose(0, 2, 1, 3)
+    # only the first n query rows are meaningful (prompt area)
+    np.testing.assert_allclose(
+        np.asarray(got)[:, :n], np.asarray(want)[:, :n], rtol=3e-5, atol=3e-5
+    )

@@ -85,3 +85,27 @@ def test_tp_moe_forward(setup):
     sharded = shard_params(params, config, mesh)
     logits, _ = jax.jit(lambda p, t: model_forward(p, config, t))(sharded, tokens)
     np.testing.assert_allclose(np.asarray(logits), np.asarray(ref), rtol=1e-3, atol=1e-3)
+
+
+def test_engine_tp_matches_single_device(setup):
+    """The serving engine under a model-parallel mesh must emit exactly the
+    same greedy tokens as the single-device engine (VERDICT r1 item 4)."""
+    from jax.sharding import Mesh
+
+    from paroquant_tpu.serve import Engine, SamplingParams
+
+    config, params, _, _ = setup
+    qparams = quantize_model_rtn(params, config, n_bits=4, group_size=64, seed=1)
+    rng = np.random.default_rng(11)
+    prompts = [list(rng.integers(0, config.vocab_size, n)) for n in (6, 13)]
+    sp = SamplingParams(max_tokens=8, temperature=0.0)
+
+    eng_ref = Engine(qparams, config, max_batch=2, max_len=64, page_size=8,
+                     quant_mode="xla", cache_dtype=jnp.float32)
+    ref = [eng_ref.generate_sync(p, sp) for p in prompts]
+
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(1, 2), ("data", "model"))
+    eng_tp = Engine(qparams, config, max_batch=2, max_len=64, page_size=8,
+                    quant_mode="xla", cache_dtype=jnp.float32, mesh=mesh)
+    got = [eng_tp.generate_sync(p, sp) for p in prompts]
+    assert got == ref
