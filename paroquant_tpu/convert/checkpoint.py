@@ -435,8 +435,24 @@ def load_checkpoint(
             k = f"{lbase}.self_attn.{name}.weight"
             if k in tensors:
                 lp[name] = jnp.asarray(tensors[k], dtype)
-        for name in _ATTN:
-            lp[name] = pick_linear(f"{lbase}.self_attn.{name}")
+        if config.layer_is_linear(li):
+            la = f"{lbase}.linear_attn"
+            lp["linear_attn"] = {
+                "in_proj_qkvz": pick_linear(f"{la}.in_proj_qkvz"),
+                "in_proj_ba": pick_linear(f"{la}.in_proj_ba"),
+                "out_proj": pick_linear(f"{la}.out_proj"),
+                "conv_w": jnp.asarray(
+                    np.asarray(tensors[f"{la}.conv1d.weight"], np.float32).reshape(
+                        config.linear_conv_dim, config.linear_conv_kernel_dim
+                    )
+                ),
+                "dt_bias": jnp.asarray(tensors[f"{la}.dt_bias"], jnp.float32),
+                "A_log": jnp.asarray(tensors[f"{la}.A_log"], jnp.float32),
+                "norm": jnp.asarray(tensors[f"{la}.norm.weight"], dtype),
+            }
+        else:
+            for name in _ATTN:
+                lp[name] = pick_linear(f"{lbase}.self_attn.{name}")
         mlp: dict[str, Any] = {}
         if f"{lbase}.mlp.gate.weight" in tensors:  # MoE router
             mlp["router"] = DenseLinear(

@@ -108,7 +108,7 @@ def quantize_experts_rtn(
             zs.append(np.asarray(z).T)
         return (
             jnp.asarray(np.stack(qs)),
-            jnp.asarray(np.stack(ss).astype(np.float16)),
+            jnp.asarray(np.stack(ss)).astype(jnp.bfloat16),
             jnp.asarray(np.stack(zs).astype(np.uint8)),
         )
 

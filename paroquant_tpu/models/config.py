@@ -38,6 +38,16 @@ class ModelConfig:
     rope_local_theta: float | None = None  # Gemma: different theta for local layers
     logit_softcap: float | None = None
     attn_logit_softcap: float | None = None
+    # qwen3_next hybrid family (gated delta-net linear attention interleaved
+    # with gated full attention, HF modeling_qwen3_next.py)
+    layer_types: tuple | None = None  # per-layer "linear_attention"/"full_attention"
+    partial_rotary_factor: float = 1.0
+    attn_gate: bool = False  # q_proj emits (query, gate); out *= sigmoid(gate)
+    linear_num_value_heads: int = 0
+    linear_num_key_heads: int = 0
+    linear_key_head_dim: int = 0
+    linear_value_head_dim: int = 0
+    linear_conv_kernel_dim: int = 4
     # MoE (0 experts => dense)
     num_experts: int = 0
     num_experts_per_tok: int = 0
@@ -65,6 +75,58 @@ class ModelConfig:
             return False
         step = max(self.decoder_sparse_step, 1)
         return (layer_idx + 1) % step == 0
+
+    @property
+    def zero_centered_norm(self) -> bool:
+        """(1 + w) RMSNorm weights: Gemma-class AND qwen3_next (HF
+        Qwen3NextRMSNorm stores zero-init weights). gemma_norm alone keeps
+        controlling the sqrt(H) embedding scale, which qwen3_next lacks."""
+        return self.gemma_norm or self.model_type == "qwen3_next"
+
+    def layer_is_linear(self, layer_idx: int) -> bool:
+        return (
+            self.layer_types is not None
+            and self.layer_types[layer_idx] == "linear_attention"
+        )
+
+    def kv_layer_index(self, layer_idx: int) -> int:
+        """Index of this full-attention layer within the KV cache stack
+        (hybrid models allocate KV only for full-attention layers)."""
+        if self.layer_types is None:
+            return layer_idx
+        return sum(
+            1 for i in range(layer_idx) if self.layer_types[i] == "full_attention"
+        )
+
+    def linear_layer_index(self, layer_idx: int) -> int:
+        if self.layer_types is None:
+            return 0
+        return sum(
+            1 for i in range(layer_idx) if self.layer_types[i] == "linear_attention"
+        )
+
+    @property
+    def num_full_attn_layers(self) -> int:
+        if self.layer_types is None:
+            return self.num_hidden_layers
+        return sum(1 for t in self.layer_types if t == "full_attention")
+
+    @property
+    def num_linear_layers(self) -> int:
+        if self.layer_types is None:
+            return 0
+        return sum(1 for t in self.layer_types if t == "linear_attention")
+
+    @property
+    def rotary_dim(self) -> int:
+        return int(self.head_dim * self.partial_rotary_factor)
+
+    @property
+    def linear_conv_dim(self) -> int:
+        return (
+            2 * self.linear_num_key_heads * self.linear_key_head_dim
+            + self.linear_num_value_heads * self.linear_value_head_dim
+        )
 
     def layer_sliding_window(self, layer_idx: int) -> int | None:
         """Per-layer sliding window (Gemma pattern: global every Nth layer)."""
@@ -96,16 +158,6 @@ def from_hf_dict(cfg: dict[str, Any]) -> ModelConfig:
         if "quantization_config" in outer:
             cfg.setdefault("quantization_config", outer["quantization_config"])
     mt = cfg.get("model_type", "llama")
-    if mt == "qwen3_next" or "linear_attention" in cfg.get("layer_types", ()):
-        # qwen3_next interleaves full attention with linear-attention
-        # (gated delta-net) layers; running such a checkpoint through the
-        # standard GQA decoder would silently produce garbage. Fail loudly
-        # until the linear-attention family lands (reference runs these via
-        # the HF/vLLM model zoos, optim/util.py:32-41).
-        raise NotImplementedError(
-            f"model_type {mt!r} uses linear-attention (delta-net) layers, "
-            "which paroquant_tpu does not implement yet"
-        )
     heads = cfg.get("num_attention_heads", 32)
     hidden = cfg.get("hidden_size", 4096)
     head_dim = cfg.get("head_dim") or hidden // heads
@@ -143,6 +195,32 @@ def from_hf_dict(cfg: dict[str, Any]) -> ModelConfig:
             norm_topk_prob=cfg.get("norm_topk_prob", True),
             decoder_sparse_step=cfg.get("decoder_sparse_step", 1),
             shared_expert_intermediate_size=cfg.get("shared_expert_intermediate_size", 0),
+        )
+    layer_types = cfg.get("layer_types")
+    if mt == "qwen3_next":
+        # hybrid gated-delta-net family (HF modeling_qwen3_next.py): 3 of
+        # every `full_attention_interval` layers are linear attention
+        n_layers = kwargs["num_hidden_layers"]
+        if layer_types is None:
+            interval = cfg.get("full_attention_interval", 4)
+            layer_types = [
+                "linear_attention" if (i + 1) % interval else "full_attention"
+                for i in range(n_layers)
+            ]
+        kwargs.update(
+            layer_types=tuple(layer_types),
+            partial_rotary_factor=cfg.get("partial_rotary_factor", 0.25),
+            attn_gate=True,
+            linear_num_value_heads=cfg.get("linear_num_value_heads", 32),
+            linear_num_key_heads=cfg.get("linear_num_key_heads", 16),
+            linear_key_head_dim=cfg.get("linear_key_head_dim", 128),
+            linear_value_head_dim=cfg.get("linear_value_head_dim", 128),
+            linear_conv_kernel_dim=cfg.get("linear_conv_kernel_dim", 4),
+        )
+    elif layer_types is not None and "linear_attention" in layer_types:
+        raise NotImplementedError(
+            f"model_type {mt!r} declares linear_attention layers; only the "
+            "qwen3_next delta-net family is implemented"
         )
     return ModelConfig(**kwargs)
 

@@ -94,48 +94,66 @@ def layer_rope_theta(config: ModelConfig, layer_idx: int) -> float:
 def rope_tables_per_layer(
     positions: jax.Array, config: ModelConfig
 ) -> list[tuple[jax.Array, jax.Array]]:
-    """One (cos, sin) pair per layer, computed once per distinct theta."""
+    """One (cos, sin) pair per layer, computed once per distinct theta.
+    Tables cover config.rotary_dim dims (partial rotary passes the rest)."""
     by_theta: dict[float, tuple[jax.Array, jax.Array]] = {}
     out = []
     for li in range(config.num_hidden_layers):
         th = layer_rope_theta(config, li)
         if th not in by_theta:
-            by_theta[th] = rope_tables(positions, config.head_dim, th)
+            by_theta[th] = rope_tables(positions, config.rotary_dim, th)
         out.append(by_theta[th])
     return out
 
 
 def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
-    """x [B, T, H, D]; rotate-half convention (HF llama)."""
-    half = x.shape[-1] // 2
-    x1, x2 = x[..., :half], x[..., half:]
+    """x [B, T, H, D]; rotate-half convention (HF llama). Supports partial
+    rotary (qwen3_next partial_rotary_factor): when the tables cover fewer
+    dims than D, the remaining dims pass through unrotated."""
+    half = cos.shape[-1]
+    rd = 2 * half
+    x_rot, x_pass = x[..., :rd], x[..., rd:]
+    x1, x2 = x_rot[..., :half], x_rot[..., half:]
     c = cos[:, :, None, :].astype(jnp.float32)
     s = sin[:, :, None, :].astype(jnp.float32)
     x1f, x2f = x1.astype(jnp.float32), x2.astype(jnp.float32)
-    return jnp.concatenate([x1f * c - x2f * s, x2f * c + x1f * s], axis=-1).astype(x.dtype)
+    rotated = jnp.concatenate([x1f * c - x2f * s, x2f * c + x1f * s], axis=-1).astype(x.dtype)
+    if x_pass.shape[-1] == 0:
+        return rotated
+    return jnp.concatenate([rotated, x_pass], axis=-1)
 
 
 class KVCache(NamedTuple):
-    """Uniform-length KV cache for batch decode: k/v [L, B, S, Hkv, D]."""
+    """Uniform-length KV cache for batch decode: k/v [Lf, B, S, Hkv, D].
+
+    Lf = number of full-attention layers (== num_hidden_layers for
+    non-hybrid models). Hybrid (qwen3_next) models carry the linear-layer
+    conv/recurrent states in `linear` instead of KV rows."""
 
     k: jax.Array
     v: jax.Array
     length: jax.Array  # int32 scalar: tokens already cached
+    linear: Any = None  # LinearAttnStates for hybrid models
 
     @classmethod
     def create(
         cls, config: ModelConfig, batch: int, max_len: int, dtype=jnp.bfloat16
     ) -> "KVCache":
         shape = (
-            config.num_hidden_layers,
+            config.num_full_attn_layers,
             batch,
             max_len,
             config.num_key_value_heads,
             config.head_dim,
         )
+        linear = None
+        if config.num_linear_layers:
+            from .linear_attn import LinearAttnStates
+
+            linear = LinearAttnStates.create(config, batch)
         return cls(
             k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
-            length=jnp.zeros((), jnp.int32),
+            length=jnp.zeros((), jnp.int32), linear=linear,
         )
 
 
@@ -193,8 +211,10 @@ def mlp_forward(p: dict[str, Any], x: jax.Array, quant_mode: str) -> jax.Array:
 
 def qkv_forward(
     p: dict[str, Any], h: jax.Array, config: ModelConfig, quant_mode: str
-) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """q/k/v projections, via the merged layer when present."""
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array | None]:
+    """q/k/v projections (via the merged layer when present) + optional
+    attention output gate (qwen3_next: q_proj emits (query, gate) per head,
+    HF Qwen3NextAttention)."""
     B, T, _ = h.shape
     Hq, Hkv, D = config.num_attention_heads, config.num_key_value_heads, config.head_dim
     if "qkv_proj" in p:
@@ -204,10 +224,16 @@ def qkv_forward(
         q = apply_linear(p["q_proj"], h, quant_mode=quant_mode)
         k = apply_linear(p["k_proj"], h, quant_mode=quant_mode)
         v = apply_linear(p["v_proj"], h, quant_mode=quant_mode)
+    gate = None
+    if config.attn_gate:
+        qg = q.reshape(B, T, Hq, 2 * D)
+        q = qg[..., :D]
+        gate = qg[..., D:].reshape(B, T, Hq * D)
     return (
         q.reshape(B, T, Hq, D),
         k.reshape(B, T, Hkv, D),
         v.reshape(B, T, Hkv, D),
+        gate,
     )
 
 
@@ -293,11 +319,11 @@ def layer_forward(
     B, T, _ = x.shape
     Hq, Hkv, D = config.num_attention_heads, config.num_key_value_heads, config.head_dim
 
-    h = rms_norm(x, p["input_layernorm"], config.rms_norm_eps, config.gemma_norm)
-    q, k, v = qkv_forward(p, h, config, quant_mode)
+    h = rms_norm(x, p["input_layernorm"], config.rms_norm_eps, config.zero_centered_norm)
+    q, k, v, attn_gate = qkv_forward(p, h, config, quant_mode)
     if config.qk_norm:
-        q = rms_norm(q, p["q_norm"], config.rms_norm_eps, config.gemma_norm)
-        k = rms_norm(k, p["k_norm"], config.rms_norm_eps, config.gemma_norm)
+        q = rms_norm(q, p["q_norm"], config.rms_norm_eps, config.zero_centered_norm)
+        k = rms_norm(k, p["k_norm"], config.rms_norm_eps, config.zero_centered_norm)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -341,18 +367,21 @@ def layer_forward(
             sliding_window=config.layer_sliding_window(layer_idx),
             logit_softcap=config.attn_logit_softcap,
         )
-    attn_out = apply_linear(
-        p["o_proj"], attn_out.reshape(B, T, Hq * D), quant_mode=quant_mode
-    )
+    attn_out = attn_out.reshape(B, T, Hq * D)
+    if attn_gate is not None:
+        attn_out = (
+            attn_out.astype(jnp.float32) * jax.nn.sigmoid(attn_gate.astype(jnp.float32))
+        ).astype(attn_out.dtype)
+    attn_out = apply_linear(p["o_proj"], attn_out, quant_mode=quant_mode)
     if config.post_norms:
         attn_out = rms_norm(
-            attn_out, p["post_attention_layernorm"], config.rms_norm_eps, config.gemma_norm
+            attn_out, p["post_attention_layernorm"], config.rms_norm_eps, config.zero_centered_norm
         )
         x = x + attn_out
-        h2 = rms_norm(x, p["pre_feedforward_layernorm"], config.rms_norm_eps, config.gemma_norm)
+        h2 = rms_norm(x, p["pre_feedforward_layernorm"], config.rms_norm_eps, config.zero_centered_norm)
     else:
         x = x + attn_out
-        h2 = rms_norm(x, p["post_attention_layernorm"], config.rms_norm_eps, config.gemma_norm)
+        h2 = rms_norm(x, p["post_attention_layernorm"], config.rms_norm_eps, config.zero_centered_norm)
 
     if config.layer_is_sparse(layer_idx):
         mlp_out = moe_forward(p["mlp"], h2, config, quant_mode)
@@ -360,7 +389,7 @@ def layer_forward(
         mlp_out = mlp_forward(p["mlp"], h2, quant_mode)
     if config.post_norms:
         mlp_out = rms_norm(
-            mlp_out, p["post_feedforward_layernorm"], config.rms_norm_eps, config.gemma_norm
+            mlp_out, p["post_feedforward_layernorm"], config.rms_norm_eps, config.zero_centered_norm
         )
     return x + mlp_out, new_cache
 
@@ -391,8 +420,33 @@ def model_forward(
     rope_by_layer = rope_tables_per_layer(positions, config)
 
     new_k, new_v = [], []
+    new_conv, new_rec = [], []
     for i, layer_params in enumerate(params["layers"]):
-        layer_cache = None if cache is None else (cache.k[i], cache.v[i])
+        if config.layer_is_linear(i):
+            from .linear_attn import delta_net_forward
+
+            ll = config.linear_layer_index(i)
+            conv_st = None if cache is None else cache.linear.conv[ll]
+            rec_st = None if cache is None else cache.linear.rec[ll]
+            h = rms_norm(x, layer_params["input_layernorm"], config.rms_norm_eps,
+                         config.zero_centered_norm)
+            attn_out, conv_st, rec_st = delta_net_forward(
+                layer_params["linear_attn"], h, config, conv_st, rec_st, quant_mode
+            )
+            x = x + attn_out
+            h2 = rms_norm(x, layer_params["post_attention_layernorm"],
+                          config.rms_norm_eps, config.zero_centered_norm)
+            if config.layer_is_sparse(i):
+                mlp_out = moe_forward(layer_params["mlp"], h2, config, quant_mode)
+            else:
+                mlp_out = mlp_forward(layer_params["mlp"], h2, quant_mode)
+            x = x + mlp_out
+            if cache is not None:
+                new_conv.append(conv_st)
+                new_rec.append(rec_st)
+            continue
+        ki = config.kv_layer_index(i)
+        layer_cache = None if cache is None else (cache.k[ki], cache.v[ki])
         cos, sin = rope_by_layer[i]
         x, updated = layer_forward(
             layer_params, x, config, i, cos, sin, positions, layer_cache, offset,
@@ -402,7 +456,7 @@ def model_forward(
             new_k.append(updated[0])
             new_v.append(updated[1])
 
-    x = rms_norm(x, params["norm"], config.rms_norm_eps, config.gemma_norm)
+    x = rms_norm(x, params["norm"], config.rms_norm_eps, config.zero_centered_norm)
     lm_head = params.get("lm_head")
     if lm_head is None:
         logits = jnp.dot(
@@ -415,7 +469,12 @@ def model_forward(
         logits = jnp.tanh(logits / config.logit_softcap) * config.logit_softcap
 
     if cache is not None:
-        cache = KVCache(jnp.stack(new_k), jnp.stack(new_v), offset + T)
+        linear = None
+        if new_conv:
+            from .linear_attn import LinearAttnStates
+
+            linear = LinearAttnStates(jnp.stack(new_conv), jnp.stack(new_rec))
+        cache = KVCache(jnp.stack(new_k), jnp.stack(new_v), offset + T, linear)
     return logits, cache
 
 
@@ -443,10 +502,38 @@ def init_params(config: ModelConfig, key: jax.Array, dtype=jnp.bfloat16) -> dict
     if not config.tie_word_embeddings:
         params["lm_head"] = _dense(next(keys), H, config.vocab_size, dtype)
     for i in range(config.num_hidden_layers):
+        if config.layer_is_linear(i):
+            Hk_l, Hv_l = config.linear_num_key_heads, config.linear_num_value_heads
+            dk_l, dv_l = config.linear_key_head_dim, config.linear_value_head_dim
+            cdim, Kc = config.linear_conv_dim, config.linear_conv_kernel_dim
+            k1, k2, k3, k4 = jax.random.split(next(keys), 4)
+            lp = {
+                "input_layernorm": jnp.ones((H,), dtype),
+                "post_attention_layernorm": jnp.ones((H,), dtype),
+                "linear_attn": {
+                    "in_proj_qkvz": _dense(
+                        k1, H, 2 * Hk_l * dk_l + 2 * Hv_l * dv_l, dtype
+                    ),
+                    "in_proj_ba": _dense(k2, H, 2 * Hv_l, dtype),
+                    "conv_w": (
+                        jax.random.normal(k3, (cdim, Kc), jnp.float32) * 0.3
+                    ).astype(jnp.float32),
+                    "dt_bias": jnp.ones((Hv_l,), jnp.float32),
+                    "A_log": jnp.log(
+                        jax.random.uniform(k4, (Hv_l,), jnp.float32, 1e-2, 16.0)
+                    ),
+                    "norm": jnp.ones((dv_l,), dtype),
+                    "out_proj": _dense(next(keys), Hv_l * dv_l, H, dtype),
+                },
+            }
+            lp["mlp"] = _init_mlp(config, keys, i, dtype)
+            params["layers"].append(lp)
+            continue
+        q_out = Hq * D * 2 if config.attn_gate else Hq * D
         lp: dict[str, Any] = {
             "input_layernorm": jnp.ones((H,), dtype),
             "post_attention_layernorm": jnp.ones((H,), dtype),
-            "q_proj": _dense(next(keys), H, Hq * D, dtype, config.attention_bias),
+            "q_proj": _dense(next(keys), H, q_out, dtype, config.attention_bias),
             "k_proj": _dense(next(keys), H, Hkv * D, dtype, config.attention_bias),
             "v_proj": _dense(next(keys), H, Hkv * D, dtype, config.attention_bias),
             "o_proj": _dense(next(keys), Hq * D, H, dtype),
@@ -457,33 +544,37 @@ def init_params(config: ModelConfig, key: jax.Array, dtype=jnp.bfloat16) -> dict
         if config.post_norms:
             lp["pre_feedforward_layernorm"] = jnp.ones((H,), dtype)
             lp["post_feedforward_layernorm"] = jnp.ones((H,), dtype)
-        if config.layer_is_sparse(i):
-            E, I_moe = config.num_experts, config.moe_intermediate_size
-            k1, k2, k3, k4 = jax.random.split(next(keys), 4)
-            lp["mlp"] = {
-                "router": DenseLinear(
-                    (jax.random.normal(k1, (H, E), jnp.float32) * 0.02).astype(dtype), None
-                ),
-                "experts": {
-                    "gate_proj": (
-                        jax.random.normal(k2, (E, H, I_moe), jnp.float32) / np.sqrt(H)
-                    ).astype(dtype),
-                    "up_proj": (
-                        jax.random.normal(k3, (E, H, I_moe), jnp.float32) / np.sqrt(H)
-                    ).astype(dtype),
-                    "down_proj": (
-                        jax.random.normal(k4, (E, I_moe, H), jnp.float32) / np.sqrt(I_moe)
-                    ).astype(dtype),
-                },
-            }
-        else:
-            lp["mlp"] = {
-                "gate_proj": _dense(next(keys), H, config.intermediate_size, dtype, config.mlp_bias),
-                "up_proj": _dense(next(keys), H, config.intermediate_size, dtype, config.mlp_bias),
-                "down_proj": _dense(next(keys), config.intermediate_size, H, dtype, config.mlp_bias),
-            }
+        lp["mlp"] = _init_mlp(config, keys, i, dtype)
         params["layers"].append(lp)
     return params
+
+
+def _init_mlp(config: ModelConfig, keys, i: int, dtype) -> dict[str, Any]:
+    H = config.hidden_size
+    if config.layer_is_sparse(i):
+        E, I_moe = config.num_experts, config.moe_intermediate_size
+        k1, k2, k3, k4 = jax.random.split(next(keys), 4)
+        return {
+            "router": DenseLinear(
+                (jax.random.normal(k1, (H, E), jnp.float32) * 0.02).astype(dtype), None
+            ),
+            "experts": {
+                "gate_proj": (
+                    jax.random.normal(k2, (E, H, I_moe), jnp.float32) / np.sqrt(H)
+                ).astype(dtype),
+                "up_proj": (
+                    jax.random.normal(k3, (E, H, I_moe), jnp.float32) / np.sqrt(H)
+                ).astype(dtype),
+                "down_proj": (
+                    jax.random.normal(k4, (E, I_moe, H), jnp.float32) / np.sqrt(I_moe)
+                ).astype(dtype),
+            },
+        }
+    return {
+        "gate_proj": _dense(next(keys), H, config.intermediate_size, dtype, config.mlp_bias),
+        "up_proj": _dense(next(keys), H, config.intermediate_size, dtype, config.mlp_bias),
+        "down_proj": _dense(next(keys), config.intermediate_size, H, dtype, config.mlp_bias),
+    }
 
 
 # ---------------------------------------------------------------------------

@@ -40,8 +40,8 @@ class QuantizedLinear(NamedTuple):
     Shapes (I = in_features, O = out_features, G = I // group_size, S = group
     size, Ght = number of rotation groups == G):
       qweight uint8 [I//2, O]   PARO-TPU packed int4 (see ops/packing.py)
-      scales  f16   [G, O]      per-group dequant scales (f16 matches the AWQ
-                                interchange precision, reference convert.py)
+      scales  bf16  [G, O]      per-group dequant scales (bf16: Mosaic has no
+                                f16; ~0.4% scale rounding, far below W4 noise)
       zeros   uint8 [G, O]      per-group rounded zero points (0..2^bits-1, exact)
       rot     bf16  [G, S, S]   composed rotation matrices with 1/channel_scale
                                 folded in: M_g = R_g @ diag(inv_s_g)
@@ -101,7 +101,7 @@ def make_quantized_linear(
     M = R * inv_s[:, None, :]  # fold diag(inv_s) on the input side
     return QuantizedLinear(
         qweight=jnp.asarray(pack_wq_tpu(np.asarray(q).T, n_bits, group_size)),
-        scales=jnp.asarray(scales, jnp.float32).T.astype(jnp.float16),
+        scales=jnp.asarray(scales, jnp.float32).T.astype(jnp.bfloat16),
         zeros=jnp.asarray(np.asarray(zeros), np.float32).T.astype(jnp.uint8),
         rot=M.astype(rot_dtype),
         bias=None if bias is None else jnp.asarray(bias, jnp.float32),
@@ -163,7 +163,7 @@ import flax.struct
 class MergedQuantizedLinear:
     """P projections over the same input, concatenated along O.
 
-    qweight uint8 [I//2, O_tot]; scales f16 [G, O_tot]; zeros uint8 [G, O_tot];
+    qweight uint8 [I//2, O_tot]; scales bf16 [G, O_tot]; zeros uint8 [G, O_tot];
     rot bf16 [P, G, S, S] (per-partition composed rotations); bias [O_tot]|None.
     out_splits: static per-partition output widths (sum == O_tot).
     """

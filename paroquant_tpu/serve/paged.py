@@ -126,11 +126,11 @@ def _paged_decode_step_impl(
     x = x[:, None, :]  # [B, 1, H]
     for li, lp in enumerate(params["layers"]):
         cos, sin = rope_by_layer[li]
-        h = rms_norm(x, lp["input_layernorm"], config.rms_norm_eps, config.gemma_norm)
-        q, k, v = qkv_forward(lp, h, config, quant_mode)
+        h = rms_norm(x, lp["input_layernorm"], config.rms_norm_eps, config.zero_centered_norm)
+        q, k, v, attn_gate = qkv_forward(lp, h, config, quant_mode)
         if config.qk_norm:
-            q = rms_norm(q, lp["q_norm"], config.rms_norm_eps, config.gemma_norm)
-            k = rms_norm(k, lp["k_norm"], config.rms_norm_eps, config.gemma_norm)
+            q = rms_norm(q, lp["q_norm"], config.rms_norm_eps, config.zero_centered_norm)
+            k = rms_norm(k, lp["k_norm"], config.rms_norm_eps, config.zero_centered_norm)
         q = apply_rope(q, cos, sin)[:, 0]  # [B, Hq, D]
         k = apply_rope(k, cos, sin)[:, 0]  # [B, Hkv, D]
         v = v[:, 0]
@@ -159,25 +159,28 @@ def _paged_decode_step_impl(
                 sliding_window=config.layer_sliding_window(li),
                 logit_softcap=config.attn_logit_softcap,
             )
-        attn = apply_linear(
-            lp["o_proj"], attn.reshape(B, 1, Hq * D), quant_mode=quant_mode
-        )
+        attn = attn.reshape(B, 1, Hq * D)
+        if attn_gate is not None:
+            attn = (
+                attn.astype(jnp.float32) * jax.nn.sigmoid(attn_gate.astype(jnp.float32))
+            ).astype(attn.dtype)
+        attn = apply_linear(lp["o_proj"], attn, quant_mode=quant_mode)
         if config.post_norms:
-            attn = rms_norm(attn, lp["post_attention_layernorm"], config.rms_norm_eps, config.gemma_norm)
+            attn = rms_norm(attn, lp["post_attention_layernorm"], config.rms_norm_eps, config.zero_centered_norm)
             x = x + attn
-            h2 = rms_norm(x, lp["pre_feedforward_layernorm"], config.rms_norm_eps, config.gemma_norm)
+            h2 = rms_norm(x, lp["pre_feedforward_layernorm"], config.rms_norm_eps, config.zero_centered_norm)
         else:
             x = x + attn
-            h2 = rms_norm(x, lp["post_attention_layernorm"], config.rms_norm_eps, config.gemma_norm)
+            h2 = rms_norm(x, lp["post_attention_layernorm"], config.rms_norm_eps, config.zero_centered_norm)
         if config.layer_is_sparse(li):
             mlp_out = moe_forward(lp["mlp"], h2, config, quant_mode)
         else:
             mlp_out = mlp_forward(lp["mlp"], h2, quant_mode)
         if config.post_norms:
-            mlp_out = rms_norm(mlp_out, lp["post_feedforward_layernorm"], config.rms_norm_eps, config.gemma_norm)
+            mlp_out = rms_norm(mlp_out, lp["post_feedforward_layernorm"], config.rms_norm_eps, config.zero_centered_norm)
         x = x + mlp_out
 
-    x = rms_norm(x[:, 0], params["norm"], config.rms_norm_eps, config.gemma_norm)
+    x = rms_norm(x[:, 0], params["norm"], config.rms_norm_eps, config.zero_centered_norm)
     lm_head = params.get("lm_head")
     if lm_head is None:
         logits = jnp.dot(x, params["embed_tokens"].T.astype(x.dtype),

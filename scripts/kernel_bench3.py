@@ -56,7 +56,7 @@ def main():
     x = jnp.asarray(rng.normal(size=(M, I)), jnp.bfloat16)
     q = rng.integers(0, 16, size=(I, O), dtype=np.int32)
     qweight = jnp.asarray(pack_w4_tpu(q, GS))
-    scales = jnp.asarray(rng.uniform(0.01, 0.05, (G, O)), jnp.float16)
+    scales = jnp.asarray(rng.uniform(0.01, 0.05, (G, O)), jnp.bfloat16)
     zeros = jnp.asarray(rng.integers(0, 16, (G, O)), jnp.uint8)
     inv_s = jnp.asarray(rng.uniform(0.5, 2.0, I), jnp.float32)
     theta = rng.normal(0, 0.3, (K, I // 2)).astype(np.float32)

@@ -94,7 +94,9 @@ def test_awq_format_import(tmp_path):
     l_orig, _ = model_forward(qparams, CFG, t)
     l_load, _ = model_forward(loaded, config, t)
     rel = float(jnp.linalg.norm(l_load - l_orig) / jnp.linalg.norm(l_orig))
-    assert rel < 5e-3, rel
+    # runtime storage is bf16 rot/scales (deliberate, ops/qlinear.py) while
+    # the in-calibration qparams kept f32 rotation -> bf16-level logits gap
+    assert rel < 2e-2, rel
 
 
 def test_dense_checkpoint_load(tmp_path):

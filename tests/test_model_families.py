@@ -89,15 +89,18 @@ def test_gemma_local_rope_theta():
     )
 
 
-def test_qwen3_next_fails_loudly():
+def test_qwen3_next_config_parses():
+    cfg = from_hf_dict({"model_type": "qwen3_next", "hidden_size": 256,
+                        "num_attention_heads": 4, "num_hidden_layers": 8})
+    assert cfg.layer_types is not None and cfg.num_linear_layers == 6
+    assert cfg.attn_gate and cfg.partial_rotary_factor == 0.25
+
+    # other families declaring linear_attention layers still fail loudly
     import pytest
 
-    with pytest.raises(NotImplementedError, match="linear-attention"):
-        from_hf_dict({"model_type": "qwen3_next", "hidden_size": 256,
-                      "num_attention_heads": 4})
-    with pytest.raises(NotImplementedError, match="linear-attention"):
+    with pytest.raises(NotImplementedError, match="linear_attention"):
         from_hf_dict({"model_type": "qwen3", "hidden_size": 256,
-                      "num_attention_heads": 4,
+                      "num_attention_heads": 4, "num_hidden_layers": 2,
                       "layer_types": ["linear_attention", "full_attention"]})
 
 

@@ -80,9 +80,11 @@ def test_moe_export_roundtrip_matches_pseudo():
     gates = jnp.asarray(rng.uniform(0, 1, (T, K)), jnp.float32)
     y_q = moe_ops._moe_gather(qmoe, x, idx, gates)
     y_eff = moe_ops._moe_gather(eff, x, idx, gates)
-    np.testing.assert_allclose(np.asarray(y_q), np.asarray(y_eff), rtol=2e-2, atol=2e-2)
+    # runtime stores scales in bf16 (deliberate HBM trade, ops/qlinear.py);
+    # the pseudo path is exact f32, so allow bf16-level output deviation
+    np.testing.assert_allclose(np.asarray(y_q), np.asarray(y_eff), rtol=5e-2, atol=5e-2)
     rel = float(jnp.linalg.norm(y_q - y_eff) / jnp.linalg.norm(y_eff))
-    assert rel < 5e-3, rel
+    assert rel < 2e-2, rel
 
 
 def test_calibrate_moe_model_and_checkpoint(tmp_path):

@@ -83,7 +83,8 @@ def test_optimize_reduces_linear_quant_error():
     qlin = quantized_from_export(exp)
     w_hat = np.asarray(pseudo_quantized_weight(linears["lin"]))
     w_eff = np.asarray(effective_weight(qlin)).T
-    np.testing.assert_allclose(w_eff, w_hat, rtol=1e-3, atol=1e-4)
+    # runtime scales are stored bf16 (ops/qlinear.py) -> bf16-level rounding
+    np.testing.assert_allclose(w_eff, w_hat, rtol=1e-2, atol=1e-3)
 
 
 def test_calibrate_model_end_to_end(tmp_path):

@@ -94,9 +94,9 @@ def test_quantized_linear_against_dense_reference():
     x = jnp.asarray(rng.normal(size=(5, 256)).astype(np.float32))
     y = quantized_linear_forward(layer, x, mode="xla")
 
-    # dense reference: y = rotate(x * inv_s) @ Wd + b. Scales are stored f16
-    # (AWQ interchange precision) so the reference uses the f16-rounded s.
-    s16 = s.astype(np.float16).astype(np.float32)
+    # dense reference: y = rotate(x * inv_s) @ Wd + b. Scales are stored
+    # bf16 so the reference uses the bf16-rounded s.
+    s16 = np.asarray(jnp.asarray(s, jnp.bfloat16).astype(jnp.float32))
     wd_ref = np.asarray(quant.dequantize_int(jnp.asarray(q), jnp.asarray(s16), jnp.asarray(z), GS))
     xr = np.asarray(R.apply_rotation_stages(x * inv_s, jnp.asarray(theta), form))
     y_ref = xr @ wd_ref.T + b
