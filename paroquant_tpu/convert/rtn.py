@@ -109,7 +109,7 @@ def quantize_experts_rtn(
         return (
             jnp.asarray(np.stack(qs)),
             jnp.asarray(np.stack(ss)).astype(jnp.bfloat16),
-            jnp.asarray(np.stack(zs).astype(np.uint8)),
+            jnp.asarray(np.stack(zs)).astype(jnp.bfloat16),
         )
 
     gq, gs, gz = quant_stack(gate)
@@ -178,3 +178,51 @@ def quantize_model_rtn(
         layers.append(nlp)
     out["layers"] = layers
     return out
+
+
+def rtn_export_linear(
+    lin: DenseLinear, *, n_bits: int = 4, group_size: int = 128,
+    num_rotations: int = 8,
+) -> dict[str, Any]:
+    """Export dict (checkpoint interchange form) for an RTN-quantized linear:
+    identity rotation (theta=0), unit channel scales."""
+    w = np.asarray(lin.w, np.float32).T  # [O, I]
+    params = _cached_rotation_params(w.shape[1], group_size, num_rotations, 0)
+    q, s, z = _rtn_quantize_jit(jnp.asarray(w), n_bits, group_size)
+    return {
+        "q": np.asarray(q),
+        "scales": np.asarray(s),
+        "zeros": np.asarray(z),
+        "pairs": np.asarray(params.pairs),
+        "theta": np.zeros(params.theta.shape, np.float32),
+        "inv_channel_scales": np.ones(w.shape[1], np.float32),
+        "bias": None if lin.b is None else np.asarray(lin.b, np.float32),
+        "n_bits": n_bits,
+        "group_size": group_size,
+    }
+
+
+def rtn_export_model(
+    params: dict[str, Any], config: ModelConfig, *,
+    n_bits: int = 4, group_size: int = 128,
+) -> list[dict[str, Any]]:
+    """Per-layer export dicts for save_paro_checkpoint / save_awq_checkpoint
+    (the RTN baseline path; MoE experts stay dense in this baseline)."""
+    exports: list[dict[str, Any]] = []
+    for lp in params["layers"]:
+        e: dict[str, Any] = {}
+        for name in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            if isinstance(lp.get(name), DenseLinear):
+                if lp[name].w.shape[0] % group_size == 0:
+                    e[name] = rtn_export_linear(
+                        lp[name], n_bits=n_bits, group_size=group_size
+                    )
+        mlp = lp.get("mlp", {})
+        for name in ("gate_proj", "up_proj", "down_proj"):
+            if isinstance(mlp.get(name), DenseLinear):
+                if mlp[name].w.shape[0] % group_size == 0:
+                    e[f"mlp.{name}"] = rtn_export_linear(
+                        mlp[name], n_bits=n_bits, group_size=group_size
+                    )
+        exports.append(e)
+    return exports

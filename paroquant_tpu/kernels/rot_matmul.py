@@ -271,6 +271,112 @@ def w4_matmul(
 
 
 # ---------------------------------------------------------------------------
+# Multi-group fused kernel — the decode fast path. Gb groups advance per grid
+# step: ONE batched rotation dot ([Gb,TM,S]x[Gb,S,S]) and ONE [TM,Gb*S]@[Gb*S,O]
+# MXU matmul, instead of Gb serialized pairs. Dequant happens on the weight in
+# registers ((q - z) * s in bf16, like the reference's AWQ f16 dequant GEMMs)
+# so no per-group zero-point correction pass is needed.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_dense_rot_mg(x_ref, rot_ref, qw_ref, s_ref, z_ref, o_ref, *,
+                         Gb, S, G_total, out_dtype):
+    gb = pl.program_id(1)
+    TM = x_ref.shape[0]
+    O = qw_ref.shape[1]
+    # out-of-range groups of the last partial block read PADDING (undefined
+    # values) — mask them out of both operands
+    g_valid = jax.lax.broadcasted_iota(jnp.int32, (Gb, 1, 1), 0) < (
+        G_total - gb * Gb
+    )
+
+    # batched rotation: xr[g, t, i] = sum_j x[g, t, j] rot[g, i, j]
+    # (Mosaic requires matching batch-dim positions on both operands)
+    xg = jnp.swapaxes(
+        x_ref[:].reshape(TM, Gb, S), 0, 1
+    ).astype(jnp.bfloat16)  # [Gb, TM, S]
+    rot = rot_ref[:].astype(jnp.bfloat16)  # [Gb, S, S]
+    xr = jax.lax.dot_general(
+        xg, rot,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [Gb, TM, S]
+    xr = jnp.where(g_valid, xr, 0.0)
+    xr = jnp.swapaxes(xr, 0, 1).reshape(TM, Gb * S).astype(jnp.bfloat16)
+
+    # unpack + dequant the weight block in registers (bf16)
+    q = qw_ref[:].astype(jnp.int32).reshape(Gb, S // 2, O)
+    lo = (q & 0xF).astype(jnp.bfloat16)
+    hi = ((q >> 4) & 0xF).astype(jnp.bfloat16)
+    qv = jnp.concatenate([lo, hi], axis=1)  # [Gb, S, O]
+    z = z_ref[:].astype(jnp.bfloat16)[:, None, :]  # [Gb, 1, O]
+    s = s_ref[:].astype(jnp.bfloat16)[:, None, :]
+    w = jnp.where(g_valid, (qv - z) * s, 0.0).reshape(Gb * S, O)
+
+    contrib = jnp.dot(xr, w, preferred_element_type=jnp.float32)
+
+    @pl.when(gb == 0)
+    def _init():
+        o_ref[:] = contrib.astype(out_dtype)
+
+    @pl.when(gb > 0)
+    def _acc():
+        o_ref[:] = o_ref[:] + contrib.astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "groups_per_step", "interpret"))
+def rot_w4_matmul_mg(
+    x: jax.Array,  # [M, I]
+    rot: jax.Array,  # [G, S, S]
+    qweight: jax.Array,  # [I//2, O]
+    scales: jax.Array,  # [G, O] bf16
+    zeros: jax.Array,  # [G, O] bf16
+    *,
+    block_m: int | None = None,
+    groups_per_step: int = 16,
+    interpret: bool = False,
+) -> jax.Array:
+    M, I = x.shape
+    G, S, _ = rot.shape
+    O = qweight.shape[1]
+    # bf16 side arrays tile at 16 sublanes: the (Gb, O) blocks must have
+    # Gb % 16 == 0, or equal the whole array (small-G test shapes)
+    Gb = min(groups_per_step, G)
+    if Gb < G and Gb % 16 != 0:
+        Gb = max(16, (Gb // 16) * 16) if G >= 16 else G
+    if block_m is None:
+        block_m = 128 if M >= 128 else 16
+    TM = block_m
+    m_pad = -M % TM
+    if m_pad:
+        x = jnp.pad(x, ((0, m_pad), (0, 0)))
+    Mp = M + m_pad
+    n_gb = (G + Gb - 1) // Gb  # padded blocks read x/qweight as zeros -> no-op
+    out = pl.pallas_call(
+        functools.partial(_kernel_dense_rot_mg, Gb=Gb, S=S, G_total=G,
+                          out_dtype=jnp.float32),
+        grid=(Mp // TM, n_gb),
+        in_specs=[
+            pl.BlockSpec((TM, Gb * S), lambda i, g: (i, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Gb, S, S), lambda i, g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Gb * S // 2, O), lambda i, g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Gb, O), lambda i, g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Gb, O), lambda i, g: (g, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TM, O), lambda i, g: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, O), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * I * O + 2 * Mp * I * S,
+            bytes_accessed=I * O // 2 + G * S * S * rot.dtype.itemsize
+            + Mp * I * x.dtype.itemsize + Mp * O * 4 + G * O * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, rot, qweight, scales.astype(jnp.bfloat16), zeros.astype(jnp.bfloat16))
+    return out[:M].astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
 # Merged-projection fused kernel: P projections of the same input (QKV or
 # gate-up) share one weight stream and one launch; each partition applies its
 # own rotation to the x block in-registers before its column slice's matmul.

@@ -42,7 +42,8 @@ class QuantizedLinear(NamedTuple):
       qweight uint8 [I//2, O]   PARO-TPU packed int4 (see ops/packing.py)
       scales  bf16  [G, O]      per-group dequant scales (bf16: Mosaic has no
                                 f16; ~0.4% scale rounding, far below W4 noise)
-      zeros   uint8 [G, O]      per-group rounded zero points (0..2^bits-1, exact)
+      zeros   bf16  [G, O]      per-group rounded zero points (small ints, exact
+                                in bf16; bf16 keeps 16-sublane tiling uniform)
       rot     bf16  [G, S, S]   composed rotation matrices with 1/channel_scale
                                 folded in: M_g = R_g @ diag(inv_s_g)
       bias    f32   [O] | None
@@ -102,7 +103,7 @@ def make_quantized_linear(
     return QuantizedLinear(
         qweight=jnp.asarray(pack_wq_tpu(np.asarray(q).T, n_bits, group_size)),
         scales=jnp.asarray(scales, jnp.float32).T.astype(jnp.bfloat16),
-        zeros=jnp.asarray(np.asarray(zeros), np.float32).T.astype(jnp.uint8),
+        zeros=jnp.asarray(np.asarray(zeros), np.float32).T.astype(jnp.bfloat16),
         rot=M.astype(rot_dtype),
         bias=None if bias is None else jnp.asarray(bias, jnp.float32),
     )

@@ -274,7 +274,7 @@ def quantized_moe_from_export(exp: dict[str, Any], rot_dtype=jnp.float32) -> Qua
         return (
             jnp.asarray(qw),
             jnp.asarray(s).astype(jnp.bfloat16),
-            jnp.asarray(z.astype(np.uint8)),
+            jnp.asarray(z).astype(jnp.bfloat16),
         )
 
     gq, gsc, gz = pack_stack(exp["gate"])

@@ -102,5 +102,89 @@ def main():
         )
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--two-op" not in sys.argv and "--mg" not in sys.argv:
     main()
+
+
+def bench_two_op():
+    """Alternative decode path: rotation as ONE XLA block-diag einsum, then
+    the plain w4 kernel — vs the single fused dense-rot kernel."""
+    import jax
+    from paroquant_tpu.ops.rotation import apply_rotation_matrices
+
+    M, I, O, GS = 1, 4096, 4096, 128
+    G = I // GS
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(M, I)), jnp.bfloat16)
+    q = rng.integers(0, 16, size=(I, O), dtype=np.int32)
+    qweight = jnp.asarray(pack_w4_tpu(q, GS))
+    scales = jnp.asarray(rng.uniform(0.01, 0.05, (G, O)), jnp.bfloat16)
+    zeros = jnp.asarray(rng.integers(0, 16, (G, O)), jnp.uint8)
+    rot = jnp.asarray(rng.normal(size=(G, GS, GS)), jnp.bfloat16)
+
+    def chain(step):
+        def make(n):
+            @jax.jit
+            def f():
+                def body(i, xv):
+                    return (step(xv)[:, :I] * 0.01).astype(x.dtype)
+                return jax.lax.fori_loop(0, n, body, x)
+            return f
+        return make
+
+    w4_bytes = I * O // 2 + G * O * 3 + G * GS * GS * 2
+
+    def two_op(xv):
+        xg = xv.reshape(M, G, GS)
+        xr = jnp.einsum("gij,bgj->bgi", rot, xg,
+                        preferred_element_type=jnp.float32).reshape(M, I)
+        return w4_matmul(xr.astype(jnp.bfloat16), qweight, scales, zeros)
+
+    slope_time(chain(two_op), "rot_einsum + w4", w4_bytes)
+    slope_time(chain(lambda xv: rot_w4_matmul(xv, rot, qweight, scales, zeros)),
+               "fused dense_rot", w4_bytes)
+
+
+if __name__ == "__main__" and "--two-op" in sys.argv:
+    bench_two_op()
+
+
+def bench_mg():
+    from paroquant_tpu.kernels.rot_matmul import rot_w4_matmul_mg
+
+    M, I, O, GS = 1, 4096, 4096, 128
+    G = I // GS
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(M, I)), jnp.bfloat16)
+    q = rng.integers(0, 16, size=(I, O), dtype=np.int32)
+    qweight = jnp.asarray(pack_w4_tpu(q, GS))
+    scales = jnp.asarray(rng.uniform(0.01, 0.05, (G, O)), jnp.bfloat16)
+    zeros = jnp.asarray(rng.integers(0, 16, (G, O)).astype(np.float32), jnp.bfloat16)
+    rot = jnp.asarray(rng.normal(size=(G, GS, GS)), jnp.bfloat16)
+
+    def chain(step):
+        def make(n):
+            @jax.jit
+            def f():
+                def body(i, xv):
+                    return (step(xv)[:, :I] * 0.01).astype(x.dtype)
+                return jax.lax.fori_loop(0, n, body, x)
+            return f
+        return make
+
+    nbytes = I * O // 2 + G * O * 4 + G * GS * GS * 2
+    import jax
+    for gb in (16, 32):
+        slope_time(
+            chain(lambda xv, gb=gb: rot_w4_matmul_mg(
+                xv, rot, qweight, scales, zeros, groups_per_step=gb)),
+            f"mg dense_rot Gb={gb}", nbytes,
+        )
+    slope_time(chain(lambda xv: rot_w4_matmul(xv, rot, qweight, scales, zeros)),
+               "old fused dense_rot", nbytes)
+    slope_time(chain(lambda xv: w4_matmul(xv, qweight, scales, zeros)),
+               "w4 (no rot)", I * O // 2 + G * O * 4)
+
+
+if __name__ == "__main__" and "--mg" in sys.argv:
+    bench_mg()
