@@ -68,7 +68,14 @@ def main():
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
         params = init_params(config, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-        qparams = quantize_model_rtn(params, config, n_bits=4, group_size=128)
+        # quantize_lm_head: at 0.6B the tied 151k-vocab output projection
+        # dominates per-token HBM traffic; W4-ing it is where the speedup is
+        qparams = quantize_model_rtn(
+            params, config, n_bits=4, group_size=128, quantize_lm_head=True
+        )
+        from paroquant_tpu.models.decoder import merge_projections
+
+        qparams = merge_projections(qparams, config)
     if on_tpu:
         dev = jax.devices()[0]
         params = jax.device_put(params, dev)

@@ -147,9 +147,18 @@ def quantize_model_rtn(
     HBM traffic, so W4-ing it buys real decode throughput (untied heads only).
     """
     out = dict(params)
-    if quantize_lm_head and "lm_head" in params:
+    if quantize_lm_head:
+        if "lm_head" in params:
+            head = params["lm_head"]
+        else:
+            # tied embeddings: the OUTPUT projection reads the whole
+            # [V, H] bf16 table every decode step while the input lookup
+            # gathers one row — so quantize a separate W4 head copy and keep
+            # the bf16 table for the gather (big per-token HBM win at small
+            # model scale where the vocab projection dominates)
+            head = DenseLinear(jnp.asarray(params["embed_tokens"]).T, None)
         out["lm_head"] = quantize_linear_rtn(
-            params["lm_head"], n_bits=n_bits, group_size=group_size,
+            head, n_bits=n_bits, group_size=group_size,
             num_rotations=num_rotations, seed=seed + 10_000, rot_dtype=rot_dtype,
         )
     layers = []

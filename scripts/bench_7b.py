@@ -26,7 +26,7 @@ from paroquant_tpu.models import PRESETS, KVCache
 from paroquant_tpu.models.decoder import DenseLinear, greedy_decode_scan, prefill
 
 
-def build_quantized_llama7b(rot_dtype=jnp.float32):
+def build_quantized_llama7b(rot_dtype=jnp.bfloat16):
     cfg = PRESETS["llama-2-7b"]
     rng = np.random.default_rng(0)
     H, I, D = cfg.hidden_size, cfg.intermediate_size, cfg.head_dim
@@ -44,10 +44,9 @@ def build_quantized_llama7b(rot_dtype=jnp.float32):
             rng.standard_normal((cfg.vocab_size, H), np.float32) * 0.02, jnp.bfloat16
         ),
         "norm": jnp.ones((H,), jnp.bfloat16),
-        "lm_head": DenseLinear(
-            jnp.asarray(rng.standard_normal((H, cfg.vocab_size), np.float32) / np.sqrt(H), jnp.bfloat16),
-            None,
-        ),
+        # W4 lm_head: the dense bf16 32k-vocab head is 262MB of the per-token
+        # read set; quantized it is 67MB
+        "lm_head": qlin(H, cfg.vocab_size),
         "layers": [],
     }
     t0 = time.time()
@@ -72,16 +71,21 @@ def build_quantized_llama7b(rot_dtype=jnp.float32):
 
 
 def main():
+    merge = "--no-merge" not in sys.argv
     cpu = jax.local_devices(backend="cpu")[0]
     t0 = time.time()
     with jax.default_device(cpu):
         params, cfg = build_quantized_llama7b()
-    print(f"built W4 7B in {time.time()-t0:.0f}s", flush=True)
+        if merge:
+            from paroquant_tpu.models.decoder import merge_projections
+
+            params = merge_projections(params, cfg)
+    print(f"built W4 7B in {time.time()-t0:.0f}s (merged={merge})", flush=True)
 
     dev = jax.devices()[0]
     t0 = time.time()
     params = jax.device_put(params, dev)
-    jax.block_until_ready(params["layers"][0]["q_proj"].qweight)
+    jax.block_until_ready(jax.tree.leaves(params["layers"][0])[0])
     print(f"transferred to {dev} in {time.time()-t0:.0f}s", flush=True)
 
     rng = np.random.default_rng(1)
@@ -104,13 +108,20 @@ def main():
         r = run()
         print(f"warmup {i}: {r:.1f} tok/s", flush=True)
     rates = [run() for _ in range(5)]
-    w4_gb = sum(
-        np.prod(l[p].qweight.shape) + np.prod(l[p].scales.shape) * 8 + np.prod(l[p].rot.shape) * 4
-        for l in params["layers"] for p in ("q_proj", "k_proj", "v_proj", "o_proj")
-    ) / 1e9
+    def _tree_bytes(t):
+        import jax as _jax
+        return sum(
+            a.size * a.dtype.itemsize
+            for a in _jax.tree.leaves(t)
+            if hasattr(a, "dtype")
+        )
+
+    weight_gb = _tree_bytes(params) / 1e9
     print(f"llama-2-7b W4 decode: {np.mean(rates):.1f} tok/s "
           f"(min {min(rates):.1f}, max {max(rates):.1f})")
-    print(f"per-token HBM floor est: ~4.6GB -> SoL ~{819/4.6:.0f} tok/s at full BW")
+    sol = 819 / weight_gb
+    print(f"per-token weight read set {weight_gb:.2f}GB -> HBM SoL "
+          f"~{sol:.0f} tok/s; achieved {np.mean(rates)/sol*100:.0f}% of SoL")
 
 
 if __name__ == "__main__":
