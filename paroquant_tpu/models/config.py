@@ -35,6 +35,8 @@ class ModelConfig:
     post_norms: bool = False  # Gemma: post-attention/post-mlp extra norms
     sliding_window: int | None = None
     sliding_window_pattern: int | None = None  # Gemma: 1 global layer every N
+    query_pre_attn_scalar: float | None = None  # Gemma3: attn scale = qpas^-0.5
+    hidden_act: str = "silu"  # Gemma: gelu_pytorch_tanh
     rope_local_theta: float | None = None  # Gemma: different theta for local layers
     logit_softcap: float | None = None
     attn_logit_softcap: float | None = None
@@ -55,10 +57,24 @@ class ModelConfig:
     norm_topk_prob: bool = True
     decoder_sparse_step: int = 1
     shared_expert_intermediate_size: int = 0
+    # VLM (image-text): frozen vision_config items + merge parameters
+    vision_items: tuple | None = None
+    mm_tokens_per_image: int = 0
+    image_token_id: int | None = None
     # quantization config, stored as a frozen tuple of (key, value) pairs so
     # ModelConfig stays hashable (it's a jit static argument); use
     # .quantization for the dict view
     quantization_items: tuple | None = None
+
+    @property
+    def vision(self) -> dict[str, Any] | None:
+        if self.vision_items is None:
+            return None
+        return dict(self.vision_items)
+
+    @property
+    def is_vlm(self) -> bool:
+        return self.vision_items is not None
 
     @property
     def quantization(self) -> dict[str, Any] | None:
@@ -90,12 +106,13 @@ class ModelConfig:
         )
 
     def kv_layer_index(self, layer_idx: int) -> int:
-        """Index of this full-attention layer within the KV cache stack
-        (hybrid models allocate KV only for full-attention layers)."""
+        """Index of this attention layer within the KV cache stack (hybrid
+        models allocate KV only for non-linear layers; sliding_attention
+        layers have KV like full ones)."""
         if self.layer_types is None:
             return layer_idx
         return sum(
-            1 for i in range(layer_idx) if self.layer_types[i] == "full_attention"
+            1 for i in range(layer_idx) if self.layer_types[i] != "linear_attention"
         )
 
     def linear_layer_index(self, layer_idx: int) -> int:
@@ -107,9 +124,10 @@ class ModelConfig:
 
     @property
     def num_full_attn_layers(self) -> int:
+        """Layers that keep a KV cache (everything except linear attention)."""
         if self.layer_types is None:
             return self.num_hidden_layers
-        return sum(1 for t in self.layer_types if t == "full_attention")
+        return sum(1 for t in self.layer_types if t != "linear_attention")
 
     @property
     def num_linear_layers(self) -> int:
@@ -129,14 +147,25 @@ class ModelConfig:
         )
 
     def layer_sliding_window(self, layer_idx: int) -> int | None:
-        """Per-layer sliding window (Gemma pattern: global every Nth layer)."""
+        """Per-layer sliding window. HF layer_types ("sliding_attention" /
+        "full_attention") wins when present; else the Gemma interval pattern
+        (global every Nth layer)."""
         if self.sliding_window is None:
             return None
+        if self.layer_types is not None:
+            lt = self.layer_types[layer_idx]
+            return self.sliding_window if lt == "sliding_attention" else None
         if self.sliding_window_pattern is None:
             return self.sliding_window
         if (layer_idx + 1) % self.sliding_window_pattern == 0:
             return None  # global attention layer
         return self.sliding_window
+
+    @property
+    def attn_scale(self) -> float:
+        if self.query_pre_attn_scalar is not None:
+            return float(self.query_pre_attn_scalar) ** -0.5
+        return float(self.head_dim) ** -0.5
 
 
 def _freeze(d: dict[str, Any] | None) -> tuple | None:
@@ -150,13 +179,21 @@ def _freeze(d: dict[str, Any] | None) -> tuple | None:
 
 def from_hf_dict(cfg: dict[str, Any]) -> ModelConfig:
     """Map an HF config.json dict onto ModelConfig."""
-    # VLM checkpoints nest the LM config
+    # VLM checkpoints nest the LM config; keep the vision tower + merge params
+    vlm_extra: dict[str, Any] = {}
     if "text_config" in cfg:
         outer = cfg
         cfg = dict(cfg["text_config"])
         cfg.setdefault("model_type", outer.get("model_type", "llama"))
         if "quantization_config" in outer:
             cfg.setdefault("quantization_config", outer["quantization_config"])
+        if "vision_config" in outer:
+            vlm_extra = dict(
+                vision_items=_freeze(outer["vision_config"]),
+                mm_tokens_per_image=outer.get("mm_tokens_per_image", 256),
+                image_token_id=outer.get("image_token_index",
+                                         outer.get("image_token_id")),
+            )
     mt = cfg.get("model_type", "llama")
     heads = cfg.get("num_attention_heads", 32)
     hidden = cfg.get("hidden_size", 4096)
@@ -178,6 +215,11 @@ def from_hf_dict(cfg: dict[str, Any]) -> ModelConfig:
         qk_norm=mt in ("qwen3", "qwen3_moe", "qwen3_next") or is_gemma and mt >= "gemma3",
         attention_bias=cfg.get("attention_bias", mt == "qwen2"),
         mlp_bias=cfg.get("mlp_bias", False),
+        query_pre_attn_scalar=cfg.get("query_pre_attn_scalar"),
+        hidden_act=cfg.get(
+            "hidden_activation",
+            cfg.get("hidden_act", "gelu_pytorch_tanh" if is_gemma else "silu"),
+        ),
         gemma_norm=is_gemma,
         post_norms=is_gemma,
         sliding_window=cfg.get("sliding_window"),
@@ -222,6 +264,10 @@ def from_hf_dict(cfg: dict[str, Any]) -> ModelConfig:
             f"model_type {mt!r} declares linear_attention layers; only the "
             "qwen3_next delta-net family is implemented"
         )
+    elif layer_types is not None:
+        # Gemma3-style "sliding_attention"/"full_attention" per-layer list
+        kwargs.update(layer_types=tuple(layer_types))
+    kwargs.update(vlm_extra)
     return ModelConfig(**kwargs)
 
 

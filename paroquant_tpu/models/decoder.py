@@ -167,8 +167,13 @@ def attention(
     scale: float,
     sliding_window: int | None = None,
     logit_softcap: float | None = None,
+    bidir_groups: tuple[jax.Array, jax.Array] | None = None,
 ) -> jax.Array:
-    """Causal GQA attention over a (possibly partially-filled) kv buffer."""
+    """Causal GQA attention over a (possibly partially-filled) kv buffer.
+
+    bidir_groups: optional (q_groups [B, T], kv_groups [B, S]) int32 ids;
+    positions sharing a non-negative id attend BIDIRECTIONALLY (Gemma3 VLM
+    image blocks, HF token_type_ids_mask_function)."""
     B, T, Hq, D = q.shape
     S = k.shape[1]
     Hkv = k.shape[2]
@@ -184,6 +189,10 @@ def attention(
     mask = (kv_pos <= qp) & (kv_pos < kv_valid_len)
     if sliding_window is not None:
         mask &= kv_pos > qp - sliding_window
+    if bidir_groups is not None:
+        qg, kg = bidir_groups
+        same = (qg[:, :, None] >= 0) & (qg[:, :, None] == kg[:, None, :])
+        mask |= same & (kv_pos < kv_valid_len)
     scores = jnp.where(mask[:, None, None, :, :], scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum(
@@ -198,15 +207,23 @@ def attention(
 # ---------------------------------------------------------------------------
 
 
-def mlp_forward(p: dict[str, Any], x: jax.Array, quant_mode: str) -> jax.Array:
+def _act(x: jax.Array, name: str) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    if name in ("gelu_pytorch_tanh", "gelu_tanh", "gelu"):
+        return jax.nn.gelu(xf, approximate=True).astype(x.dtype)
+    return jax.nn.silu(xf).astype(x.dtype)
+
+
+def mlp_forward(p: dict[str, Any], x: jax.Array, quant_mode: str,
+                act: str = "silu") -> jax.Array:
     if "gate_up_proj" in p:  # merged projections (one kernel launch)
         gu = merged_linear_forward(p["gate_up_proj"], x, mode=quant_mode)
         gate, up = jnp.split(gu, p["gate_up_proj"].split_points, axis=-1)
     else:
         gate = apply_linear(p["gate_proj"], x, quant_mode=quant_mode)
         up = apply_linear(p["up_proj"], x, quant_mode=quant_mode)
-    act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
-    return apply_linear(p["down_proj"], act, quant_mode=quant_mode)
+    act_v = _act(gate, act) * up
+    return apply_linear(p["down_proj"], act_v, quant_mode=quant_mode)
 
 
 def qkv_forward(
@@ -315,6 +332,7 @@ def layer_forward(
     cache_offset: jax.Array,
     quant_mode: str,
     attn_mode: str = "einsum",
+    bidir_groups: jax.Array | None = None,  # [B, T] image-block ids (VLM)
 ) -> tuple[jax.Array, tuple[jax.Array, jax.Array] | None]:
     B, T, _ = x.shape
     Hq, Hkv, D = config.num_attention_heads, config.num_key_value_heads, config.head_dim
@@ -344,6 +362,7 @@ def layer_forward(
         attn_mode == "flash"
         and T >= 128 and T % 128 == 0
         and S_kv % min(256, S_kv) == 0
+        and bidir_groups is None
     )
     if flash_ok:
         # Pallas flash kernel (prefill-from-0 path: q_positions == arange(T));
@@ -354,18 +373,28 @@ def layer_forward(
             jnp.swapaxes(q, 1, 2), jnp.swapaxes(k_all, 1, 2),
             jnp.swapaxes(v_all, 1, 2),
             jnp.broadcast_to(valid.reshape(-1), (B,)),
-            scale=1.0 / float(np.sqrt(D)),
+            scale=config.attn_scale,
             sliding_window=config.layer_sliding_window(layer_idx),
             logit_softcap=config.attn_logit_softcap,
             block_q=min(256, T), block_k=min(256, S_kv),
         )
         attn_out = jnp.swapaxes(attn_out, 1, 2)
     else:
+        bg = None
+        if bidir_groups is not None:
+            kv_groups = jnp.full((B, S_kv), -1, jnp.int32)
+            kv_groups = jax.lax.dynamic_update_slice(
+                kv_groups, bidir_groups, (0, cache_offset)
+            ) if kv_cache_layer is not None else jnp.pad(
+                bidir_groups, ((0, 0), (0, S_kv - T)), constant_values=-1
+            )
+            bg = (bidir_groups, kv_groups)
         attn_out = attention(
             q, k_all, v_all, q_positions, valid,
-            scale=1.0 / float(np.sqrt(D)),
+            scale=config.attn_scale,
             sliding_window=config.layer_sliding_window(layer_idx),
             logit_softcap=config.attn_logit_softcap,
+            bidir_groups=bg,
         )
     attn_out = attn_out.reshape(B, T, Hq * D)
     if attn_gate is not None:
@@ -386,7 +415,7 @@ def layer_forward(
     if config.layer_is_sparse(layer_idx):
         mlp_out = moe_forward(p["mlp"], h2, config, quant_mode)
     else:
-        mlp_out = mlp_forward(p["mlp"], h2, quant_mode)
+        mlp_out = mlp_forward(p["mlp"], h2, quant_mode, config.hidden_act)
     if config.post_norms:
         mlp_out = rms_norm(
             mlp_out, p["post_feedforward_layernorm"], config.rms_norm_eps, config.zero_centered_norm
@@ -407,12 +436,17 @@ def model_forward(
     *,
     quant_mode: str = "xla",
     attn_mode: str = "einsum",
+    input_embeds: jax.Array | None = None,  # [B, T, H] (VLM: image soft tokens)
+    bidir_groups: jax.Array | None = None,  # [B, T] image-block ids (VLM)
 ) -> tuple[jax.Array, KVCache | None]:
     """Returns (logits [B, T, V], updated cache)."""
     B, T = tokens.shape
-    x = jnp.take(params["embed_tokens"], tokens, axis=0)
-    if config.gemma_norm:
-        x = x * jnp.asarray(np.sqrt(config.hidden_size), x.dtype)
+    if input_embeds is not None:
+        x = input_embeds
+    else:
+        x = jnp.take(params["embed_tokens"], tokens, axis=0)
+        if config.gemma_norm:
+            x = x * jnp.asarray(np.sqrt(config.hidden_size), x.dtype)
 
     offset = cache.length if cache is not None else jnp.zeros((), jnp.int32)
     positions = offset + jnp.arange(T, dtype=jnp.int32)[None, :]  # [1, T]
@@ -439,7 +473,8 @@ def model_forward(
             if config.layer_is_sparse(i):
                 mlp_out = moe_forward(layer_params["mlp"], h2, config, quant_mode)
             else:
-                mlp_out = mlp_forward(layer_params["mlp"], h2, quant_mode)
+                mlp_out = mlp_forward(layer_params["mlp"], h2, quant_mode,
+                                      config.hidden_act)
             x = x + mlp_out
             if cache is not None:
                 new_conv.append(conv_st)
@@ -450,7 +485,7 @@ def model_forward(
         cos, sin = rope_by_layer[i]
         x, updated = layer_forward(
             layer_params, x, config, i, cos, sin, positions, layer_cache, offset,
-            quant_mode, attn_mode,
+            quant_mode, attn_mode, bidir_groups,
         )
         if updated is not None:
             new_k.append(updated[0])

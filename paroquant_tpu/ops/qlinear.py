@@ -93,13 +93,19 @@ def make_quantized_linear(
     reference stores already inverted — cli/convert.py:264-266).
     """
     O, I = q.shape
-    form = rot_ops.pairs_to_permutation(np.asarray(pairs), group_size)
-    form = rot_ops.PermutationForm(*(jnp.asarray(a) for a in form))
-    R = rot_ops.build_rotation_matrices(
-        jnp.asarray(theta, jnp.float32), form, group_size, dtype=jnp.float32
-    )  # [G, S, S]
     inv_s = jnp.asarray(inv_channel_scales, jnp.float32).reshape(-1, group_size)
-    M = R * inv_s[:, None, :]  # fold diag(inv_s) on the input side
+    if not np.any(np.asarray(theta)):
+        # identity rotation (RTN path): M is just diag(inv_s) per group
+        G = I // group_size
+        eye = jnp.eye(group_size, dtype=jnp.float32)
+        M = jnp.broadcast_to(eye, (G, group_size, group_size)) * inv_s[:, None, :]
+    else:
+        form = rot_ops.pairs_to_permutation(np.asarray(pairs), group_size)
+        form = rot_ops.PermutationForm(*(jnp.asarray(a) for a in form))
+        R = rot_ops.build_rotation_matrices(
+            jnp.asarray(theta, jnp.float32), form, group_size, dtype=jnp.float32
+        )  # [G, S, S]
+        M = R * inv_s[:, None, :]  # fold diag(inv_s) on the input side
     return QuantizedLinear(
         qweight=jnp.asarray(pack_wq_tpu(np.asarray(q).T, n_bits, group_size)),
         scales=jnp.asarray(scales, jnp.float32).T.astype(jnp.bfloat16),

@@ -146,7 +146,7 @@ def _paged_decode_step_impl(
 
             attn = paged_decode_attention(
                 q, new_k[li], new_v[li], page_table, seq_lens + 1,
-                scale=1.0 / float(np.sqrt(D)),
+                scale=config.attn_scale,
                 sliding_window=config.layer_sliding_window(li),
                 logit_softcap=config.attn_logit_softcap,
             )
@@ -155,7 +155,7 @@ def _paged_decode_step_impl(
             v_pages = new_v[li][page_table]
             attn = paged_attention(
                 q, k_pages, v_pages, seq_lens + 1,
-                scale=1.0 / float(np.sqrt(D)),
+                scale=config.attn_scale,
                 sliding_window=config.layer_sliding_window(li),
                 logit_softcap=config.attn_logit_softcap,
             )
@@ -175,7 +175,7 @@ def _paged_decode_step_impl(
         if config.layer_is_sparse(li):
             mlp_out = moe_forward(lp["mlp"], h2, config, quant_mode)
         else:
-            mlp_out = mlp_forward(lp["mlp"], h2, quant_mode)
+            mlp_out = mlp_forward(lp["mlp"], h2, quant_mode, config.hidden_act)
         if config.post_norms:
             mlp_out = rms_norm(mlp_out, lp["post_feedforward_layernorm"], config.rms_norm_eps, config.zero_centered_norm)
         x = x + mlp_out

@@ -1,0 +1,122 @@
+"""Serving-engine benchmark: p50/p99 TTFT + aggregate tokens/s under load.
+
+North-star config 3 protocol (BASELINE.json): continuous batching at
+max_batch=8 with mixed prompt lengths. Requests are submitted in a Poisson-ish
+staggered pattern while the engine decodes, so TTFT includes real queueing +
+chunked-prefill interleaving (serve/engine.py).
+
+Defaults use the Qwen3-0.6B geometry with RTN W4 weights (random), the fused
+kernels and the Pallas attention paths on TPU. Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from paroquant_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+import numpy as np
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="qwen3-0.6b")
+    ap.add_argument("--layers", type=int, default=None, help="trim depth")
+    ap.add_argument("--max-batch", type=int, default=8)
+    ap.add_argument("--max-len", type=int, default=1024)
+    ap.add_argument("--requests", type=int, default=24)
+    ap.add_argument("--max-tokens", type=int, default=48)
+    ap.add_argument("--device", default="auto", choices=["cpu", "tpu", "auto"])
+    args = ap.parse_args()
+
+    import dataclasses
+
+    import jax
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from paroquant_tpu.convert import quantize_model_rtn
+    from paroquant_tpu.models import PRESETS, init_params
+    from paroquant_tpu.models.decoder import merge_projections
+    from paroquant_tpu.serve import Engine, SamplingParams
+
+    config = PRESETS[args.preset]
+    if args.layers:
+        config = dataclasses.replace(config, num_hidden_layers=args.layers)
+    on_tpu = jax.devices()[0].platform != "cpu"
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        params = init_params(config, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+        qparams = quantize_model_rtn(
+            params, config, n_bits=4, group_size=128, quantize_lm_head=True
+        )
+        qparams = merge_projections(qparams, config)
+    if on_tpu:
+        qparams = jax.device_put(qparams, jax.devices()[0])
+
+    eng = Engine(
+        qparams, config, max_batch=args.max_batch, max_len=args.max_len,
+        page_size=64, quant_mode="fused" if on_tpu else "xla",
+        prefill_chunk=256,
+    )
+    rng = np.random.default_rng(0)
+    # mixed lengths: short chat turns + long contexts (north-star config 3)
+    pool = [l for l in (24, 64, 160, 420) if l + args.max_tokens < args.max_len]
+    probs = {1: [1.0], 2: [0.6, 0.4], 3: [0.45, 0.35, 0.2],
+             4: [0.4, 0.3, 0.2, 0.1]}[len(pool)]
+    lengths = [int(l) for l in rng.choice(pool, args.requests, p=probs)]
+    sp = SamplingParams(max_tokens=args.max_tokens, temperature=0.0)
+
+    # warmup: compile prefill buckets + decode step
+    for L in sorted(set(lengths)):
+        eng.generate_sync(list(rng.integers(0, config.vocab_size, L)),
+                          SamplingParams(max_tokens=2, temperature=0.0))
+
+    reqs = []
+    t_start = time.perf_counter()
+    next_submit = 0.0
+    i = 0
+    while len(reqs) < args.requests or any(
+        r.finish_time is None for r in reqs
+    ):
+        now = time.perf_counter() - t_start
+        if i < args.requests and now >= next_submit:
+            reqs.append(eng.submit(
+                list(rng.integers(0, config.vocab_size, lengths[i])), sp
+            ))
+            i += 1
+            next_submit = now + float(rng.exponential(0.03))
+        if not eng.step():
+            time.sleep(0.001)
+        if time.perf_counter() - t_start > 600:
+            raise TimeoutError("bench did not finish")
+    wall = time.perf_counter() - t_start
+
+    ttfts = np.array([r.ttft for r in reqs])
+    total_tokens = eng.metrics["tokens_generated"]
+    out = {
+        "metric": "serving_ttft_and_throughput",
+        "preset": args.preset,
+        "requests": args.requests,
+        "ttft_p50_ms": round(float(np.percentile(ttfts, 50)) * 1e3, 1),
+        "ttft_p99_ms": round(float(np.percentile(ttfts, 99)) * 1e3, 1),
+        "tokens_per_s": round(total_tokens / wall, 1),
+        "wall_s": round(wall, 1),
+        "decode_steps": eng.metrics["steps"],
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

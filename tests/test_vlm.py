@@ -1,0 +1,186 @@
+"""Gemma3 VLM (image-text) parity vs the HF torch implementation.
+
+The reference's VLM support delegates to HF AutoModelForImageTextToText
+(reference backends/transformers/generator.py:26-34); here the SigLIP tower,
+projector and image-token merge are native JAX (models/vision.py). Ground
+truth: transformers' Gemma3ForConditionalGeneration, tiny random config."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax
+import jax.numpy as jnp
+
+from paroquant_tpu.models import from_hf_dict
+from paroquant_tpu.models.decoder import DenseLinear
+from paroquant_tpu.models.vision import (
+    VisionConfig, gemma3_project, siglip_encode, vlm_prefill,
+)
+
+VOCAB = 256
+IMAGE_TOKEN = 250
+HF_CFG = dict(
+    model_type="gemma3",
+    mm_tokens_per_image=4,
+    image_token_index=IMAGE_TOKEN,
+    boi_token_index=248,
+    eoi_token_index=249,
+    text_config=dict(
+        model_type="gemma3_text",
+        vocab_size=VOCAB,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        rope_theta=1_000_000.0,
+        rope_local_base_freq=10_000.0,
+        sliding_window=16,
+        query_pre_attn_scalar=16,
+        rms_norm_eps=1e-6,
+        max_position_embeddings=256,
+        layer_types=["sliding_attention", "full_attention"],
+        hidden_activation="gelu_pytorch_tanh",
+        attention_bias=False,
+        tie_word_embeddings=True,
+    ),
+    vision_config=dict(
+        model_type="siglip_vision_model",
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        image_size=28,
+        patch_size=7,
+        num_channels=3,
+        layer_norm_eps=1e-6,
+    ),
+)
+
+
+def _t2j(t):
+    return jnp.asarray(t.detach().float().numpy())
+
+
+def _lin(mod):
+    return DenseLinear(
+        _t2j(mod.weight).T, None if mod.bias is None else _t2j(mod.bias)
+    )
+
+
+@pytest.fixture(scope="module")
+def hf_and_ours():
+    from transformers.models.gemma3 import Gemma3Config, Gemma3ForConditionalGeneration
+
+    torch.manual_seed(0)
+    hf_cfg = Gemma3Config(**HF_CFG)
+    hf = Gemma3ForConditionalGeneration(hf_cfg).eval().float()
+
+    config = from_hf_dict(HF_CFG)
+    assert config.is_vlm and config.mm_tokens_per_image == 4
+    assert config.image_token_id == IMAGE_TOKEN
+    assert config.hidden_act == "gelu_pytorch_tanh"
+    assert config.query_pre_attn_scalar == 16
+    assert config.layer_sliding_window(0) == 16
+    assert config.layer_sliding_window(1) is None
+
+    lm = hf.model.language_model
+    params = {
+        "embed_tokens": _t2j(lm.embed_tokens.weight),
+        "norm": _t2j(lm.norm.weight),
+        "layers": [],
+    }
+    for hl in lm.layers:
+        lp = {
+            "input_layernorm": _t2j(hl.input_layernorm.weight),
+            "post_attention_layernorm": _t2j(hl.post_attention_layernorm.weight),
+            "pre_feedforward_layernorm": _t2j(hl.pre_feedforward_layernorm.weight),
+            "post_feedforward_layernorm": _t2j(hl.post_feedforward_layernorm.weight),
+            "q_proj": _lin(hl.self_attn.q_proj),
+            "k_proj": _lin(hl.self_attn.k_proj),
+            "v_proj": _lin(hl.self_attn.v_proj),
+            "o_proj": _lin(hl.self_attn.o_proj),
+            "q_norm": _t2j(hl.self_attn.q_norm.weight),
+            "k_norm": _t2j(hl.self_attn.k_norm.weight),
+            "mlp": {
+                "gate_proj": _lin(hl.mlp.gate_proj),
+                "up_proj": _lin(hl.mlp.up_proj),
+                "down_proj": _lin(hl.mlp.down_proj),
+            },
+        }
+        params["layers"].append(lp)
+
+    vt = hf.model.vision_tower.vision_model
+    D = HF_CFG["vision_config"]["hidden_size"]
+    vision = {
+        "patch_embed_w": _t2j(vt.embeddings.patch_embedding.weight).reshape(D, -1).T,
+        "patch_embed_b": _t2j(vt.embeddings.patch_embedding.bias),
+        "pos_embed": _t2j(vt.embeddings.position_embedding.weight),
+        "post_ln_w": _t2j(vt.post_layernorm.weight),
+        "post_ln_b": _t2j(vt.post_layernorm.bias),
+        "layers": [],
+    }
+    for vl in vt.encoder.layers:
+        vision["layers"].append({
+            "ln1_w": _t2j(vl.layer_norm1.weight), "ln1_b": _t2j(vl.layer_norm1.bias),
+            "ln2_w": _t2j(vl.layer_norm2.weight), "ln2_b": _t2j(vl.layer_norm2.bias),
+            "q_proj": _lin(vl.self_attn.q_proj),
+            "k_proj": _lin(vl.self_attn.k_proj),
+            "v_proj": _lin(vl.self_attn.v_proj),
+            "out_proj": _lin(vl.self_attn.out_proj),
+            "fc1": _lin(vl.mlp.fc1),
+            "fc2": _lin(vl.mlp.fc2),
+        })
+    params["vision"] = vision
+    params["projector"] = {
+        "mm_input_projection": _t2j(hf.model.multi_modal_projector.mm_input_projection_weight),
+        "mm_soft_emb_norm": _t2j(hf.model.multi_modal_projector.mm_soft_emb_norm.weight),
+    }
+    return hf, params, config
+
+
+def test_vision_tower_matches_hf(hf_and_ours):
+    hf, params, config = hf_and_ours
+    rng = np.random.default_rng(0)
+    px = rng.standard_normal((2, 3, 28, 28)).astype(np.float32)
+    with torch.no_grad():
+        want = hf.model.vision_tower(torch.from_numpy(px)).last_hidden_state.numpy()
+    vcfg = VisionConfig.from_hf_dict(config.vision)
+    got = np.asarray(siglip_encode(params["vision"], vcfg, jnp.asarray(px)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    with torch.no_grad():
+        want_p = hf.model.multi_modal_projector(
+            torch.from_numpy(want)
+        ).numpy()
+    got_p = np.asarray(gemma3_project(
+        params["projector"], jnp.asarray(want), vcfg,
+        config.mm_tokens_per_image, rms_eps=vcfg.layer_norm_eps,
+    ))
+    np.testing.assert_allclose(got_p, want_p, rtol=2e-4, atol=2e-4)
+
+
+def test_vlm_prefill_logits_match_hf(hf_and_ours):
+    hf, params, config = hf_and_ours
+    rng = np.random.default_rng(1)
+    B, T = 1, 14
+    toks = rng.integers(0, 240, (B, T)).astype(np.int64)
+    toks[0, 3:7] = IMAGE_TOKEN  # one image = mm_tokens_per_image soft tokens
+    px = rng.standard_normal((1, 3, 28, 28)).astype(np.float32)
+    token_type_ids = (toks == IMAGE_TOKEN).astype(np.int64)
+
+    with torch.no_grad():
+        want = hf(
+            input_ids=torch.from_numpy(toks),
+            pixel_values=torch.from_numpy(px),
+            token_type_ids=torch.from_numpy(token_type_ids),
+        ).logits.float().numpy()
+
+    got, _ = vlm_prefill(
+        params, config, jnp.asarray(toks, jnp.int32), jnp.asarray(px)
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4, atol=3e-4)
