@@ -380,6 +380,57 @@ def load_checkpoint(
             jnp.asarray(tensors["lm_head.weight"].T.copy(), dtype), None
         )
 
+    vt = "model.vision_tower.vision_model"
+    if config.is_vlm and f"{vt}.post_layernorm.weight" in tensors:
+        def vdense(prefix):
+            w = jnp.asarray(tensors[f"{prefix}.weight"].T.copy(), dtype)
+            bk = f"{prefix}.bias"
+            return DenseLinear(
+                w, jnp.asarray(tensors[bk], jnp.float32) if bk in tensors else None
+            )
+
+        pe = tensors[f"{vt}.embeddings.patch_embedding.weight"]  # [D, C, p, p]
+        vision: dict[str, Any] = {
+            "patch_embed_w": jnp.asarray(
+                pe.reshape(pe.shape[0], -1).T.copy(), dtype
+            ),
+            "patch_embed_b": jnp.asarray(
+                tensors[f"{vt}.embeddings.patch_embedding.bias"], jnp.float32
+            ),
+            "pos_embed": jnp.asarray(
+                tensors[f"{vt}.embeddings.position_embedding.weight"], dtype
+            ),
+            "post_ln_w": jnp.asarray(tensors[f"{vt}.post_layernorm.weight"], dtype),
+            "post_ln_b": jnp.asarray(tensors[f"{vt}.post_layernorm.bias"], dtype),
+            "layers": [],
+        }
+        li_v = 0
+        while f"{vt}.encoder.layers.{li_v}.layer_norm1.weight" in tensors:
+            vb = f"{vt}.encoder.layers.{li_v}"
+            vision["layers"].append({
+                "ln1_w": jnp.asarray(tensors[f"{vb}.layer_norm1.weight"], dtype),
+                "ln1_b": jnp.asarray(tensors[f"{vb}.layer_norm1.bias"], dtype),
+                "ln2_w": jnp.asarray(tensors[f"{vb}.layer_norm2.weight"], dtype),
+                "ln2_b": jnp.asarray(tensors[f"{vb}.layer_norm2.bias"], dtype),
+                "q_proj": vdense(f"{vb}.self_attn.q_proj"),
+                "k_proj": vdense(f"{vb}.self_attn.k_proj"),
+                "v_proj": vdense(f"{vb}.self_attn.v_proj"),
+                "out_proj": vdense(f"{vb}.self_attn.out_proj"),
+                "fc1": vdense(f"{vb}.mlp.fc1"),
+                "fc2": vdense(f"{vb}.mlp.fc2"),
+            })
+            li_v += 1
+        params["vision"] = vision
+        mp = "model.multi_modal_projector"
+        params["projector"] = {
+            "mm_input_projection": jnp.asarray(
+                tensors[f"{mp}.mm_input_projection_weight"], dtype
+            ),
+            "mm_soft_emb_norm": jnp.asarray(
+                tensors[f"{mp}.mm_soft_emb_norm.weight"], dtype
+            ),
+        }
+
     def dense_linear(prefix):
         w = jnp.asarray(tensors[f"{prefix}.weight"].T.copy(), dtype)
         b = (

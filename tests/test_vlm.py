@@ -184,3 +184,35 @@ def test_vlm_prefill_logits_match_hf(hf_and_ours):
         params, config, jnp.asarray(toks, jnp.int32), jnp.asarray(px)
     )
     np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4, atol=3e-4)
+
+
+def test_vlm_checkpoint_load_roundtrip(hf_and_ours, tmp_path):
+    """Write the HF-named VLM tensors to safetensors and load through
+    load_checkpoint: vlm_prefill logits must match the direct-mapped params."""
+    import json
+
+    from safetensors.numpy import save_file
+
+    hf, params, config = hf_and_ours
+    t = {}
+    sd = hf.state_dict()
+    for k, v in sd.items():
+        t[k] = v.float().numpy()
+    d = tmp_path / "vlm"
+    d.mkdir()
+    save_file({k: np.ascontiguousarray(v) for k, v in t.items()},
+              str(d / "model.safetensors"))
+    (d / "config.json").write_text(json.dumps(HF_CFG))
+
+    from paroquant_tpu.convert import load_checkpoint
+
+    loaded, config2 = load_checkpoint(d, dtype=jnp.float32)
+    assert config2.is_vlm and "vision" in loaded and "projector" in loaded
+
+    rng = np.random.default_rng(5)
+    toks = rng.integers(0, 240, (1, 12)).astype(np.int64)
+    toks[0, 2:6] = IMAGE_TOKEN
+    px = rng.standard_normal((1, 3, 28, 28)).astype(np.float32)
+    ref, _ = vlm_prefill(params, config, jnp.asarray(toks, jnp.int32), jnp.asarray(px))
+    got, _ = vlm_prefill(loaded, config2, jnp.asarray(toks, jnp.int32), jnp.asarray(px))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3)
