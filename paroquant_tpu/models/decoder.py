@@ -438,6 +438,8 @@ def model_forward(
     attn_mode: str = "einsum",
     input_embeds: jax.Array | None = None,  # [B, T, H] (VLM: image soft tokens)
     bidir_groups: jax.Array | None = None,  # [B, T] image-block ids (VLM)
+    linear_valid_len: jax.Array | None = None,  # hybrid: true length of a
+    # zero-padded prefill bucket (masks padding out of delta-net states)
 ) -> tuple[jax.Array, KVCache | None]:
     """Returns (logits [B, T, V], updated cache)."""
     B, T = tokens.shape
@@ -465,7 +467,8 @@ def model_forward(
             h = rms_norm(x, layer_params["input_layernorm"], config.rms_norm_eps,
                          config.zero_centered_norm)
             attn_out, conv_st, rec_st = delta_net_forward(
-                layer_params["linear_attn"], h, config, conv_st, rec_st, quant_mode
+                layer_params["linear_attn"], h, config, conv_st, rec_st,
+                quant_mode, valid_len=linear_valid_len,
             )
             x = x + attn_out
             h2 = rms_norm(x, layer_params["post_attention_layernorm"],

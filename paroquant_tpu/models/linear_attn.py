@@ -88,10 +88,12 @@ def _split_qkvz_ba(cfg: ModelConfig, qkvz: jax.Array, ba: jax.Array):
 
 
 def _conv_mix(cfg: ModelConfig, qkv_flat: jax.Array, conv_w: jax.Array,
-              prev_window: jax.Array | None):
+              prev_window: jax.Array | None, valid_len: jax.Array | None = None):
     """Depthwise causal conv + SiLU over the channel-last [B, T, C] stream.
 
     conv_w [C, Kc]; prev_window [B, C, Kc-1] (decode) or None (prefill from 0).
+    valid_len (padded prefill): the returned window holds the inputs at
+    positions [valid_len-Kc+1, valid_len), not the padded tail.
     Returns (mixed [B, T, C], new_window [B, C, Kc-1])."""
     B, T, C = qkv_flat.shape
     Kc = conv_w.shape[-1]
@@ -106,7 +108,18 @@ def _conv_mix(cfg: ModelConfig, qkv_flat: jax.Array, conv_w: jax.Array,
             :, :, i : i + T
         ].astype(jnp.float32)
     out = jax.nn.silu(out)
-    new_window = xfull[:, :, -(Kc - 1):] if Kc > 1 else xfull[:, :, :0]
+    if Kc > 1:
+        if valid_len is None:
+            new_window = xfull[:, :, -(Kc - 1):]
+        else:
+            # stream position p lives at xfull index p + Kc - 1 - ... i.e.
+            # window = stream[valid_len-(Kc-1) : valid_len] = xfull[valid_len : valid_len+Kc-1]
+            start = jnp.clip(valid_len, 0, T)
+            new_window = jax.lax.dynamic_slice_in_dim(
+                xfull, start, Kc - 1, axis=2
+            )
+    else:
+        new_window = xfull[:, :, :0]
     return jnp.swapaxes(out, 1, 2).astype(qkv_flat.dtype), new_window
 
 
@@ -227,11 +240,16 @@ def delta_net_forward(
     conv_state: jax.Array | None,  # [B, conv_dim, Kc-1] or None (prefill)
     rec_state: jax.Array | None,  # [B, Hv, dk, dv] or None
     quant_mode: str,
+    valid_len: jax.Array | None = None,  # scalar int32: true prompt length
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Full gated-delta-net layer. Returns (out [B,T,H], conv_state, rec_state).
 
     For T == 1 with states present this is the O(1) recurrent decode step;
     otherwise the chunked prefill (states, if given, seed the recurrence).
+    `valid_len` supports the engine's zero-padded prefill buckets: positions
+    >= valid_len are masked out of the state (g=0, k=v=beta=0) and the conv
+    window is sliced at the true length, so the carried states are exactly
+    those of an unpadded prefill.
     """
     from .decoder import apply_linear  # local import to avoid cycle
 
@@ -247,7 +265,14 @@ def delta_net_forward(
     qkv_flat = jnp.concatenate(
         [q.reshape(B, T, -1), k.reshape(B, T, -1), v.reshape(B, T, -1)], axis=-1
     )
-    mixed, conv_state = _conv_mix(config, qkv_flat, p["conv_w"], conv_state)
+    valid = None
+    if valid_len is not None and T > 1:
+        valid = (jnp.arange(T, dtype=jnp.int32) < valid_len)[None, :]  # [1,T]
+        qkv_flat = jnp.where(valid[..., None], qkv_flat, 0.0)
+    mixed, conv_state = _conv_mix(
+        config, qkv_flat, p["conv_w"], conv_state,
+        valid_len=valid_len if T > 1 else None,
+    )
     q = mixed[..., : Hk * dk].reshape(B, T, Hk, dk)
     k = mixed[..., Hk * dk : 2 * Hk * dk].reshape(B, T, Hk, dk)
     v = mixed[..., 2 * Hk * dk :].reshape(B, T, Hv, dv)
@@ -256,6 +281,11 @@ def delta_net_forward(
     g = -jnp.exp(p["A_log"].astype(jnp.float32)) * jax.nn.softplus(
         a.astype(jnp.float32) + p["dt_bias"].astype(jnp.float32)
     )  # [B,T,Hv]
+    if valid is not None:
+        k = jnp.where(valid[..., None, None], k, 0.0)
+        v = jnp.where(valid[..., None, None], v, 0.0)
+        beta = jnp.where(valid[..., None], beta, 0.0)
+        g = jnp.where(valid[..., None], g, 0.0)
 
     q = _l2norm(q.astype(jnp.float32)) * (dk ** -0.5)
     k = _l2norm(k.astype(jnp.float32))

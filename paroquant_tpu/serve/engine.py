@@ -124,6 +124,16 @@ def _set_count_row(counts, slot_id, row):
     return counts.at[slot_id].set(row)
 
 
+@jax.jit
+def _set_linear_slot(cache, slot_id, conv, rec):
+    """Install one request's delta-net states into its slot column.
+    conv [Ll, conv_dim, Kc-1]; rec [Ll, Hv, dk, dv]."""
+    return cache._replace(
+        conv=cache.conv.at[:, slot_id].set(conv.astype(cache.conv.dtype)),
+        rec=cache.rec.at[:, slot_id].set(rec),
+    )
+
+
 class Engine:
     """Continuous-batching inference engine."""
 
@@ -150,12 +160,6 @@ class Engine:
             from ..parallel.shard import shard_params
 
             params = shard_params(params, config, mesh)
-        if config.num_linear_layers:
-            raise NotImplementedError(
-                "the paged engine does not serve hybrid linear-attention "
-                "(qwen3_next) models yet — use serve.Generator (contiguous "
-                "cache), which supports them"
-            )
         self.mesh = mesh
         self.params = params
         self.config = config
@@ -171,7 +175,9 @@ class Engine:
         # (every slot writes each decode step; without this, idle slots would
         # clobber page 0 of an active request)
         self.trash_page = num_pages
-        self.cache = PagedKVCache.create(config, num_pages + 1, page_size, cache_dtype)
+        self.cache = PagedKVCache.create(
+            config, num_pages + 1, page_size, cache_dtype, batch=max_batch
+        )
         if mesh is not None:
             from ..parallel.shard import shard_paged_cache
 
@@ -323,8 +329,10 @@ class Engine:
         # einsum attention for chunks: the flash kernel's causal block clamp
         # is specialized on a static q_offset (compile-count explosion across
         # offsets); chunk attention is short anyway
+        chunk_valid = jnp.asarray(min(max(T - st.offset, 0), C), jnp.int32)
         logits, st.cache = _prefill_jit(
-            self.params, self.config, chunk, cache, self.quant_mode, "einsum"
+            self.params, self.config, chunk, cache, self.quant_mode, "einsum",
+            chunk_valid,
         )
         st.offset += C
         if st.offset * 1 >= T:  # last chunk reached the final prompt token
@@ -350,7 +358,7 @@ class Engine:
         cache = KVCache.create(self.config, 1, bucket, self.cache.k.dtype)
         logits, cache = _prefill_jit(
             self.params, self.config, jnp.asarray(toks), cache, self.quant_mode,
-            self.prefill_attn,
+            self.prefill_attn, jnp.asarray(T, jnp.int32),
         )
         self._finish_prefill(
             slot_id, req, cache, logits[:, T - 1, :], self._alloc_pages(req)
@@ -370,6 +378,11 @@ class Engine:
         self.cache = scatter_prefill_kv(
             self.config, self.cache, layer_k, layer_v, jnp.asarray(page_vec)
         )
+        if cache.linear is not None:  # hybrid: install the slot's delta states
+            self.cache = _set_linear_slot(
+                self.cache, jnp.asarray(slot_id),
+                cache.linear.conv[:, 0], cache.linear.rec[:, 0],
+            )
         # first sampled token (request-seeded stream)
         sp = req.sampling
         base_key = jax.random.PRNGKey(
@@ -501,8 +514,10 @@ from functools import partial  # noqa: E402
 
 
 @partial(jax.jit, static_argnames=("config", "quant_mode", "attn_mode"))
-def _prefill_jit(params, config, tokens, cache, quant_mode, attn_mode="einsum"):
+def _prefill_jit(params, config, tokens, cache, quant_mode, attn_mode="einsum",
+                 valid_len=None):
     logits, cache = model_forward(
-        params, config, tokens, cache, quant_mode=quant_mode, attn_mode=attn_mode
+        params, config, tokens, cache, quant_mode=quant_mode,
+        attn_mode=attn_mode, linear_valid_len=valid_len,
     )
     return logits, cache

@@ -38,8 +38,14 @@ from ..models.decoder import (
 
 
 class PagedKVCache(NamedTuple):
-    k: jax.Array  # [L, P, ps, Hkv, D]
-    v: jax.Array  # [L, P, ps, Hkv, D]
+    """Paged pool for attention layers + (hybrid models) per-slot linear
+    states. k/v [Lf, P, ps, Hkv, D]; conv [Ll, B, conv_dim, Kc-1] and
+    rec [Ll, B, Hv, dk, dv] are slot-indexed (qwen3_next delta-net)."""
+
+    k: jax.Array
+    v: jax.Array
+    conv: Any = None
+    rec: Any = None
 
     @property
     def page_size(self) -> int:
@@ -52,13 +58,26 @@ class PagedKVCache(NamedTuple):
     @classmethod
     def create(
         cls, config: ModelConfig, num_pages: int, page_size: int = 128,
-        dtype=jnp.bfloat16,
+        dtype=jnp.bfloat16, batch: int | None = None,
     ) -> "PagedKVCache":
         shape = (
-            config.num_hidden_layers, num_pages, page_size,
+            config.num_full_attn_layers, num_pages, page_size,
             config.num_key_value_heads, config.head_dim,
         )
-        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+        conv = rec = None
+        if config.num_linear_layers:
+            assert batch is not None, "hybrid paged cache needs max_batch"
+            Ll = config.num_linear_layers
+            conv = jnp.zeros(
+                (Ll, batch, config.linear_conv_dim,
+                 config.linear_conv_kernel_dim - 1), dtype,
+            )
+            rec = jnp.zeros(
+                (Ll, batch, config.linear_num_value_heads,
+                 config.linear_key_head_dim, config.linear_value_head_dim),
+                jnp.float32,
+            )
+        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), conv, rec)
 
 
 def paged_attention(
@@ -123,8 +142,33 @@ def _paged_decode_step_impl(
     offset = seq_lens % ps
 
     new_k, new_v = cache.k, cache.v
+    new_conv, new_rec = cache.conv, cache.rec
     x = x[:, None, :]  # [B, 1, H]
     for li, lp in enumerate(params["layers"]):
+        if config.layer_is_linear(li):
+            # hybrid (qwen3_next): O(1) recurrent delta-net step on the
+            # slot-indexed conv window + recurrent state
+            from ..models.linear_attn import delta_net_forward
+
+            ll = config.linear_layer_index(li)
+            h = rms_norm(x, lp["input_layernorm"], config.rms_norm_eps,
+                         config.zero_centered_norm)
+            attn_o, conv_st, rec_st = delta_net_forward(
+                lp["linear_attn"], h, config, new_conv[ll], new_rec[ll],
+                quant_mode,
+            )
+            new_conv = new_conv.at[ll].set(conv_st.astype(new_conv.dtype))
+            new_rec = new_rec.at[ll].set(rec_st)
+            x = x + attn_o
+            h2 = rms_norm(x, lp["post_attention_layernorm"],
+                          config.rms_norm_eps, config.zero_centered_norm)
+            if config.layer_is_sparse(li):
+                mlp_out = moe_forward(lp["mlp"], h2, config, quant_mode)
+            else:
+                mlp_out = mlp_forward(lp["mlp"], h2, quant_mode, config.hidden_act)
+            x = x + mlp_out
+            continue
+        kv_li = config.kv_layer_index(li)
         cos, sin = rope_by_layer[li]
         h = rms_norm(x, lp["input_layernorm"], config.rms_norm_eps, config.zero_centered_norm)
         q, k, v, attn_gate = qkv_forward(lp, h, config, quant_mode)
@@ -135,8 +179,8 @@ def _paged_decode_step_impl(
         k = apply_rope(k, cos, sin)[:, 0]  # [B, Hkv, D]
         v = v[:, 0]
 
-        new_k = new_k.at[li, page_idx, offset].set(k.astype(new_k.dtype))
-        new_v = new_v.at[li, page_idx, offset].set(v.astype(new_v.dtype))
+        new_k = new_k.at[kv_li, page_idx, offset].set(k.astype(new_k.dtype))
+        new_v = new_v.at[kv_li, page_idx, offset].set(v.astype(new_v.dtype))
 
         if attn_mode == "kernel":
             # Pallas paged kernel: reads ONLY the allocated pages (DMA clamps
@@ -145,14 +189,14 @@ def _paged_decode_step_impl(
             from ..kernels.attention import paged_decode_attention
 
             attn = paged_decode_attention(
-                q, new_k[li], new_v[li], page_table, seq_lens + 1,
+                q, new_k[kv_li], new_v[kv_li], page_table, seq_lens + 1,
                 scale=config.attn_scale,
                 sliding_window=config.layer_sliding_window(li),
                 logit_softcap=config.attn_logit_softcap,
             )
         else:
-            k_pages = new_k[li][page_table]  # [B, maxP, ps, Hkv, D]
-            v_pages = new_v[li][page_table]
+            k_pages = new_k[kv_li][page_table]  # [B, maxP, ps, Hkv, D]
+            v_pages = new_v[kv_li][page_table]
             attn = paged_attention(
                 q, k_pages, v_pages, seq_lens + 1,
                 scale=config.attn_scale,
@@ -190,7 +234,7 @@ def _paged_decode_step_impl(
     logits = logits.astype(jnp.float32)
     if config.logit_softcap:
         logits = jnp.tanh(logits / config.logit_softcap) * config.logit_softcap
-    return logits, PagedKVCache(new_k, new_v)
+    return logits, PagedKVCache(new_k, new_v, new_conv, new_rec)
 
 
 # Donation aliases the page pool through the step (no copy of the KV pool per
@@ -238,7 +282,7 @@ def _scatter_prefill_impl(
     pages = page_ids[:n_pages]
     new_k = cache.k.at[:, pages].set(kp.astype(cache.k.dtype))
     new_v = cache.v.at[:, pages].set(vp.astype(cache.v.dtype))
-    return PagedKVCache(new_k, new_v)
+    return cache._replace(k=new_k, v=new_v)
 
 
 _scatter_prefill_donate = partial(

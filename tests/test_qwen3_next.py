@@ -182,3 +182,38 @@ def test_qwen3_next_chunk_boundary():
     np.testing.assert_allclose(
         np.asarray(inc[:, 0]), np.asarray(full[:, T - 1]), rtol=3e-3, atol=3e-3
     )
+
+
+def test_qwen3_next_engine_matches_generator(hf_and_ours):
+    """The paged engine's hybrid path (per-slot conv/recurrent states) must
+    emit the same greedy tokens as the contiguous-cache Generator."""
+    from paroquant_tpu.serve import Engine, Generator, SamplingParams
+
+    _, params, config = hf_and_ours
+    rng = np.random.default_rng(9)
+    prompts = [list(rng.integers(0, HF_CFG["vocab_size"], n)) for n in (7, 15)]
+    sp = SamplingParams(max_tokens=8, temperature=0.0)
+
+    gen = Generator(params, config, quant_mode="xla", cache_dtype=jnp.float32)
+    ref = [[t for t in gen.stream_generate(p, sp)] for p in prompts]
+
+    eng = Engine(params, config, max_batch=2, max_len=64, page_size=8,
+                 quant_mode="xla", cache_dtype=jnp.float32)
+    got = [eng.generate_sync(p, sp) for p in prompts]
+    assert got == ref
+
+    # interleaved: both requests decode in the same batch
+    eng2 = Engine(params, config, max_batch=2, max_len=64, page_size=8,
+                  quant_mode="xla", cache_dtype=jnp.float32)
+    reqs = [eng2.submit(p, sp) for p in prompts]
+    for _ in range(200):
+        if not eng2.step():
+            break
+    for r, want in zip(reqs, ref):
+        toks = []
+        while not r.out_queue.empty():
+            kind, t = r.out_queue.get_nowait()
+            if kind == "done":
+                break
+            toks.append(t)
+        assert toks == want
