@@ -49,6 +49,9 @@ def main(argv=None):
     ap.add_argument("--pair-mode", default="random", choices=["random", "butterfly"],
                     help="'random' matches the reference protocol (seeded "
                     "independent pairs); 'butterfly' is the structured variant")
+    ap.add_argument("--skip", nargs="*", default=["linear_attn.in_proj_ba"],
+                    help="module names left dense (reference --skipped-modules; "
+                    "default skips the delta-net decay/gate projection)")
     ap.add_argument("--loss", default="mse", choices=["mse", "smooth_l1"])
     ap.add_argument("--grad-accum", type=int, default=1)
     ap.add_argument("--early-stop", type=int, default=None)
@@ -103,6 +106,7 @@ def main(argv=None):
         num_rotations=args.num_rotations, pair_mode=args.pair_mode,
         seed=args.seed, stages=stages, loss=args.loss,
         grad_accum=args.grad_accum, early_stop=args.early_stop,
+        skip=tuple(args.skip),
     )
     run = None
     if args.wandb:

@@ -46,10 +46,13 @@ _ATTN = {"q_proj", "k_proj", "v_proj", "o_proj"}
 _MLP = {"gate_proj", "up_proj", "down_proj"}
 
 
+_LINEAR_ATTN = {"in_proj_qkvz", "in_proj_ba", "out_proj"}
+
+
 def hf_prefix(layer_idx: int, name: str) -> str:
     """Our layer-param name -> HF tensor prefix."""
-    if name.startswith("mlp."):
-        return f"model.layers.{layer_idx}.mlp.{name[4:]}"
+    if name.startswith("mlp.") or name.startswith("linear_attn."):
+        return f"model.layers.{layer_idx}.{name}"
     if name in _ATTN:
         return f"model.layers.{layer_idx}.self_attn.{name}"
     raise ValueError(name)
@@ -127,9 +130,22 @@ def save_paro_checkpoint(
                     tensors[
                         f"model.layers.{li}.mlp.experts.{e}.{pn}.weight"
                     ] = _to_f16(np.asarray(ex[pn][e]).T)
-        for name in list(_ATTN) + [f"mlp.{m}" for m in _MLP]:
-            base = name[4:] if name.startswith("mlp.") else name
-            holder = lp["mlp"] if name.startswith("mlp.") else lp
+        if "linear_attn" in lp:  # gated delta-net (hybrid) extras
+            la = lp["linear_attn"]
+            lab = f"model.layers.{li}.linear_attn"
+            tensors[f"{lab}.conv1d.weight"] = np.asarray(la["conv_w"], np.float32)
+            tensors[f"{lab}.dt_bias"] = np.asarray(la["dt_bias"], np.float32)
+            tensors[f"{lab}.A_log"] = np.asarray(la["A_log"], np.float32)
+            tensors[f"{lab}.norm.weight"] = _to_f16(la["norm"])
+        for name in (
+            list(_ATTN)
+            + [f"linear_attn.{n}" for n in _LINEAR_ATTN]
+            + [f"mlp.{m}" for m in _MLP]
+        ):
+            sub, _, base = name.rpartition(".")
+            if sub and sub not in lp:
+                continue
+            holder = lp[sub] if sub else lp
             if base not in holder:
                 continue
             prefix = hf_prefix(li, name)
@@ -303,6 +319,16 @@ def _to_f16(a) -> np.ndarray:
 
 def _config_to_hf(config: ModelConfig) -> dict[str, Any]:
     out: dict[str, Any] = {}
+    if config.layer_types is not None:  # hybrid (gated delta-net) family
+        out.update(
+            layer_types=list(config.layer_types),
+            partial_rotary_factor=config.partial_rotary_factor,
+            linear_num_value_heads=config.linear_num_value_heads,
+            linear_num_key_heads=config.linear_num_key_heads,
+            linear_key_head_dim=config.linear_key_head_dim,
+            linear_value_head_dim=config.linear_value_head_dim,
+            linear_conv_kernel_dim=config.linear_conv_kernel_dim,
+        )
     if config.is_moe:
         out.update(
             num_experts=config.num_experts,

@@ -19,6 +19,11 @@ Execution strategies (`mode`):
   - "xla":    einsum rotation + jnp dequant matmul (XLA-fused; CPU-friendly
               fallback and the reference implementation for kernel tests).
   - "pseudo": dense effective bf16 weight precomputed once (debug/eval parity).
+  - "auto":   per-shape dispatch resolved at trace time — "fused" for token
+              counts up to AUTO_FUSED_MAX_M (decode / short chunks, where the
+              single-HBM-pass kernel wins), "xla" above it (prefill, where the
+              one-off dequant amortizes and XLA tiles the big GEMM onto the
+              MXU).  Crossover measured with scripts/kernel_dispatch.py.
 """
 
 from __future__ import annotations
@@ -258,6 +263,7 @@ def merged_linear_forward(
     layer: MergedQuantizedLinear, x: jax.Array, mode: str = "xla"
 ) -> jax.Array:
     """Apply the merged layer to x [..., I] -> [..., O_tot]."""
+    mode = _resolve_auto(mode, x)
     if mode == "fused":
         from ..kernels.rot_matmul import merged_rot_w4_matmul
 
@@ -273,11 +279,29 @@ def merged_linear_forward(
     return y
 
 
+# Fused Pallas wins for token counts at or below this; above it the one-off
+# XLA dequant amortizes over the big MXU GEMM. Measured on v5e with
+# scripts/kernel_dispatch.py (4096x4096 g128) — see STATUS.md.
+AUTO_FUSED_MAX_M = 256
+
+
+def _resolve_auto(mode: str, x: jax.Array) -> str:
+    if mode != "auto":
+        return mode
+    if jax.default_backend() == "cpu":  # Pallas fused is TPU-only
+        return "xla"
+    m = 1
+    for d in x.shape[:-1]:
+        m *= int(d)
+    return "fused" if m <= AUTO_FUSED_MAX_M else "xla"
+
+
 @partial(jax.jit, static_argnames=("mode",))
 def quantized_linear_forward(
     layer: QuantizedLinear, x: jax.Array, mode: str = "xla"
 ) -> jax.Array:
     """Apply the quantized linear to x [..., I] -> [..., O]."""
+    mode = _resolve_auto(mode, x)
     if mode == "xla":
         y = _forward_xla(layer, x)
     elif mode == "fused":

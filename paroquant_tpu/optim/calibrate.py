@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.config import ModelConfig
-from ..models.decoder import layer_forward, rope_tables
+from ..models.decoder import layer_forward, layer_rope_theta, rope_tables
 from ..ops import rotation as rot_ops
 from ..ops.butterfly import make_butterfly_params
 from ..ops.qlinear import make_quantized_linear
@@ -45,6 +45,11 @@ logger = logging.getLogger("paroquant_tpu.optim")
 
 LINEAR_NAMES = ("q_proj", "k_proj", "v_proj", "o_proj")
 MLP_NAMES = ("gate_proj", "up_proj", "down_proj")
+# gated delta-net (qwen3_next hybrid) projections. The reference calibrates
+# these through the HF module forward and skips the decay/gate projection
+# (experiments/optimize/4bit_moe.sh --skipped-modules "linear_attn.in_proj_a"
+# "linear_attn.in_proj_b"); our fused in_proj_ba is that projection.
+LINEAR_ATTN_NAMES = ("in_proj_qkvz", "in_proj_ba", "out_proj")
 
 
 @dataclasses.dataclass
@@ -70,6 +75,9 @@ class CalibConfig:
     early_stop: int | None = None
     val_fraction: float = 0.1
     rot_dtype: Any = jnp.float32
+    # module names (as emitted by _layer_linear_names) left dense, mirroring
+    # the reference --skipped-modules default for hybrids
+    skip: tuple = ("linear_attn.in_proj_ba",)
 
 
 def _rotation_for(cfg: CalibConfig, in_features: int, layer_seed: int) -> rot_ops.RotationParams:
@@ -80,13 +88,17 @@ def _rotation_for(cfg: CalibConfig, in_features: int, layer_seed: int) -> rot_op
     )
 
 
-def _layer_linear_names(layer_params: dict[str, Any]) -> list[str]:
+def _layer_linear_names(
+    layer_params: dict[str, Any], skip: tuple = ()
+) -> list[str]:
     names = [n for n in LINEAR_NAMES if n in layer_params]
+    la = layer_params.get("linear_attn", {})
+    names += [f"linear_attn.{n}" for n in LINEAR_ATTN_NAMES if n in la]
     mlp = layer_params.get("mlp", {})
     names += [f"mlp.{n}" for n in MLP_NAMES if n in mlp]
     if "experts" in mlp:
         names.append("mlp.experts")
-    return names
+    return [n for n in names if n not in skip]
 
 
 def flatten_export(exp: dict[str, Any]) -> dict[str, Any]:
@@ -117,16 +129,18 @@ def unflatten_export(flat: dict[str, Any]) -> dict[str, Any]:
 
 
 def _get_linear(layer_params, name):
-    if name.startswith("mlp."):
-        return layer_params["mlp"][name[4:]]
+    if "." in name:
+        sub, leaf = name.split(".", 1)
+        return layer_params[sub][leaf]
     return layer_params[name]
 
 
 def _set_linear(layer_params, name, value):
     lp = dict(layer_params)
-    if name.startswith("mlp."):
-        lp["mlp"] = dict(lp["mlp"])
-        lp["mlp"][name[4:]] = value
+    if "." in name:
+        sub, leaf = name.split(".", 1)
+        lp[sub] = dict(lp[sub])
+        lp[sub][leaf] = value
     else:
         lp[name] = value
     return lp
@@ -184,17 +198,41 @@ def calibrate_model(
 
     for li, lp in enumerate(layers):
         t_start = time.time()
-        names = _layer_linear_names(lp)
+        names = _layer_linear_names(lp, cfg.skip)
+        # per-layer RoPE base + rotary width: Gemma-3 local layers use
+        # rope_local_base_freq, partial-rotary models cover rotary_dim < head_dim
+        # (must match model_forward or the teacher activations are wrong)
+        _theta = layer_rope_theta(config, li)
+        _is_linear = config.layer_is_linear(li)
 
-        def dense_layer_apply(x):
-            cos, sin = rope_tables(positions, config.head_dim, config.rope_theta)
+        def apply_with(lp_, x):
+            """One decoder layer, dense-or-substituted params (mirrors
+            model_forward's per-layer dispatch, no cache / full-length)."""
+            if _is_linear:
+                from ..models.decoder import mlp_forward, moe_forward, rms_norm
+                from ..models.linear_attn import delta_net_forward
+
+                h = rms_norm(x, lp_["input_layernorm"], config.rms_norm_eps,
+                             config.zero_centered_norm)
+                attn_out, _, _ = delta_net_forward(
+                    lp_["linear_attn"], h, config, None, None, "xla"
+                )
+                xx = x + attn_out
+                h2 = rms_norm(xx, lp_["post_attention_layernorm"],
+                              config.rms_norm_eps, config.zero_centered_norm)
+                if config.layer_is_sparse(li):
+                    mlp_out = moe_forward(lp_["mlp"], h2, config, "xla")
+                else:
+                    mlp_out = mlp_forward(lp_["mlp"], h2, "xla", config.hidden_act)
+                return xx + mlp_out
+            cos, sin = rope_tables(positions, config.rotary_dim, _theta)
             y, _ = layer_forward(
-                lp, x, config, li, cos, sin, positions, None,
+                lp_, x, config, li, cos, sin, positions, None,
                 jnp.zeros((), jnp.int32), "xla",
             )
             return y
 
-        dense_apply_j = jax.jit(dense_layer_apply)
+        dense_apply_j = jax.jit(lambda x: apply_with(lp, x))
         teacher = np.stack([np.asarray(dense_apply_j(jnp.asarray(x))) for x in xs])
 
         layer_result: dict[str, Any] = {}
@@ -242,12 +280,7 @@ def calibrate_model(
                 new_lp = lp
                 for name, lin in linear_dict.items():
                     new_lp = _set_linear(new_lp, name, lin)
-                cos, sin = rope_tables(positions, config.head_dim, config.rope_theta)
-                y, _ = layer_forward(
-                    new_lp, x, config, li, cos, sin, positions, None,
-                    jnp.zeros((), jnp.int32), "xla",
-                )
-                return y
+                return apply_with(new_lp, x)
 
             batches = [
                 (jnp.asarray(xs[i]), jnp.asarray(teacher[i])) for i in range(N)
@@ -281,15 +314,7 @@ def calibrate_model(
         # student outputs feed the next layer (optimize.py:524-537)
         qlp = layers[li]
 
-        def student_layer_apply(x):
-            cos, sin = rope_tables(positions, config.head_dim, config.rope_theta)
-            y, _ = layer_forward(
-                qlp, x, config, li, cos, sin, positions, None,
-                jnp.zeros((), jnp.int32), "xla",
-            )
-            return y
-
-        student_j = jax.jit(student_layer_apply)
+        student_j = jax.jit(lambda x: apply_with(qlp, x))
         xs = np.stack([np.asarray(student_j(jnp.asarray(x))) for x in xs])
         results.append(layer_result)
         if progress_fn:

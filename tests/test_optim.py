@@ -131,3 +131,83 @@ def test_calibrate_model_end_to_end(tmp_path):
     qparams2, _ = calibrate_model(params, config, tokens, cfg, output_dir=tmp_path)
     l_cal2, _ = model_forward(qparams2, config, test_tokens)
     np.testing.assert_allclose(np.asarray(l_cal2), np.asarray(l_cal), atol=1e-4)
+
+
+def test_calibrate_hybrid_delta_net_layers():
+    """qwen3_next hybrid calibration: delta-net layers' in_proj_qkvz/out_proj
+    are quantized through the layer's own forward (the reference routes these
+    through the HF module and skips only the decay/gate projection,
+    experiments/optimize/4bit_moe.sh --skipped-modules linear_attn.in_proj_*)."""
+    from paroquant_tpu.models import from_hf_dict
+    from paroquant_tpu.models.decoder import DenseLinear
+    from paroquant_tpu.ops.qlinear import QuantizedLinear
+
+    config = from_hf_dict(dict(
+        model_type="qwen3_next", vocab_size=64, hidden_size=64,
+        intermediate_size=96, num_hidden_layers=2, full_attention_interval=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        partial_rotary_factor=0.25, rope_theta=10000.0,
+        linear_num_value_heads=4, linear_num_key_heads=2,
+        linear_key_head_dim=16, linear_value_head_dim=16,
+        linear_conv_kernel_dim=4, tie_word_embeddings=True,
+    ))
+    assert config.layer_is_linear(0) and not config.layer_is_linear(1)
+    params = init_params(config, jax.random.PRNGKey(1), dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    tokens = rng.integers(0, config.vocab_size, (2, 1, 16)).astype(np.int32)
+    cfg = CalibConfig(
+        n_bits=4, group_size=16, num_rotations=2,
+        stages=(({"channel_scales": 5e-2, "angles": 5e-2}, 2),),
+    )
+    qparams, results = calibrate_model(params, config, tokens, cfg)
+
+    la = qparams["layers"][0]["linear_attn"]
+    assert isinstance(la["in_proj_qkvz"], QuantizedLinear)
+    assert isinstance(la["out_proj"], QuantizedLinear)
+    # decay/gate projection stays dense (CalibConfig.skip default)
+    assert isinstance(la["in_proj_ba"], DenseLinear)
+    assert "linear_attn.in_proj_qkvz" in results[0]
+    assert "linear_attn.in_proj_ba" not in results[0]
+
+    # quantized hybrid still runs and tracks the dense model
+    test_tokens = jnp.asarray(rng.integers(0, config.vocab_size, (1, 12)), jnp.int32)
+    l_fp, _ = model_forward(params, config, test_tokens)
+    l_q, _ = model_forward(qparams, config, test_tokens)
+    assert np.isfinite(np.asarray(l_q)).all()
+    denom = float(jnp.mean(l_fp**2)) + 1e-9
+    assert float(jnp.mean((l_q - l_fp) ** 2)) / denom < 0.3
+
+
+def test_hybrid_checkpoint_round_trip(tmp_path):
+    """Calibrated qwen3_next hybrid survives PARO-TPU save -> load: the
+    delta-net extras (conv/dt_bias/A_log/norm) and quantized in_proj/out_proj
+    reproduce identical logits."""
+    from paroquant_tpu.convert import load_checkpoint, save_paro_checkpoint
+    from paroquant_tpu.models import from_hf_dict
+
+    config = from_hf_dict(dict(
+        model_type="qwen3_next", vocab_size=64, hidden_size=64,
+        intermediate_size=96, num_hidden_layers=2, full_attention_interval=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        partial_rotary_factor=0.25, rope_theta=10000.0,
+        linear_num_value_heads=4, linear_num_key_heads=2,
+        linear_key_head_dim=16, linear_value_head_dim=16,
+        linear_conv_kernel_dim=4, tie_word_embeddings=True,
+    ))
+    params = init_params(config, jax.random.PRNGKey(2), dtype=jnp.float32)
+    rng = np.random.default_rng(7)
+    tokens = rng.integers(0, config.vocab_size, (2, 1, 16)).astype(np.int32)
+    cfg = CalibConfig(
+        n_bits=4, group_size=16, num_rotations=2,
+        stages=(({"channel_scales": 5e-2}, 1),),
+    )
+    qparams, exports = calibrate_model(params, config, tokens, cfg)
+    save_paro_checkpoint(tmp_path, params, config, exports)
+    params2, config2 = load_checkpoint(tmp_path, dtype=jnp.float32)
+    assert config2.layer_is_linear(0) and not config2.layer_is_linear(1)
+
+    test_tokens = jnp.asarray(rng.integers(0, config.vocab_size, (1, 12)), jnp.int32)
+    l_a, _ = model_forward(qparams, config, test_tokens)
+    l_b, _ = model_forward(params2, config2, test_tokens)
+    # dense side tensors + theta serialize as f16 -> small logit rounding
+    np.testing.assert_allclose(np.asarray(l_b), np.asarray(l_a), rtol=2e-2, atol=5e-2)
