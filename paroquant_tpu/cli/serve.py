@@ -38,9 +38,18 @@ def main(argv=None):
         max_batch=args.max_batch, max_len=args.max_len, page_size=args.page_size,
         quant_mode=qmode,
     )
+    processor = None
+    if config.is_vlm:  # image templating + pixel preprocessing for chat images
+        try:
+            from transformers import AutoProcessor
+
+            processor = AutoProcessor.from_pretrained(str(args.model))
+        except Exception:
+            print("VLM checkpoint without loadable processor; chat image "
+                  "content disabled (raw pixel_values still accepted)")
     name = args.served_model_name or str(args.model).rstrip("/").split("/")[-1]
     print(f"serving {name} on {args.host}:{args.port} (quant_mode={qmode})")
-    Server(engine, name).run(args.host, args.port)
+    Server(engine, name, processor=processor).run(args.host, args.port)
 
 
 if __name__ == "__main__":

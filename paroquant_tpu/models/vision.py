@@ -21,6 +21,7 @@ Param layout mirrors the HF module tree so checkpoint mapping is mechanical:
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Any
 
 import jax
@@ -210,3 +211,14 @@ def vlm_prefill(
         params, config, tokens, cache, quant_mode=quant_mode,
         input_embeds=merged, bidir_groups=groups,
     )
+
+
+@partial(jax.jit, static_argnames=("config", "quant_mode"))
+def vlm_prefill_step(params, config, tokens, pixel_values, cache, *,
+                     quant_mode: str = "xla"):
+    """Jitted image+text prefill returning (last-token logits [B, V], cache)
+    — the VLM twin of decoder.prefill for the serving paths."""
+    logits, cache = vlm_prefill(
+        params, config, tokens, pixel_values, cache, quant_mode=quant_mode
+    )
+    return logits[:, -1, :], cache

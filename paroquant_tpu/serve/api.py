@@ -23,8 +23,10 @@ from .engine import Engine
 from .sampling import SamplingParams
 
 
-def _sampling_from_body(body: dict[str, Any], engine: Engine) -> SamplingParams:
-    room = engine.max_len - 64
+def _sampling_from_body(
+    body: dict[str, Any], engine: Engine, prompt_len: int = 0
+) -> SamplingParams:
+    room = max(engine.max_len - prompt_len, 1)
     return SamplingParams(
         max_tokens=min(int(body.get("max_tokens") or 512), room),
         temperature=float(body.get("temperature", 1.0)),
@@ -36,9 +38,19 @@ def _sampling_from_body(body: dict[str, Any], engine: Engine) -> SamplingParams:
 
 
 class Server:
-    def __init__(self, engine: Engine, model_name: str = "paroquant-tpu"):
+    def __init__(
+        self,
+        engine: Engine,
+        model_name: str = "paroquant-tpu",
+        processor: Any = None,
+    ):
+        # `processor` (optional transformers AutoProcessor) enables OpenAI
+        # vision-format chat messages (image_url content parts): it owns the
+        # model-specific image templating + pixel preprocessing, mirroring
+        # the reference transformers backend (generator.py:26-46)
         self.engine = engine
         self.model_name = model_name
+        self.processor = processor
         self.app = web.Application()
         self.app.router.add_post("/v1/chat/completions", self.chat_completions)
         self.app.router.add_post("/v1/completions", self.completions)
@@ -72,13 +84,38 @@ class Server:
             raise web.HTTPBadRequest(reason="server has no tokenizer loaded")
         return tok.apply_chat_template(messages, add_generation_prompt=True)
 
+    @staticmethod
+    def _has_image_parts(messages: list[dict]) -> bool:
+        return any(
+            isinstance(m.get("content"), list)
+            and any(p.get("type") in ("image_url", "image") for p in m["content"])
+            for m in messages
+        )
+
     async def chat_completions(self, request: web.Request) -> web.StreamResponse:
         body = await request.json()
-        try:
-            prompt = self._encode_chat(body["messages"])
-        except KeyError:
+        if "messages" not in body:
             raise web.HTTPBadRequest(reason="missing 'messages'")
-        return await self._run(request, body, prompt, chat=True)
+        messages = body["messages"]
+        pixel_values = None
+        if self._has_image_parts(messages):
+            if self.processor is None:
+                raise web.HTTPBadRequest(
+                    reason="image content requires a vision processor "
+                    "(serve a VLM checkpoint with processor files)"
+                )
+            enc = self.processor.apply_chat_template(
+                messages, add_generation_prompt=True, tokenize=True,
+                return_dict=True,
+            )
+            prompt = list(map(int, enc["input_ids"][0]))
+            import numpy as np
+
+            pixel_values = np.asarray(enc["pixel_values"], np.float32)
+        else:
+            prompt = self._encode_chat(messages)
+        return await self._run(request, body, prompt, chat=True,
+                               pixel_values=pixel_values)
 
     async def completions(self, request: web.Request) -> web.StreamResponse:
         body = await request.json()
@@ -89,14 +126,21 @@ class Server:
             prompt = tok.encode(body["prompt"])
         else:
             raise web.HTTPBadRequest(reason="missing 'prompt'")
-        return await self._run(request, body, prompt, chat=False)
+        pixel_values = None
+        if "pixel_values" in body:  # raw engine-level image input
+            import numpy as np
+
+            pixel_values = np.asarray(body["pixel_values"], np.float32)
+        return await self._run(request, body, prompt, chat=False,
+                               pixel_values=pixel_values)
 
     async def _run(
-        self, request: web.Request, body: dict, prompt: list[int], chat: bool
+        self, request: web.Request, body: dict, prompt: list[int], chat: bool,
+        pixel_values=None,
     ) -> web.StreamResponse:
-        sp = _sampling_from_body(body, self.engine)
+        sp = _sampling_from_body(body, self.engine, len(prompt))
         try:
-            req = self.engine.submit(prompt, sp)
+            req = self.engine.submit(prompt, sp, pixel_values=pixel_values)
         except ValueError as e:
             raise web.HTTPBadRequest(reason=str(e))
         created = int(time.time())

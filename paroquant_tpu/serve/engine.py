@@ -37,6 +37,10 @@ class Request:
     request_id: str
     prompt_tokens: list[int]
     sampling: SamplingParams
+    # VLM: [N_img, C, H, W] pixel batch; prompt_tokens hold image_token_id
+    # runs at the image positions (reference transformers backend
+    # AutoModelForImageTextToText, generator.py:26-34)
+    pixel_values: np.ndarray | None = None
     out_queue: "queue.SimpleQueue[tuple[str, int | None]]" = dataclasses.field(
         default_factory=queue.SimpleQueue
     )
@@ -226,13 +230,23 @@ class Engine:
     # public API
     # ------------------------------------------------------------------
 
-    def submit(self, prompt_tokens: list[int], sampling: SamplingParams) -> Request:
+    def submit(
+        self,
+        prompt_tokens: list[int],
+        sampling: SamplingParams,
+        pixel_values: np.ndarray | None = None,
+    ) -> Request:
         if len(prompt_tokens) + sampling.max_tokens > self.max_len:
             raise ValueError(
                 f"prompt+max_tokens {len(prompt_tokens)}+{sampling.max_tokens} "
                 f"exceeds engine max_len {self.max_len}"
             )
-        req = Request(f"req-{next(self._id_counter)}", list(prompt_tokens), sampling)
+        if pixel_values is not None and self.config.vision is None:
+            raise ValueError("model has no vision tower; cannot serve images")
+        req = Request(
+            f"req-{next(self._id_counter)}", list(prompt_tokens), sampling,
+            pixel_values=pixel_values,
+        )
         self.waiting.put(req)
         self.metrics["requests"] += 1
         return req
@@ -296,7 +310,10 @@ class Engine:
                 return  # wait for pages to free up
             self._pending.pop(0)
             slot_id = free_slots[0]
-            if T > self.prefill_chunk:
+            # VLM prompts prefill whole (bidirectional image blocks must see
+            # the full prompt at once); text prompts longer than one chunk
+            # stream chunk-per-tick so active decodes keep flowing
+            if T > self.prefill_chunk and req.pixel_values is None:
                 self._start_chunked_prefill(slot_id, req)
                 return  # first chunk next tick; decode keeps running now
             self._prefill_into_slot(slot_id, req)
@@ -356,10 +373,20 @@ class Engine:
         toks = np.zeros((1, bucket), np.int32)
         toks[0, :T] = req.prompt_tokens
         cache = KVCache.create(self.config, 1, bucket, self.cache.k.dtype)
-        logits, cache = _prefill_jit(
-            self.params, self.config, jnp.asarray(toks), cache, self.quant_mode,
-            self.prefill_attn, jnp.asarray(T, jnp.int32),
-        )
+        if req.pixel_values is not None:
+            # image+text prefill: vision tower + soft-token merge + decoder
+            # with bidirectional image blocks; decode afterwards is the
+            # ordinary text path over the returned KV (bucket padding is
+            # causal-inert and masked out by seq_lens)
+            logits, cache = _vlm_prefill_jit(
+                self.params, self.config, jnp.asarray(toks),
+                jnp.asarray(req.pixel_values), cache, self.quant_mode,
+            )
+        else:
+            logits, cache = _prefill_jit(
+                self.params, self.config, jnp.asarray(toks), cache, self.quant_mode,
+                self.prefill_attn, jnp.asarray(T, jnp.int32),
+            )
         self._finish_prefill(
             slot_id, req, cache, logits[:, T - 1, :], self._alloc_pages(req)
         )
@@ -481,9 +508,9 @@ class Engine:
     # convenience: synchronous generation through the engine
     def generate_sync(
         self, prompt_tokens: list[int], sampling: SamplingParams,
-        timeout: float = 300.0,
+        timeout: float = 300.0, pixel_values: np.ndarray | None = None,
     ) -> list[int]:
-        req = self.submit(prompt_tokens, sampling)
+        req = self.submit(prompt_tokens, sampling, pixel_values=pixel_values)
         out: list[int] = []
         deadline = time.time() + timeout
         driving = self._thread is None
@@ -521,3 +548,12 @@ def _prefill_jit(params, config, tokens, cache, quant_mode, attn_mode="einsum",
         attn_mode=attn_mode, linear_valid_len=valid_len,
     )
     return logits, cache
+
+
+@partial(jax.jit, static_argnames=("config", "quant_mode"))
+def _vlm_prefill_jit(params, config, tokens, pixel_values, cache, quant_mode):
+    from ..models.vision import vlm_prefill
+
+    return vlm_prefill(
+        params, config, tokens, pixel_values, cache, quant_mode=quant_mode
+    )

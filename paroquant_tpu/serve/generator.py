@@ -98,8 +98,13 @@ class Generator:
             )
 
     def stream_generate(
-        self, prompt_tokens: list[int], sp: SamplingParams
+        self, prompt_tokens: list[int], sp: SamplingParams,
+        pixel_values: np.ndarray | None = None,
     ) -> Iterator[int]:
+        """`pixel_values` [N_img, C, H, W] enables the image-text (VLM) path:
+        the prompt's image_token_id runs are replaced by vision soft tokens
+        (reference transformers backend AutoModelForImageTextToText,
+        generator.py:26-34); decode afterwards is the ordinary text path."""
         toks = np.asarray(prompt_tokens, np.int32)[None, :]
         cache = KVCache.create(
             self.config, 1, min(self.max_len, toks.shape[1] + sp.max_tokens),
@@ -113,10 +118,20 @@ class Generator:
                 counts[0, t] += 1
             counts = jnp.asarray(counts)
 
-        logits, cache = prefill(
-            self.params, self.config, jnp.asarray(toks), cache,
-            quant_mode=self.quant_mode,
-        )
+        if pixel_values is not None:
+            if self.config.vision is None:
+                raise ValueError("model has no vision tower; cannot take images")
+            from ..models.vision import vlm_prefill_step
+
+            logits, cache = vlm_prefill_step(
+                self.params, self.config, jnp.asarray(toks),
+                jnp.asarray(pixel_values), cache, quant_mode=self.quant_mode,
+            )
+        else:
+            logits, cache = prefill(
+                self.params, self.config, jnp.asarray(toks), cache,
+                quant_mode=self.quant_mode,
+            )
         stop = set(sp.stop_token_ids)
         if self.tokenizer is not None and getattr(self.tokenizer, "eos_token_id", None) is not None:
             stop.add(int(self.tokenizer.eos_token_id))
@@ -141,14 +156,15 @@ class Generator:
             )
 
     def generate(
-        self, prompt_tokens: list[int], sp: SamplingParams
+        self, prompt_tokens: list[int], sp: SamplingParams,
+        pixel_values: np.ndarray | None = None,
     ) -> GenerationResult:
         """Reference BaseGenerator.generate (base.py:47-84): wraps the stream
         and measures TTFT / latency / tokens-per-second."""
         stats = GenerationStats()
         out: list[int] = []
         start = time.perf_counter()
-        for tid in self.stream_generate(prompt_tokens, sp):
+        for tid in self.stream_generate(prompt_tokens, sp, pixel_values=pixel_values):
             if not out:
                 stats.ttft = time.perf_counter() - start
             out.append(tid)

@@ -216,3 +216,95 @@ def test_vlm_checkpoint_load_roundtrip(hf_and_ours, tmp_path):
     ref, _ = vlm_prefill(params, config, jnp.asarray(toks, jnp.int32), jnp.asarray(px))
     got, _ = vlm_prefill(loaded, config2, jnp.asarray(toks, jnp.int32), jnp.asarray(px))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_vlm_engine_matches_generator(hf_and_ours):
+    """Image requests served through the continuous-batching Engine emit the
+    same greedy tokens as the single-stream Generator's VLM path, including
+    interleaved with a text-only request (reference capability: VLM serving
+    via the transformers backend, generator.py:26-34)."""
+    from paroquant_tpu.serve import Engine, Generator, SamplingParams
+
+    _, params, config = hf_and_ours
+    rng = np.random.default_rng(11)
+    toks = list(rng.integers(0, 240, 12))
+    toks[2:6] = [IMAGE_TOKEN] * 4  # one image
+    px = rng.standard_normal((1, 3, 28, 28)).astype(np.float32)
+    text_prompt = list(rng.integers(0, 240, 9))
+    sp = SamplingParams(max_tokens=6, temperature=0.0)
+
+    gen = Generator(params, config, quant_mode="xla", cache_dtype=jnp.float32)
+    want_vlm = [t for t in gen.stream_generate(toks, sp, pixel_values=px)]
+    want_txt = [t for t in gen.stream_generate(text_prompt, sp)]
+
+    eng = Engine(params, config, max_batch=2, max_len=64, page_size=8,
+                 quant_mode="xla", cache_dtype=jnp.float32)
+    reqs = [eng.submit(toks, sp, pixel_values=px), eng.submit(text_prompt, sp)]
+    for _ in range(100):
+        if not eng.step():
+            break
+    got = []
+    for r in reqs:
+        out = []
+        while not r.out_queue.empty():
+            kind, t = r.out_queue.get_nowait()
+            if kind == "done":
+                break
+            out.append(t)
+        got.append(out)
+    assert got[0] == want_vlm
+    assert got[1] == want_txt
+
+    # models without a vision tower reject image requests loudly
+    import dataclasses as _dc
+    import pytest as _pytest
+
+    cfg_novis = _dc.replace(config, vision_items=None) if _dc.is_dataclass(config) \
+        else config._replace(vision_items=None)
+    eng2 = Engine(params, cfg_novis, max_batch=1, max_len=64, page_size=8,
+                  quant_mode="xla", cache_dtype=jnp.float32)
+    with _pytest.raises(ValueError, match="vision"):
+        eng2.submit(toks, sp, pixel_values=px)
+
+
+def test_vlm_api_completions_with_pixels(hf_and_ours):
+    """HTTP /v1/completions accepts raw pixel_values alongside
+    prompt_token_ids and serves the image request through the engine."""
+    import asyncio
+
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from paroquant_tpu.serve import Engine, Generator, SamplingParams
+    from paroquant_tpu.serve.api import Server
+
+    _, params, config = hf_and_ours
+    rng = np.random.default_rng(13)
+    toks = list(map(int, rng.integers(0, 240, 10)))
+    toks[2:6] = [IMAGE_TOKEN] * 4
+    px = rng.standard_normal((1, 3, 28, 28)).astype(np.float32)
+
+    gen = Generator(params, config, quant_mode="xla", cache_dtype=jnp.float32)
+    sp = SamplingParams(max_tokens=4, temperature=0.0)
+    want = [t for t in gen.stream_generate(toks, sp, pixel_values=px)]
+
+    eng = Engine(params, config, max_batch=2, max_len=64, page_size=8,
+                 quant_mode="xla", cache_dtype=jnp.float32)
+    srv = Server(eng)
+    eng.start()
+    try:
+        async def go():
+            client = TestClient(TestServer(srv.app))
+            await client.start_server()
+            r = await client.post("/v1/completions", json={
+                "prompt_token_ids": toks, "pixel_values": px.tolist(),
+                "max_tokens": 4, "temperature": 0.0,
+            })
+            assert r.status == 200, await r.text()
+            data = await r.json()
+            await client.close()
+            return data
+
+        data = asyncio.run(go())
+    finally:
+        eng.stop()
+    assert data["choices"][0]["token_ids"] == want
