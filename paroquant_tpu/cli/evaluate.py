@@ -76,7 +76,7 @@ def main(argv=None):
     ap.add_argument("--num-tokens", type=int, default=2048 * 128)
     ap.add_argument("--token-file", default=None, help=".npy int token ids")
     ap.add_argument("--synthetic", action="store_true")
-    ap.add_argument("--quant-mode", default=None, choices=["xla", "fused"])
+    ap.add_argument("--quant-mode", default=None, choices=["xla", "fused", "auto"])
     ap.add_argument("--device", default="auto", choices=["cpu", "tpu", "auto"])
     args = ap.parse_args(argv)
 
@@ -88,7 +88,7 @@ def main(argv=None):
     from ..serve.generator import detect_backend, load_tokenizer
 
     params, config = load_checkpoint(args.model)
-    qmode = args.quant_mode or ("fused" if detect_backend() == "tpu" else "xla")
+    qmode = args.quant_mode or ("auto" if detect_backend() == "tpu" else "xla")
 
     if args.synthetic:
         rng = np.random.default_rng(0)

@@ -16,7 +16,7 @@ def main(argv=None):
     ap.add_argument("--max-batch", type=int, default=8)
     ap.add_argument("--max-len", type=int, default=4096)
     ap.add_argument("--page-size", type=int, default=128)
-    ap.add_argument("--quant-mode", default=None, choices=["xla", "fused"])
+    ap.add_argument("--quant-mode", default=None, choices=["xla", "fused", "auto"])
     ap.add_argument("--served-model-name", default=None)
     ap.add_argument("--device", default="auto", choices=["cpu", "tpu", "auto"])
     args = ap.parse_args(argv)
@@ -32,7 +32,7 @@ def main(argv=None):
 
     params, config = load_checkpoint(args.model)
     tokenizer = load_tokenizer(args.model)
-    qmode = args.quant_mode or ("fused" if detect_backend() == "tpu" else "xla")
+    qmode = args.quant_mode or ("auto" if detect_backend() == "tpu" else "xla")
     engine = Engine(
         params, config, tokenizer,
         max_batch=args.max_batch, max_len=args.max_len, page_size=args.page_size,

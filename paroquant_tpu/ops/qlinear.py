@@ -263,7 +263,7 @@ def merged_linear_forward(
     layer: MergedQuantizedLinear, x: jax.Array, mode: str = "xla"
 ) -> jax.Array:
     """Apply the merged layer to x [..., I] -> [..., O_tot]."""
-    mode = _resolve_auto(mode, x)
+    mode = _resolve_auto(mode, x, layer)
     if mode == "fused":
         from ..kernels.rot_matmul import merged_rot_w4_matmul
 
@@ -281,14 +281,21 @@ def merged_linear_forward(
 
 # Fused Pallas wins for token counts at or below this; above it the one-off
 # XLA dequant amortizes over the big MXU GEMM. Measured on v5e with
-# scripts/kernel_dispatch.py (4096x4096 g128) — see STATUS.md.
-AUTO_FUSED_MAX_M = 256
+# scripts/kernel_dispatch.py (4096x4096 g128, interleaved min-of-reps):
+# fused 31.5/15.1/34.4us at M=1/16/128 vs xla 133.7/34.0/41.9; xla wins
+# 49.0 vs 101.6 at M=256 and ~2x beyond. See STATUS.md.
+AUTO_FUSED_MAX_M = 128
 
 
-def _resolve_auto(mode: str, x: jax.Array) -> str:
+def _resolve_auto(mode: str, x: jax.Array, layer) -> str:
     if mode != "auto":
         return mode
     if jax.default_backend() == "cpu":  # Pallas fused is TPU-only
+        return "xla"
+    # Pallas tiles x as [TM, S] blocks (lane dim = group size): S must be a
+    # multiple of 128 unless a single group spans the whole input row.
+    S = layer.group_size
+    if S % 128 != 0 and layer.scales.shape[0] > 1:
         return "xla"
     m = 1
     for d in x.shape[:-1]:
@@ -301,7 +308,7 @@ def quantized_linear_forward(
     layer: QuantizedLinear, x: jax.Array, mode: str = "xla"
 ) -> jax.Array:
     """Apply the quantized linear to x [..., I] -> [..., O]."""
-    mode = _resolve_auto(mode, x)
+    mode = _resolve_auto(mode, x, layer)
     if mode == "xla":
         y = _forward_xla(layer, x)
     elif mode == "fused":

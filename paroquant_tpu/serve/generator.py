@@ -71,7 +71,9 @@ class Generator:
         self.max_len = max_len
         self.cache_dtype = cache_dtype
         if quant_mode is None:
-            quant_mode = "fused" if detect_backend() == "tpu" else "xla"
+            # "auto" = fused Pallas at decode-sized M, XLA dequant-GEMM at
+            # prefill-sized M (ops/qlinear.py AUTO_FUSED_MAX_M)
+            quant_mode = "auto" if detect_backend() == "tpu" else "xla"
         self.quant_mode = quant_mode
 
     @classmethod

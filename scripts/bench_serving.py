@@ -67,7 +67,7 @@ def main():
 
     eng = Engine(
         qparams, config, max_batch=args.max_batch, max_len=args.max_len,
-        page_size=64, quant_mode="fused" if on_tpu else "xla",
+        page_size=64, quant_mode="auto" if on_tpu else "xla",
         prefill_chunk=256,
     )
     rng = np.random.default_rng(0)

@@ -84,6 +84,19 @@ def test_quantized_model_4bit_runs(tiny):
     assert out.shape == (1, 5)
 
 
+def test_quant_mode_auto_matches_xla(tiny):
+    """mode='auto' (per-M fused/xla dispatch) plumbs through the full model
+    path; on CPU it must resolve to the xla path bit-for-bit."""
+    config, params = tiny
+    qparams = quantize_model_rtn(params, config, n_bits=4, group_size=64, seed=0)
+    tokens = jnp.asarray(
+        np.random.default_rng(4).integers(0, config.vocab_size, (1, 6)), jnp.int32
+    )
+    l_xla, _ = model_forward(qparams, config, tokens, quant_mode="xla")
+    l_auto, _ = model_forward(qparams, config, tokens, quant_mode="auto")
+    np.testing.assert_array_equal(np.asarray(l_xla), np.asarray(l_auto))
+
+
 def test_greedy_generate_deterministic(tiny):
     config, params = tiny
     prompt = np.array([[5, 9, 2, 14]], np.int64)
