@@ -58,6 +58,9 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--device", default="auto", choices=["cpu", "tpu", "auto"])
+    ap.add_argument("--dp", type=int, default=1,
+                    help="data-parallel devices for calibration (shards the "
+                    "batch over a mesh 'data' axis; 1 = single device)")
     ap.add_argument("--wandb", default=None, help="wandb project name (optional)")
     ap.add_argument("--save-checkpoint", action="store_true",
                     help="also write the quantized PARO-TPU checkpoint to <output>/model")
@@ -117,9 +120,16 @@ def main(argv=None):
         except ImportError:
             print("wandb not installed; continuing without metric logging")
 
+    mesh = None
+    if args.dp > 1:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh(n_data=args.dp, n_model=1)
+
     t0 = time.time()
     qparams, exports = calibrate_model(
         params, config, tokens, ccfg, output_dir=out, resume=args.resume,
+        mesh=mesh,
         progress_fn=lambda li, n, info: (
             print(f"[{li+1}/{n}] layer done in {info['seconds']:.1f}s", flush=True),
             run.log({"layer": li, "layer_seconds": info["seconds"]}) if run else None,

@@ -40,6 +40,28 @@ from jax.experimental.pallas import tpu as pltpu
 from ..ops.butterfly import butterfly_distances
 
 
+def _pick_block_o(TM, S, O, s_bytes, z_bytes, sb_s, sb_z) -> int:
+    """Output-column block width for the dense-rot/merged kernels.
+
+    The scoped VMEM budget (~16MB on v5e) must hold the [TM, TO] f32
+    accumulator (resident across the whole g loop) plus the double-buffered
+    weight/scales/zeros streams. TO == O (no column blocking, one resident
+    accumulator pass) whenever it fits; wide layers (151k-vocab quantized
+    lm_head, big gate-up merges) drop to the largest 128-multiple that fits."""
+    budget = 10 * 2**20
+
+    def vmem(TO):
+        # out TM*TO*4 (held) + qweight (S//2,TO)u8 x2 + scales/zeros x2 each
+        return TO * (4 * TM + S + 2 * sb_s * s_bytes + 2 * sb_z * z_bytes)
+
+    if vmem(O) <= budget:
+        return O
+    for cand in (65536, 32768, 16384, 8192, 4096, 2048, 1024):
+        if cand < O and vmem(cand) <= budget:
+            return cand
+    return 512
+
+
 def _sublanes(dtype, G: int) -> int:
     """Sublane-aligned block height for a [G, O] side array: the TPU min tile
     is (8, 128) x (32 / itemsize) sublanes; clamp to G for tiny test shapes."""
@@ -462,17 +484,16 @@ def rot_w4_matmul_mg(
 
 
 def _kernel_merged_rot(x_ref, rot_ref, qw_ref, s_ref, z_ref, o_ref, *,
-                       splits, out_dtype):
-    g = pl.program_id(1)
+                       splits, blocked, out_dtype):
+    g = pl.program_id(2)
     q = qw_ref[:].astype(jnp.int32)
     lo = (q & 0xF).astype(jnp.bfloat16)
     hi = ((q >> 4) & 0xF).astype(jnp.bfloat16)
-    w = jnp.concatenate([lo, hi], axis=0)  # [S, O_tot]
-    s_row = _row_select(s_ref, g)  # [1, O_tot] f32
+    w = jnp.concatenate([lo, hi], axis=0)  # [S, TO]
+    s_row = _row_select(s_ref, g)  # [1, TO] f32
     z_row = _row_select(z_ref, g)
-    contribs = []
-    off = 0
-    for p, n in enumerate(splits):
+
+    def rotated(p):
         rot = rot_ref[p, 0]  # [S, S]
         x = x_ref[:].astype(rot.dtype)
         xr = jax.lax.dot_general(
@@ -480,10 +501,35 @@ def _kernel_merged_rot(x_ref, rot_ref, qw_ref, s_ref, z_ref, o_ref, *,
             preferred_element_type=jnp.float32,
         ).astype(jnp.bfloat16)
         xsum = jnp.sum(xr.astype(jnp.float32), axis=1, keepdims=True)
-        acc = jnp.dot(xr, w[:, off : off + n], preferred_element_type=jnp.float32)
-        contribs.append((acc - xsum * z_row[:, off : off + n]) * s_row[:, off : off + n])
-        off += n
-    contrib = jnp.concatenate(contribs, axis=1)
+        return xr, xsum
+
+    if not blocked:
+        # one block spans all partitions: slice w per partition, no wasted MXU
+        contribs = []
+        off = 0
+        for p, n in enumerate(splits):
+            xr, xsum = rotated(p)
+            acc = jnp.dot(xr, w[:, off : off + n], preferred_element_type=jnp.float32)
+            contribs.append(
+                (acc - xsum * z_row[:, off : off + n]) * s_row[:, off : off + n]
+            )
+            off += n
+        contrib = jnp.concatenate(contribs, axis=1)
+    else:
+        # column-blocked (very wide O_tot): a block may straddle partition
+        # boundaries, so compute each partition's contribution over the whole
+        # block and select per column by its global index. Costs P matmuls per
+        # block; only reached when the unblocked layout exceeds scoped VMEM.
+        TO = w.shape[1]
+        col = pl.program_id(1) * TO + jax.lax.broadcasted_iota(jnp.int32, (1, TO), 1)
+        contrib = jnp.zeros((x_ref.shape[0], TO), jnp.float32)
+        off = 0
+        for p, n in enumerate(splits):
+            xr, xsum = rotated(p)
+            acc = jnp.dot(xr, w, preferred_element_type=jnp.float32)
+            part = (acc - xsum * z_row) * s_row
+            contrib = jnp.where((col >= off) & (col < off + n), part, contrib)
+            off += n
 
     @pl.when(g == 0)
     def _init():
@@ -494,7 +540,9 @@ def _kernel_merged_rot(x_ref, rot_ref, qw_ref, s_ref, z_ref, o_ref, *,
         o_ref[:] = o_ref[:] + contrib.astype(out_dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("out_splits", "block_m", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("out_splits", "block_m", "block_o", "interpret")
+)
 def merged_rot_w4_matmul(
     x: jax.Array,  # [M, I]
     rot: jax.Array,  # [P, G, S, S]
@@ -504,6 +552,7 @@ def merged_rot_w4_matmul(
     *,
     out_splits: tuple,
     block_m: int | None = None,
+    block_o: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     M, I = x.shape
@@ -519,24 +568,29 @@ def merged_rot_w4_matmul(
     Mp = M + m_pad
     SBs = _sublanes(scales.dtype, G)
     SBz = _sublanes(zeros.dtype, G)
+    TO = block_o or _pick_block_o(
+        TM, S, O, scales.dtype.itemsize, zeros.dtype.itemsize, SBs, SBz
+    )
+    n_o = (O + TO - 1) // TO
     out = pl.pallas_call(
         functools.partial(
-            _kernel_merged_rot, splits=tuple(out_splits), out_dtype=jnp.float32
+            _kernel_merged_rot, splits=tuple(out_splits), blocked=n_o > 1,
+            out_dtype=jnp.float32,
         ),
-        grid=(Mp // TM, G),
+        grid=(Mp // TM, n_o, G),
         in_specs=[
-            pl.BlockSpec((TM, S), lambda i, g: (i, g), memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, 1, S, S), lambda i, g: (0, g, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((S // 2, O), lambda i, g: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SBs, O), lambda i, g: (g // SBs, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SBz, O), lambda i, g: (g // SBz, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, S), lambda i, o, g: (i, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, 1, S, S), lambda i, o, g: (0, g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S // 2, TO), lambda i, o, g: (g, o), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SBs, TO), lambda i, o, g: (g // SBs, o), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SBz, TO), lambda i, o, g: (g // SBz, o), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TM, O), lambda i, g: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((TM, TO), lambda i, o, g: (i, o), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Mp, O), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * Mp * I * O + 2 * P * Mp * I * S,
-            bytes_accessed=I * O // 2 + P * G * S * S * rot.dtype.itemsize
-            + Mp * I * x.dtype.itemsize + Mp * O * 4
+            bytes_accessed=I * O // 2 + n_o * P * G * S * S * rot.dtype.itemsize
+            + n_o * Mp * I * x.dtype.itemsize + Mp * O * 4
             + G * O * (scales.dtype.itemsize + zeros.dtype.itemsize),
             transcendentals=0,
         ),
@@ -553,7 +607,7 @@ def merged_rot_w4_matmul(
 
 
 def _kernel_dense_rot(x_ref, rot_ref, qw_ref, s_ref, z_ref, o_ref, *, out_dtype):
-    g = pl.program_id(1)
+    g = pl.program_id(2)
     rot = rot_ref[0]  # [S, S] (bf16 storage; MXU-native); y_row = x_row @ rot^T
     x = x_ref[:].astype(rot.dtype)
     xr_f32 = jax.lax.dot_general(
@@ -578,7 +632,7 @@ def _kernel_dense_rot(x_ref, rot_ref, qw_ref, s_ref, z_ref, o_ref, *, out_dtype)
         o_ref[:] = o_ref[:] + contrib.astype(out_dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_m", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_m", "block_o", "interpret"))
 def rot_w4_matmul(
     x: jax.Array,  # [M, I]
     rot: jax.Array,  # [G, S, S] composed rotation (inv scales folded)
@@ -587,6 +641,7 @@ def rot_w4_matmul(
     zeros: jax.Array,  # [G, O]
     *,
     block_m: int | None = None,
+    block_o: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     M, I = x.shape
@@ -601,22 +656,27 @@ def rot_w4_matmul(
     Mp = M + m_pad
     SBs = _sublanes(scales.dtype, G)
     SBz = _sublanes(zeros.dtype, G)
+    TO = block_o or _pick_block_o(
+        TM, S, O, scales.dtype.itemsize, zeros.dtype.itemsize, SBs, SBz
+    )
+    n_o = (O + TO - 1) // TO  # edge block partial: inputs pad, output masked
     out = pl.pallas_call(
         functools.partial(_kernel_dense_rot, out_dtype=jnp.float32),
-        grid=(Mp // TM, G),
+        grid=(Mp // TM, n_o, G),
         in_specs=[
-            pl.BlockSpec((TM, S), lambda i, g: (i, g), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, S), lambda i, g: (g, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((S // 2, O), lambda i, g: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SBs, O), lambda i, g: (g // SBs, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SBz, O), lambda i, g: (g // SBz, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, S), lambda i, o, g: (i, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, S), lambda i, o, g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S // 2, TO), lambda i, o, g: (g, o), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SBs, TO), lambda i, o, g: (g // SBs, o), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SBz, TO), lambda i, o, g: (g // SBz, o), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TM, O), lambda i, g: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((TM, TO), lambda i, o, g: (i, o), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Mp, O), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * Mp * I * O + 2 * Mp * I * S,
-            bytes_accessed=I * O // 2 + G * S * S * rot.dtype.itemsize
-            + Mp * I * x.dtype.itemsize + Mp * O * 4
+            bytes_accessed=I * O // 2
+            + n_o * G * S * S * rot.dtype.itemsize
+            + n_o * Mp * I * x.dtype.itemsize + Mp * O * 4
             + G * O * (scales.dtype.itemsize + zeros.dtype.itemsize),
             transcendentals=0,
         ),

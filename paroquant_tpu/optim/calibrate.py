@@ -167,16 +167,47 @@ def calibrate_model(
     output_dir: str | Path | None = None,
     resume: bool = True,
     progress_fn: Callable[[int, int, dict], None] | None = None,
+    mesh: Any | None = None,
 ) -> tuple[dict[str, Any], list[dict[str, Any]]]:
     """Calibrate + quantize a dense model. Returns (quantized params, results).
 
     If output_dir is given, per-layer results persist as
     `{layer_idx}.{name}.npz` (the .pt-equivalent of optimize.py:546-552) and
     finished layers are skipped on resume (optimize.py:324-335).
+
+    mesh: optional jax.sharding.Mesh with a "data" axis — activations shard
+    batch-wise across it and every teacher/train/student step runs under
+    GSPMD data parallelism (grad psum inserted by XLA). Model params and
+    trainable rotation state replicate. This removes the reference's
+    "single GPU only" calibration constraint (cli/optimize.py:115-116).
     """
     out = dict(params)
     layers = list(params["layers"])
     N, B, T = token_batches.shape
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        if B % mesh.shape["data"]:
+            raise ValueError(
+                f"batch size {B} must divide by the data axis ({mesh.shape['data']})"
+            )
+        _rep = NamedSharding(mesh, PartitionSpec())
+        _data_sh = NamedSharding(mesh, PartitionSpec("data"))
+        params = jax.device_put(params, _rep)
+        layers = list(params["layers"])
+
+    def _dev_batch(a):
+        """Host activation batch -> device, batch-sharded under a mesh."""
+        if mesh is not None:
+            return jax.device_put(jnp.asarray(a), _data_sh)
+        return jnp.asarray(a)
+
+    def _dev_rep(tree):
+        """Replicate small state (pseudo linears, quantized layers) on the mesh."""
+        if mesh is not None:
+            return jax.device_put(tree, _rep)
+        return tree
 
     # layer-0 inputs: embeddings (move_embed + Catcher, util.py:83-103,217-279)
     embed = params["embed_tokens"]
@@ -186,7 +217,10 @@ def calibrate_model(
     def embed_fn(toks):
         return jnp.take(embed, toks, axis=0).astype(jnp.float32) * scale
 
-    xs = np.stack([np.asarray(embed_fn(jnp.asarray(tb, jnp.int32))) for tb in token_batches])
+    xs = np.stack([
+        np.asarray(embed_fn(_dev_batch(np.asarray(tb, np.int32))))
+        for tb in token_batches
+    ])
 
     positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :], (B, T))
     n_val = max(int(N * cfg.val_fraction), 1) if N > 1 else 0
@@ -233,7 +267,7 @@ def calibrate_model(
             return y
 
         dense_apply_j = jax.jit(lambda x: apply_with(lp, x))
-        teacher = np.stack([np.asarray(dense_apply_j(jnp.asarray(x))) for x in xs])
+        teacher = np.stack([np.asarray(dense_apply_j(_dev_batch(x))) for x in xs])
 
         layer_result: dict[str, Any] = {}
         saved = {}
@@ -247,7 +281,9 @@ def calibrate_model(
             new_lp = lp
             for name in names:
                 exp = unflatten_export(saved[name])
-                new_lp = _set_linear(new_lp, name, quantized_from_export(exp, cfg.rot_dtype))
+                new_lp = _set_linear(
+                    new_lp, name, _dev_rep(quantized_from_export(exp, cfg.rot_dtype))
+                )
                 layer_result[name] = exp
             layers[li] = new_lp
         else:
@@ -283,11 +319,12 @@ def calibrate_model(
                 return apply_with(new_lp, x)
 
             batches = [
-                (jnp.asarray(xs[i]), jnp.asarray(teacher[i])) for i in range(N)
+                (_dev_batch(xs[i]), _dev_batch(teacher[i])) for i in range(N)
             ]
             train_b = batches[: N - n_val] if n_val else batches
             val_b = batches[N - n_val :] if n_val else batches[:1]
 
+            linears = _dev_rep(linears)
             step = 0
             for stage_groups, epochs in cfg.stages:
                 linears, step = optimize_linears(
@@ -308,14 +345,16 @@ def calibrate_model(
                 layer_result[name] = exp
                 if outdir is not None:
                     np.savez(outdir / f"{li}.{name}.npz", **flatten_export(exp))
-                new_lp = _set_linear(new_lp, name, quantized_from_export(exp, cfg.rot_dtype))
+                new_lp = _set_linear(
+                    new_lp, name, _dev_rep(quantized_from_export(exp, cfg.rot_dtype))
+                )
             layers[li] = new_lp
 
         # student outputs feed the next layer (optimize.py:524-537)
         qlp = layers[li]
 
         student_j = jax.jit(lambda x: apply_with(qlp, x))
-        xs = np.stack([np.asarray(student_j(jnp.asarray(x))) for x in xs])
+        xs = np.stack([np.asarray(student_j(_dev_batch(x))) for x in xs])
         results.append(layer_result)
         if progress_fn:
             progress_fn(li, len(layers), {"seconds": time.time() - t_start})

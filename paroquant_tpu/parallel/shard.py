@@ -37,8 +37,8 @@ def make_mesh(n_data: int = 1, n_model: int | None = None) -> Mesh:
     devices = np.array(jax.devices())
     if n_model is None:
         n_model = len(devices) // n_data
-    assert n_data * n_model == len(devices), (n_data, n_model, len(devices))
-    return Mesh(devices.reshape(n_data, n_model), ("data", "model"))
+    assert n_data * n_model <= len(devices), (n_data, n_model, len(devices))
+    return Mesh(devices[: n_data * n_model].reshape(n_data, n_model), ("data", "model"))
 
 
 def _linear_spec(lin: Any, kind: str):

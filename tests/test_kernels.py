@@ -168,3 +168,67 @@ def test_merged_projections_match_unmerged():
     np.testing.assert_allclose(
         np.asarray(y_fused), np.asarray(y_xla), rtol=5e-3, atol=5e-2
     )
+
+
+@pytest.mark.parametrize("block_o", [128, 256])
+def test_dense_rot_w4_matmul_column_blocked(block_o):
+    """Forced O-blocking (incl. a non-dividing edge block at block_o=256,
+    O=384) must match the unblocked kernel exactly: very wide layers (quantized
+    lm_head) rely on this to fit the scoped VMEM budget."""
+    I, O, K = 256, 384, 4
+    rng = np.random.default_rng(8)
+    params = R.make_rotation_params(I, GS, K, seed=9)
+    theta = np.where(
+        np.asarray(params.mask), 0, rng.normal(0, 0.3, np.asarray(params.theta).shape)
+    ).astype(np.float32)
+    inv_s = rng.uniform(0.5, 2.0, I).astype(np.float32)
+    q, scales, zeros = _random_quant(O, I, 10)
+    layer = make_quantized_linear(
+        q.T.copy(), scales.T.copy(), zeros.T.copy(), np.asarray(params.pairs),
+        theta, inv_s, GS,
+    )
+    x = jnp.asarray(rng.normal(size=(9, I)).astype(np.float32))
+    y_full = rot_w4_matmul(
+        x, layer.rot, layer.qweight, layer.scales, layer.zeros, interpret=True
+    )
+    y_blocked = rot_w4_matmul(
+        x, layer.rot, layer.qweight, layer.scales, layer.zeros,
+        block_o=block_o, interpret=True,
+    )
+    # interpret-mode CPU dots reorder reductions with tile width: tiny ulps
+    np.testing.assert_allclose(
+        np.asarray(y_blocked), np.asarray(y_full), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_merged_rot_w4_matmul_column_blocked():
+    """Blocked merged kernel (blocks straddling partition boundaries) must
+    match the unblocked merged kernel exactly."""
+    from paroquant_tpu.convert.rtn import quantize_linear_rtn
+    from paroquant_tpu.kernels.rot_matmul import merged_rot_w4_matmul
+    from paroquant_tpu.models import PRESETS, init_params
+    from paroquant_tpu.ops.qlinear import merge_quantized_linears
+
+    cfg = PRESETS["tiny"]
+    params = init_params(cfg, jax.random.PRNGKey(12), dtype=jnp.float32)
+    lins = [
+        quantize_linear_rtn(
+            params["layers"][0][n], n_bits=4, group_size=64,
+            random_rotation=True, seed=21 + i,
+        )
+        for i, n in enumerate(("q_proj", "k_proj", "v_proj"))
+    ]
+    lp = merge_quantized_linears(lins)
+    x = jnp.asarray(np.random.default_rng(13).normal(size=(5, cfg.hidden_size)), jnp.float32)
+    y_full = merged_rot_w4_matmul(
+        x, lp.rot, lp.qweight, lp.scales, lp.zeros,
+        out_splits=lp.out_splits, interpret=True,
+    )
+    # 128-wide blocks cut across the q/k/v partition boundaries
+    y_blocked = merged_rot_w4_matmul(
+        x, lp.rot, lp.qweight, lp.scales, lp.zeros,
+        out_splits=lp.out_splits, block_o=128, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(y_blocked), np.asarray(y_full), rtol=1e-4, atol=1e-5
+    )

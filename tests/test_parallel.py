@@ -109,3 +109,36 @@ def test_engine_tp_matches_single_device(setup):
                     quant_mode="xla", cache_dtype=jnp.float32, mesh=mesh)
     got = [eng_tp.generate_sync(p, sp) for p in prompts]
     assert got == ref
+
+
+def test_dp_sharded_calibration_matches_single_device():
+    """calibrate_model(mesh=...) runs the whole layer-wise pipeline under
+    GSPMD data parallelism and quantizes to (numerically) the same model as
+    the single-device run: only reduction order differs, so the hard-quantized
+    integer grids must round identically almost everywhere."""
+    from paroquant_tpu.models import model_forward
+    from paroquant_tpu.optim import CalibConfig, calibrate_model
+
+    config = PRESETS["tiny"]
+    params = init_params(config, jax.random.PRNGKey(2), dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    tokens = rng.integers(0, config.vocab_size, (3, 4, 8)).astype(np.int32)
+    ccfg = CalibConfig(
+        n_bits=4, group_size=64, num_rotations=4,
+        stages=(({"channel_scales": 5e-2, "angles": 5e-2}, 2),),
+    )
+    q_single, _ = calibrate_model(params, config, tokens, ccfg)
+    mesh = make_mesh(n_data=4, n_model=1)
+    q_dp, _ = calibrate_model(params, config, tokens, ccfg, mesh=mesh)
+
+    probe = jnp.asarray(rng.integers(0, config.vocab_size, (2, 6)), jnp.int32)
+    l_single, _ = model_forward(q_single, config, probe)
+    l_dp, _ = model_forward(jax.device_put(q_dp, jax.devices()[0]), config, probe)
+    np.testing.assert_allclose(
+        np.asarray(l_dp), np.asarray(l_single), rtol=5e-2, atol=5e-2
+    )
+
+    with pytest.raises(ValueError, match="divide"):
+        calibrate_model(
+            params, config, tokens[:, :3], ccfg, mesh=make_mesh(n_data=2, n_model=1)
+        )
