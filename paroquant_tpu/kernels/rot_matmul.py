@@ -483,12 +483,12 @@ def rot_w4_matmul_mg(
 # ---------------------------------------------------------------------------
 
 
-def _kernel_merged_rot(x_ref, rot_ref, qw_ref, s_ref, z_ref, o_ref, *,
-                       splits, blocked, out_dtype):
+def _kernel_merged_rot(x_ref, rot_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref, *,
+                       splits, blocked, n_g):
     g = pl.program_id(2)
     q = qw_ref[:].astype(jnp.int32)
     lo = (q & 0xF).astype(jnp.bfloat16)
-    hi = ((q >> 4) & 0xF).astype(jnp.bfloat16)
+    hi = (q >> 4).astype(jnp.bfloat16)  # u8 zero-extended: >>4 is already 0-15
     w = jnp.concatenate([lo, hi], axis=0)  # [S, TO]
     s_row = _row_select(s_ref, g)  # [1, TO] f32
     z_row = _row_select(z_ref, g)
@@ -531,13 +531,19 @@ def _kernel_merged_rot(x_ref, rot_ref, qw_ref, s_ref, z_ref, o_ref, *,
             contrib = jnp.where((col >= off) & (col < off + n), part, contrib)
             off += n
 
+    # f32 scratch accumulator; single dtype-native store at the last g step
+    # (see _kernel_dense_rot).
     @pl.when(g == 0)
     def _init():
-        o_ref[:] = contrib.astype(out_dtype)
+        acc_ref[:] = contrib
 
     @pl.when(g > 0)
     def _acc():
-        o_ref[:] = o_ref[:] + contrib.astype(out_dtype)
+        acc_ref[:] = acc_ref[:] + contrib
+
+    @pl.when(g == n_g - 1)
+    def _store():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -562,10 +568,7 @@ def merged_rot_w4_matmul(
     if block_m is None:
         block_m = 128 if M >= 128 else 16
     TM = block_m
-    m_pad = -M % TM
-    if m_pad:
-        x = jnp.pad(x, ((0, m_pad), (0, 0)))
-    Mp = M + m_pad
+    n_m = (M + TM - 1) // TM  # ragged M handled in-kernel (masked edge block)
     SBs = _sublanes(scales.dtype, G)
     SBz = _sublanes(zeros.dtype, G)
     TO = block_o or _pick_block_o(
@@ -575,9 +578,9 @@ def merged_rot_w4_matmul(
     out = pl.pallas_call(
         functools.partial(
             _kernel_merged_rot, splits=tuple(out_splits), blocked=n_o > 1,
-            out_dtype=jnp.float32,
+            n_g=G,
         ),
-        grid=(Mp // TM, n_o, G),
+        grid=(n_m, n_o, G),
         in_specs=[
             pl.BlockSpec((TM, S), lambda i, o, g: (i, g), memory_space=pltpu.VMEM),
             pl.BlockSpec((P, 1, S, S), lambda i, o, g: (0, g, 0, 0), memory_space=pltpu.VMEM),
@@ -586,17 +589,18 @@ def merged_rot_w4_matmul(
             pl.BlockSpec((SBz, TO), lambda i, o, g: (g // SBz, o), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TM, TO), lambda i, o, g: (i, o), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Mp, O), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((M, O), x.dtype),
+        scratch_shapes=[pltpu.VMEM((TM, TO), jnp.float32)],
         cost_estimate=pl.CostEstimate(
-            flops=2 * Mp * I * O + 2 * P * Mp * I * S,
+            flops=2 * M * I * O + 2 * P * M * I * S,
             bytes_accessed=I * O // 2 + n_o * P * G * S * S * rot.dtype.itemsize
-            + n_o * Mp * I * x.dtype.itemsize + Mp * O * 4
+            + n_o * M * I * x.dtype.itemsize + M * O * x.dtype.itemsize
             + G * O * (scales.dtype.itemsize + zeros.dtype.itemsize),
             transcendentals=0,
         ),
         interpret=interpret,
     )(x, rot, qweight, scales, zeros)
-    return out[:M].astype(x.dtype)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -606,7 +610,7 @@ def merged_rot_w4_matmul(
 # ---------------------------------------------------------------------------
 
 
-def _kernel_dense_rot(x_ref, rot_ref, qw_ref, s_ref, z_ref, o_ref, *, out_dtype):
+def _kernel_dense_rot(x_ref, rot_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref, *, n_g):
     g = pl.program_id(2)
     rot = rot_ref[0]  # [S, S] (bf16 storage; MXU-native); y_row = x_row @ rot^T
     x = x_ref[:].astype(rot.dtype)
@@ -618,18 +622,26 @@ def _kernel_dense_rot(x_ref, rot_ref, qw_ref, s_ref, z_ref, o_ref, *, out_dtype)
     xsum = jnp.sum(xr.astype(jnp.float32), axis=1, keepdims=True)
     q = qw_ref[:].astype(jnp.int32)
     lo = (q & 0xF).astype(jnp.bfloat16)
-    hi = ((q >> 4) & 0xF).astype(jnp.bfloat16)
+    hi = (q >> 4).astype(jnp.bfloat16)  # u8 zero-extended: >>4 is already 0-15
     w = jnp.concatenate([lo, hi], axis=0)
     acc = jnp.dot(xr, w, preferred_element_type=jnp.float32)
     contrib = _dequant_contrib(acc, xsum, s_ref, z_ref, g)
 
+    # f32 accumulation lives in a VMEM scratch; the output block is written
+    # once, in its storage dtype, at the last group step. This removes the
+    # HLO-level pad/[:M]-slice/f32->out-convert thunks around the call (3
+    # extra dispatches per decode matmul) and halves output HBM bytes.
     @pl.when(g == 0)
     def _init():
-        o_ref[:] = contrib.astype(out_dtype)
+        acc_ref[:] = contrib
 
     @pl.when(g > 0)
     def _acc():
-        o_ref[:] = o_ref[:] + contrib.astype(out_dtype)
+        acc_ref[:] = acc_ref[:] + contrib
+
+    @pl.when(g == n_g - 1)
+    def _store():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_o", "interpret"))
@@ -650,10 +662,9 @@ def rot_w4_matmul(
     if block_m is None:
         block_m = 128 if M >= 128 else 16
     TM = block_m
-    m_pad = -M % TM
-    if m_pad:
-        x = jnp.pad(x, ((0, m_pad), (0, 0)))
-    Mp = M + m_pad
+    # ragged M: Pallas masks the edge block itself (reads padded, stores
+    # masked) — no HLO pad/slice around the call, no f32 output round-trip
+    n_m = (M + TM - 1) // TM
     SBs = _sublanes(scales.dtype, G)
     SBz = _sublanes(zeros.dtype, G)
     TO = block_o or _pick_block_o(
@@ -661,8 +672,8 @@ def rot_w4_matmul(
     )
     n_o = (O + TO - 1) // TO  # edge block partial: inputs pad, output masked
     out = pl.pallas_call(
-        functools.partial(_kernel_dense_rot, out_dtype=jnp.float32),
-        grid=(Mp // TM, n_o, G),
+        functools.partial(_kernel_dense_rot, n_g=G),
+        grid=(n_m, n_o, G),
         in_specs=[
             pl.BlockSpec((TM, S), lambda i, o, g: (i, g), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, S, S), lambda i, o, g: (g, 0, 0), memory_space=pltpu.VMEM),
@@ -671,15 +682,16 @@ def rot_w4_matmul(
             pl.BlockSpec((SBz, TO), lambda i, o, g: (g // SBz, o), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TM, TO), lambda i, o, g: (i, o), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Mp, O), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((M, O), x.dtype),
+        scratch_shapes=[pltpu.VMEM((TM, TO), jnp.float32)],
         cost_estimate=pl.CostEstimate(
-            flops=2 * Mp * I * O + 2 * Mp * I * S,
+            flops=2 * M * I * O + 2 * M * I * S,
             bytes_accessed=I * O // 2
             + n_o * G * S * S * rot.dtype.itemsize
-            + n_o * Mp * I * x.dtype.itemsize + Mp * O * 4
+            + n_o * M * I * x.dtype.itemsize + M * O * x.dtype.itemsize
             + G * O * (scales.dtype.itemsize + zeros.dtype.itemsize),
             transcendentals=0,
         ),
         interpret=interpret,
     )(x, rot, qweight, scales, zeros)
-    return out[:M].astype(x.dtype)
+    return out
