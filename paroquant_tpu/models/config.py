@@ -50,6 +50,19 @@ class ModelConfig:
     linear_key_head_dim: int = 0
     linear_value_head_dim: int = 0
     linear_conv_kernel_dim: int = 4
+    # gemma-4-class (HF Gemma3n) per-layer-embedding family: AltUp stacked
+    # hidden states, laurel residual, per-layer input embeddings, shared-KV
+    # tail layers (reference optim/util.py:17,83-103 handles this family's
+    # extra modules/kwargs; the model itself lives in the HF zoo there)
+    altup_num_inputs: int = 0  # >0 selects the gemma3n decoder path
+    altup_active_idx: int = 0
+    altup_correct_scale: bool = True
+    laurel_rank: int = 0
+    hidden_size_per_layer_input: int = 0
+    vocab_size_per_layer_input: int = 0
+    num_kv_shared_layers: int = 0
+    activation_sparsity: tuple | None = None  # per-layer sparsity fraction
+    intermediate_sizes: tuple | None = None  # per-layer MLP width override
     # MoE (0 experts => dense)
     num_experts: int = 0
     num_experts_per_tok: int = 0
@@ -86,6 +99,37 @@ class ModelConfig:
     def is_moe(self) -> bool:
         return self.num_experts > 0
 
+    @property
+    def is_gemma3n(self) -> bool:
+        return self.altup_num_inputs > 0
+
+    @property
+    def first_kv_shared_layer(self) -> int:
+        """Layers >= this index reuse the KV of an earlier layer (gemma3n
+        shared-KV tail; HF Gemma3nTextAttention.is_kv_shared_layer)."""
+        return self.num_hidden_layers - self.num_kv_shared_layers
+
+    def kv_share_source(self, layer_idx: int) -> int | None:
+        """For a shared-KV layer: index of the last non-shared layer of the
+        same attention type (whose cache rows this layer reads). None for
+        layers that compute their own KV."""
+        first = self.first_kv_shared_layer
+        if not (self.num_kv_shared_layers and layer_idx >= first > 0):
+            return None
+        lt = self.layer_types[layer_idx]
+        prev = [i for i in range(first) if self.layer_types[i] == lt]
+        return prev[-1]
+
+    def layer_intermediate_size(self, layer_idx: int) -> int:
+        if self.intermediate_sizes is not None:
+            return self.intermediate_sizes[layer_idx]
+        return self.intermediate_size
+
+    def layer_activation_sparsity(self, layer_idx: int) -> float:
+        if self.activation_sparsity is None:
+            return 0.0
+        return float(self.activation_sparsity[layer_idx])
+
     def layer_is_sparse(self, layer_idx: int) -> bool:
         if not self.is_moe:
             return False
@@ -96,7 +140,10 @@ class ModelConfig:
     def zero_centered_norm(self) -> bool:
         """(1 + w) RMSNorm weights: Gemma-class AND qwen3_next (HF
         Qwen3NextRMSNorm stores zero-init weights). gemma_norm alone keeps
-        controlling the sqrt(H) embedding scale, which qwen3_next lacks."""
+        controlling the sqrt(H) embedding scale, which qwen3_next lacks.
+        gemma3n norms store plain weights (HF Gemma3nRMSNorm init ones)."""
+        if self.is_gemma3n:
+            return False
         return self.gemma_norm or self.model_type == "qwen3_next"
 
     def layer_is_linear(self, layer_idx: int) -> bool:
@@ -124,7 +171,10 @@ class ModelConfig:
 
     @property
     def num_full_attn_layers(self) -> int:
-        """Layers that keep a KV cache (everything except linear attention)."""
+        """Layers that keep a KV cache (everything except linear-attention
+        layers and the gemma3n shared-KV tail, which reads earlier rows)."""
+        if self.num_kv_shared_layers:
+            return self.first_kv_shared_layer
         if self.layer_types is None:
             return self.num_hidden_layers
         return sum(1 for t in self.layer_types if t != "linear_attention")
@@ -163,6 +213,8 @@ class ModelConfig:
 
     @property
     def attn_scale(self) -> float:
+        if self.is_gemma3n:
+            return 1.0  # HF Gemma3nTextAttention passes scaling=1.0
         if self.query_pre_attn_scalar is not None:
             return float(self.query_pre_attn_scalar) ** -0.5
         return float(self.head_dim) ** -0.5
@@ -267,6 +319,26 @@ def from_hf_dict(cfg: dict[str, Any]) -> ModelConfig:
     elif layer_types is not None:
         # Gemma3-style "sliding_attention"/"full_attention" per-layer list
         kwargs.update(layer_types=tuple(layer_types))
+    if mt.startswith("gemma3n"):
+        # gemma-4-class: per-layer MLP widths, AltUp, laurel, per-layer
+        # embeddings, shared-KV tail (HF Gemma3nTextConfig)
+        inter = cfg.get("intermediate_size", 16384)
+        if isinstance(inter, (list, tuple)):
+            kwargs["intermediate_size"] = int(inter[0])
+            kwargs["intermediate_sizes"] = tuple(int(v) for v in inter)
+        asp = cfg.get("activation_sparsity_pattern")
+        kwargs.update(
+            altup_num_inputs=cfg.get("altup_num_inputs", 4),
+            altup_active_idx=cfg.get("altup_active_idx", 0),
+            altup_correct_scale=cfg.get("altup_correct_scale", True),
+            laurel_rank=cfg.get("laurel_rank", 64),
+            hidden_size_per_layer_input=cfg.get("hidden_size_per_layer_input", 256),
+            vocab_size_per_layer_input=cfg.get("vocab_size_per_layer_input", 262144),
+            num_kv_shared_layers=cfg.get("num_kv_shared_layers", 0),
+            activation_sparsity=(
+                None if asp is None else tuple(float(v) for v in asp)
+            ),
+        )
     kwargs.update(vlm_extra)
     return ModelConfig(**kwargs)
 
@@ -298,6 +370,21 @@ PRESETS: dict[str, ModelConfig] = {
         model_type="qwen3", vocab_size=512, hidden_size=256,
         intermediate_size=512, num_hidden_layers=2, num_attention_heads=4,
         num_key_value_heads=2, head_dim=64, tie_word_embeddings=True,
+    ),
+    "tiny-gemma3n": ModelConfig(
+        model_type="gemma3n_text", vocab_size=512, hidden_size=128,
+        intermediate_size=256, num_hidden_layers=6, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=32, tie_word_embeddings=True,
+        hidden_act="gelu_pytorch_tanh", gemma_norm=True, post_norms=True,
+        rope_theta=1_000_000.0, rope_local_theta=10_000.0,
+        sliding_window=16, logit_softcap=30.0,
+        layer_types=(
+            "sliding_attention", "sliding_attention", "full_attention",
+            "sliding_attention", "sliding_attention", "full_attention",
+        ),
+        altup_num_inputs=4, laurel_rank=16, hidden_size_per_layer_input=32,
+        vocab_size_per_layer_input=256, num_kv_shared_layers=2,
+        activation_sparsity=(0.95, 0.95, 0.0, 0.0, 0.0, 0.0),
     ),
     "tiny-moe": ModelConfig(
         model_type="qwen3_moe", vocab_size=512, hidden_size=256,

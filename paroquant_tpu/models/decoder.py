@@ -442,6 +442,13 @@ def model_forward(
     # zero-padded prefill bucket (masks padding out of delta-net states)
 ) -> tuple[jax.Array, KVCache | None]:
     """Returns (logits [B, T, V], updated cache)."""
+    if config.is_gemma3n:
+        from .gemma3n import gemma3n_forward
+
+        return gemma3n_forward(
+            params, config, tokens, cache, quant_mode=quant_mode,
+            input_embeds=input_embeds,
+        )
     B, T = tokens.shape
     if input_embeds is not None:
         x = input_embeds
@@ -527,6 +534,10 @@ def _dense(key, fan_in, fan_out, dtype, bias=False) -> DenseLinear:
 
 
 def init_params(config: ModelConfig, key: jax.Array, dtype=jnp.bfloat16) -> dict[str, Any]:
+    if config.is_gemma3n:
+        from .gemma3n import init_gemma3n_params
+
+        return init_gemma3n_params(config, key, dtype)
     keys = iter(jax.random.split(key, 64 + 16 * config.num_hidden_layers))
     H, D = config.hidden_size, config.head_dim
     Hq, Hkv = config.num_attention_heads, config.num_key_value_heads
