@@ -63,6 +63,45 @@ def hf_prefix(layer_idx: int, name: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+def _save_gemma3n_shared(tensors, params) -> None:
+    """gemma-4-class per-layer-embedding module tensors (dense; the
+    reference's optimizer leaves these modules unquantized)."""
+    tensors["model.embed_tokens_per_layer.weight"] = _to_f16(
+        params["embed_tokens_per_layer"]
+    )
+    tensors["model.per_layer_model_projection.weight"] = _to_f16(
+        np.asarray(params["per_layer_model_projection"].w).T
+    )
+    tensors["model.per_layer_projection_norm.weight"] = _to_f16(
+        params["per_layer_projection_norm"]
+    )
+    for key in ("altup_projections", "altup_unembed_projections"):
+        for i, lin in enumerate(params[key]):
+            tensors[f"model.{key}.{i}.weight"] = _to_f16(np.asarray(lin.w).T)
+
+
+def _save_gemma3n_layer(tensors, li: int, lp) -> None:
+    base = f"model.layers.{li}"
+    ap = lp["altup"]
+    tensors[f"{base}.altup.correct_output_scale"] = np.asarray(
+        ap["correct_output_scale"], np.float32
+    )
+    for n in ("correction_coefs", "prediction_coefs", "modality_router"):
+        tensors[f"{base}.altup.{n}.weight"] = _to_f16(np.asarray(ap[n].w).T)
+    tensors[f"{base}.altup.router_norm.weight"] = _to_f16(ap["router_norm"])
+    lau = lp["laurel"]
+    for n in ("linear_left", "linear_right"):
+        tensors[f"{base}.laurel.{n}.weight"] = _to_f16(np.asarray(lau[n].w).T)
+    tensors[f"{base}.laurel.post_laurel_norm.weight"] = _to_f16(
+        lau["post_laurel_norm"]
+    )
+    for n in ("per_layer_input_gate", "per_layer_projection"):
+        tensors[f"{base}.{n}.weight"] = _to_f16(np.asarray(lp[n].w).T)
+    tensors[f"{base}.post_per_layer_input_norm.weight"] = _to_f16(
+        lp["post_per_layer_input_norm"]
+    )
+
+
 def save_paro_checkpoint(
     path: str | Path,
     params: dict[str, Any],
@@ -82,9 +121,14 @@ def save_paro_checkpoint(
     if "lm_head" in params:
         tensors["lm_head.weight"] = _to_f16(np.asarray(params["lm_head"].w).T)
 
+    if config.is_gemma3n:
+        _save_gemma3n_shared(tensors, params)
+
     n_bits, group_size, krot = 4, 128, 8
     for li, lp in enumerate(params["layers"]):
         exp_layer = layer_exports[li] if li < len(layer_exports) else {}
+        if config.is_gemma3n:
+            _save_gemma3n_layer(tensors, li, lp)
         for name in ("input_layernorm", "post_attention_layernorm",
                      "pre_feedforward_layernorm", "post_feedforward_layernorm"):
             if name in lp:
@@ -208,9 +252,14 @@ def save_awq_checkpoint(
     if "lm_head" in params:
         tensors["lm_head.weight"] = _to_f16(np.asarray(params["lm_head"].w).T)
 
+    if config.is_gemma3n:
+        _save_gemma3n_shared(tensors, params)
+
     n_bits, group_size, krot = 4, 128, 8
     for li, lp in enumerate(params["layers"]):
         exp_layer = layer_exports[li] if li < len(layer_exports) else {}
+        if config.is_gemma3n:
+            _save_gemma3n_layer(tensors, li, lp)
         for name in ("input_layernorm", "post_attention_layernorm",
                      "pre_feedforward_layernorm", "post_feedforward_layernorm"):
             if name in lp:
@@ -337,7 +386,27 @@ def _config_to_hf(config: ModelConfig) -> dict[str, Any]:
             norm_topk_prob=config.norm_topk_prob,
             decoder_sparse_step=config.decoder_sparse_step,
         )
-    return out | {
+    if config.is_gemma3n:
+        out.update(
+            altup_num_inputs=config.altup_num_inputs,
+            altup_active_idx=config.altup_active_idx,
+            altup_correct_scale=config.altup_correct_scale,
+            laurel_rank=config.laurel_rank,
+            hidden_size_per_layer_input=config.hidden_size_per_layer_input,
+            vocab_size_per_layer_input=config.vocab_size_per_layer_input,
+            num_kv_shared_layers=config.num_kv_shared_layers,
+            sliding_window=config.sliding_window,
+            rope_local_base_freq=config.rope_local_theta,
+            final_logit_softcapping=config.logit_softcap,
+            hidden_activation=config.hidden_act,
+        )
+        if config.activation_sparsity is not None:
+            out["activation_sparsity_pattern"] = list(config.activation_sparsity)
+        if config.intermediate_sizes is not None:
+            out["intermediate_size"] = list(config.intermediate_sizes)
+    # family-specific keys (out) win — e.g. gemma3n's per-layer
+    # intermediate_size list must not be clobbered by the scalar
+    return {
         "model_type": config.model_type,
         "vocab_size": config.vocab_size,
         "hidden_size": config.hidden_size,
@@ -350,7 +419,7 @@ def _config_to_hf(config: ModelConfig) -> dict[str, Any]:
         "rope_theta": config.rope_theta,
         "max_position_embeddings": config.max_position_embeddings,
         "tie_word_embeddings": config.tie_word_embeddings,
-    }
+    } | out
 
 
 # ---------------------------------------------------------------------------
@@ -496,6 +565,24 @@ def load_checkpoint(
             return quant_linear(prefix)
         return dense_linear(prefix)
 
+    if config.is_gemma3n:
+        # gemma-4-class extras (HF Gemma3nTextModel; the reference moves
+        # exactly these modules in optim/util.py:83-103)
+        params["embed_tokens_per_layer"] = jnp.asarray(
+            tensors["model.embed_tokens_per_layer.weight"], dtype
+        )
+        params["per_layer_model_projection"] = dense_linear(
+            "model.per_layer_model_projection"
+        )
+        params["per_layer_projection_norm"] = jnp.asarray(
+            tensors["model.per_layer_projection_norm.weight"], dtype
+        )
+        for key in ("altup_projections", "altup_unembed_projections"):
+            params[key] = [
+                dense_linear(f"model.{key}.{i}")
+                for i in range(config.altup_num_inputs - 1)
+            ]
+
     for li in range(config.num_hidden_layers):
         lbase = f"model.layers.{li}"
         lp: dict[str, Any] = {
@@ -530,6 +617,30 @@ def load_checkpoint(
         else:
             for name in _ATTN:
                 lp[name] = pick_linear(f"{lbase}.self_attn.{name}")
+        if config.is_gemma3n:
+            lp["altup"] = {
+                "correct_output_scale": jnp.asarray(
+                    tensors[f"{lbase}.altup.correct_output_scale"], jnp.float32
+                ),
+                "correction_coefs": dense_linear(f"{lbase}.altup.correction_coefs"),
+                "prediction_coefs": dense_linear(f"{lbase}.altup.prediction_coefs"),
+                "modality_router": dense_linear(f"{lbase}.altup.modality_router"),
+                "router_norm": jnp.asarray(
+                    tensors[f"{lbase}.altup.router_norm.weight"], dtype
+                ),
+            }
+            lp["laurel"] = {
+                "linear_left": dense_linear(f"{lbase}.laurel.linear_left"),
+                "linear_right": dense_linear(f"{lbase}.laurel.linear_right"),
+                "post_laurel_norm": jnp.asarray(
+                    tensors[f"{lbase}.laurel.post_laurel_norm.weight"], dtype
+                ),
+            }
+            lp["per_layer_input_gate"] = dense_linear(f"{lbase}.per_layer_input_gate")
+            lp["per_layer_projection"] = dense_linear(f"{lbase}.per_layer_projection")
+            lp["post_per_layer_input_norm"] = jnp.asarray(
+                tensors[f"{lbase}.post_per_layer_input_norm.weight"], dtype
+            )
         mlp: dict[str, Any] = {}
         if f"{lbase}.mlp.gate.weight" in tensors:  # MoE router
             mlp["router"] = DenseLinear(

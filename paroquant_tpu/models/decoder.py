@@ -262,9 +262,14 @@ def merge_projections(params: dict[str, Any], config: ModelConfig) -> dict[str, 
     only if the rules understand merged layers."""
     out = dict(params)
     layers = []
-    for lp in params["layers"]:
+    for li, lp in enumerate(params["layers"]):
         nlp = dict(lp)
-        if all(isinstance(lp.get(n), QuantizedLinear) for n in ("q_proj", "k_proj", "v_proj")):
+        # gemma3n shared-KV tail: k/v projections are never applied, so a
+        # merged QKV would compute (and stream) them for nothing
+        kv_unused = config.kv_share_source(li) is not None
+        if not kv_unused and all(
+            isinstance(lp.get(n), QuantizedLinear) for n in ("q_proj", "k_proj", "v_proj")
+        ):
             nlp["qkv_proj"] = merge_quantized_linears(
                 [lp["q_proj"], lp["k_proj"], lp["v_proj"]]
             )

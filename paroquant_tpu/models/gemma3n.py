@@ -192,7 +192,13 @@ def gemma3n_attention(
     Hq, Hkv, D = config.num_attention_heads, config.num_key_value_heads, config.head_dim
     eps = config.rms_norm_eps
 
-    q = apply_linear(p["q_proj"], h, quant_mode=quant_mode).reshape(B, T, Hq, D)
+    if "qkv_proj" in p:  # merged projections (one fused kernel launch)
+        qkv = merged_linear_forward(p["qkv_proj"], h, mode=quant_mode)
+        q, k_raw, v_raw = jnp.split(qkv, p["qkv_proj"].split_points, axis=-1)
+        q = q.reshape(B, T, Hq, D)
+    else:
+        q = apply_linear(p["q_proj"], h, quant_mode=quant_mode).reshape(B, T, Hq, D)
+        k_raw = v_raw = None
     q = _norm(q, p["q_norm"], eps)
     q = apply_rope(q, cos, sin)
 
@@ -202,11 +208,12 @@ def gemma3n_attention(
         new_cache = None
         own_kv = None
     else:
-        k = apply_linear(p["k_proj"], h, quant_mode=quant_mode).reshape(B, T, Hkv, D)
-        k = _norm(k, p["k_norm"], eps)
+        if k_raw is None:
+            k_raw = apply_linear(p["k_proj"], h, quant_mode=quant_mode)
+            v_raw = apply_linear(p["v_proj"], h, quant_mode=quant_mode)
+        k = _norm(k_raw.reshape(B, T, Hkv, D), p["k_norm"], eps)
         k = apply_rope(k, cos, sin)
-        v = apply_linear(p["v_proj"], h, quant_mode=quant_mode).reshape(B, T, Hkv, D)
-        v = _rms_noscale(v, eps)  # v_norm has no scale
+        v = _rms_noscale(v_raw.reshape(B, T, Hkv, D), eps)  # v_norm has no scale
         if kv_cache_layer is not None:
             ck, cv = kv_cache_layer
             ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_offset, 0, 0))
