@@ -193,14 +193,15 @@ def calibrate_model(
                 f"batch size {B} must divide by the data axis ({mesh.shape['data']})"
             )
         _rep = NamedSharding(mesh, PartitionSpec())
-        _data_sh = NamedSharding(mesh, PartitionSpec("data"))
         params = jax.device_put(params, _rep)
         layers = list(params["layers"])
 
-    def _dev_batch(a):
-        """Host activation batch -> device, batch-sharded under a mesh."""
+    def _dev_batch(a, axis=0):
+        """Host activation batch -> device, batch-sharded under a mesh.
+        axis: position of the batch dim (1 for gemma3n's [A, B, T, H])."""
         if mesh is not None:
-            return jax.device_put(jnp.asarray(a), _data_sh)
+            spec = PartitionSpec(*([None] * axis + ["data"]))
+            return jax.device_put(jnp.asarray(a), NamedSharding(mesh, spec))
         return jnp.asarray(a)
 
     def _dev_rep(tree):
@@ -212,15 +213,49 @@ def calibrate_model(
     # layer-0 inputs: embeddings (move_embed + Catcher, util.py:83-103,217-279)
     embed = params["embed_tokens"]
     scale = float(np.sqrt(config.hidden_size)) if config.gemma_norm else 1.0
+    _is_g3n = config.is_gemma3n
 
-    @jax.jit
-    def embed_fn(toks):
-        return jnp.take(embed, toks, axis=0).astype(jnp.float32) * scale
+    if _is_g3n:
+        # gemma-4-class: the layer input is the AltUp stack [A, B, T, H] and
+        # every layer additionally consumes its per-layer input slice
+        # (reference equivalent: move_embed of the per-layer-embedding
+        # modules + kwarg retention through the Catcher, util.py:17,83-103).
+        # Shared-KV tail layers consume the (k, v) of their source layer,
+        # captured from the progressively-QUANTIZED student pass so the
+        # optimization target matches what inference will actually see.
+        from ..models.decoder import apply_linear as _apply_lin
+        from ..models.gemma3n import _magnitude_match, per_layer_inputs as _g3n_pli
 
-    xs = np.stack([
-        np.asarray(embed_fn(_dev_batch(np.asarray(tb, np.int32))))
-        for tb in token_batches
-    ])
+        @jax.jit
+        def embed_expand(toks):
+            x0 = jnp.take(embed, toks, axis=0).astype(jnp.float32) * scale
+            pli = _g3n_pli(params, config, toks, x0)
+            stack = [x0]
+            for proj in params["altup_projections"]:
+                stack.append(_magnitude_match(_apply_lin(proj, x0), x0))
+            return jnp.stack(stack), pli
+
+        hs, plis = [], []
+        for tb in token_batches:
+            h_i, p_i = embed_expand(_dev_batch(np.asarray(tb, np.int32)))
+            hs.append(np.asarray(h_i))
+            plis.append(np.asarray(p_i))
+        xs = np.stack(hs)  # [N, A, B, T, H]
+        pli_all = np.stack(plis)  # [N, B, T, L, P]
+        shared_store: dict[int, list] = {}
+        srcs_needed = {
+            config.kv_share_source(j) for j in range(config.num_hidden_layers)
+        } - {None}
+    else:
+
+        @jax.jit
+        def embed_fn(toks):
+            return jnp.take(embed, toks, axis=0).astype(jnp.float32) * scale
+
+        xs = np.stack([
+            np.asarray(embed_fn(_dev_batch(np.asarray(tb, np.int32))))
+            for tb in token_batches
+        ])
 
     positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :], (B, T))
     n_val = max(int(N * cfg.val_fraction), 1) if N > 1 else 0
@@ -233,15 +268,40 @@ def calibrate_model(
     for li, lp in enumerate(layers):
         t_start = time.time()
         names = _layer_linear_names(lp, cfg.skip)
+        _src = config.kv_share_source(li)
+        if _src is not None:
+            # shared-KV tail: k/v projections are never applied at inference,
+            # so optimizing/quantizing them would be dead work
+            names = [n for n in names if n not in ("k_proj", "v_proj")]
         # per-layer RoPE base + rotary width: Gemma-3 local layers use
         # rope_local_base_freq, partial-rotary models cover rotary_dim < head_dim
         # (must match model_forward or the teacher activations are wrong)
         _theta = layer_rope_theta(config, li)
         _is_linear = config.layer_is_linear(li)
 
+        def _batch_in(i):
+            """Device input pytree for batch i of the current layer."""
+            if not _is_g3n:
+                return _dev_batch(xs[i])
+            shared = None
+            if _src is not None:
+                shared = tuple(_dev_batch(a) for a in shared_store[_src][i])
+            # altup stack is [A, B, T, H]: batch dim is axis 1
+            return (_dev_batch(xs[i], axis=1), _dev_batch(pli_all[i, :, :, li]), shared)
+
         def apply_with(lp_, x):
             """One decoder layer, dense-or-substituted params (mirrors
             model_forward's per-layer dispatch, no cache / full-length)."""
+            if _is_g3n:
+                from ..models.gemma3n import gemma3n_layer
+
+                h, pli_l, shared = x
+                cos, sin = rope_tables(positions, config.head_dim, _theta)
+                out, _, _ = gemma3n_layer(
+                    lp_, h, pli_l, config, li, cos, sin, positions, None,
+                    jnp.zeros((), jnp.int32), shared, "xla",
+                )
+                return out
             if _is_linear:
                 from ..models.decoder import mlp_forward, moe_forward, rms_norm
                 from ..models.linear_attn import delta_net_forward
@@ -267,7 +327,7 @@ def calibrate_model(
             return y
 
         dense_apply_j = jax.jit(lambda x: apply_with(lp, x))
-        teacher = np.stack([np.asarray(dense_apply_j(_dev_batch(x))) for x in xs])
+        teacher = np.stack([np.asarray(dense_apply_j(_batch_in(i))) for i in range(N)])
 
         layer_result: dict[str, Any] = {}
         saved = {}
@@ -319,7 +379,8 @@ def calibrate_model(
                 return apply_with(new_lp, x)
 
             batches = [
-                (_dev_batch(xs[i]), _dev_batch(teacher[i])) for i in range(N)
+                (_batch_in(i), _dev_batch(teacher[i], axis=1 if _is_g3n else 0))
+                for i in range(N)
             ]
             train_b = batches[: N - n_val] if n_val else batches
             val_b = batches[N - n_val :] if n_val else batches[:1]
@@ -353,8 +414,31 @@ def calibrate_model(
         # student outputs feed the next layer (optimize.py:524-537)
         qlp = layers[li]
 
-        student_j = jax.jit(lambda x: apply_with(qlp, x))
-        xs = np.stack([np.asarray(student_j(_dev_batch(x))) for x in xs])
+        if _is_g3n and li in srcs_needed:
+            # source layer for the shared-KV tail: emit (k, v) alongside the
+            # hidden stack so tail layers train against the quantized source
+            from ..models.gemma3n import gemma3n_layer as _g3n_layer
+
+            @jax.jit
+            def student_kv_j(x):
+                h, pli_l, shared = x
+                cos, sin = rope_tables(positions, config.head_dim, _theta)
+                out, _, own_kv = _g3n_layer(
+                    qlp, h, pli_l, config, li, cos, sin, positions, None,
+                    jnp.zeros((), jnp.int32), shared, "xla",
+                )
+                return out, own_kv
+
+            outs, kvs = [], []
+            for i in range(N):
+                o, kv = student_kv_j(_batch_in(i))
+                outs.append(np.asarray(o))
+                kvs.append(tuple(np.asarray(a) for a in kv))
+            xs = np.stack(outs)
+            shared_store[li] = kvs
+        else:
+            student_j = jax.jit(lambda x: apply_with(qlp, x))
+            xs = np.stack([np.asarray(student_j(_batch_in(i))) for i in range(N)])
         results.append(layer_result)
         if progress_fn:
             progress_fn(li, len(layers), {"seconds": time.time() - t_start})

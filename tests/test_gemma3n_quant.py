@@ -85,3 +85,33 @@ def test_gemma3n_decode_with_cache_matches_prefill(qparams):
     np.testing.assert_allclose(
         np.asarray(logits[:, -1]), np.asarray(full[:, -1]), rtol=2e-3, atol=2e-3
     )
+
+
+def test_gemma3n_calibration_smoke(dense_params):
+    """Layer-wise calibration runs over the AltUp-stacked layer I/O, trains
+    the shared-KV tail against the quantized source layers' (k, v), and
+    leaves the tail's unused k/v projections dense."""
+    from paroquant_tpu.models.decoder import DenseLinear
+    from paroquant_tpu.optim import CalibConfig, calibrate_model
+
+    rng = np.random.default_rng(4)
+    tokens = rng.integers(
+        0, CFG.vocab_size_per_layer_input, (2, 2, 8)
+    ).astype(np.int32)
+    ccfg = CalibConfig(
+        n_bits=4, group_size=64, num_rotations=2,
+        stages=(({"channel_scales": 5e-2, "angles": 5e-2}, 1),),
+    )
+    qparams, results = calibrate_model(dense_params, CFG, tokens, ccfg)
+    assert len(results) == CFG.num_hidden_layers
+    for li, lp in enumerate(qparams["layers"]):
+        assert isinstance(lp["q_proj"], QuantizedLinear)
+        assert isinstance(lp["mlp"]["down_proj"], QuantizedLinear)
+        if CFG.kv_share_source(li) is not None:
+            assert isinstance(lp["k_proj"], DenseLinear)  # unused -> skipped
+            assert "k_proj" not in results[li]
+        else:
+            assert isinstance(lp["k_proj"], QuantizedLinear)
+    ids = jnp.asarray(rng.integers(0, CFG.vocab_size_per_layer_input, (1, 6)), jnp.int32)
+    logits, _ = model_forward(qparams, CFG, ids)
+    assert np.isfinite(np.asarray(logits)).all()
