@@ -452,7 +452,7 @@ def model_forward(
 
         return gemma3n_forward(
             params, config, tokens, cache, quant_mode=quant_mode,
-            input_embeds=input_embeds,
+            attn_mode=attn_mode, input_embeds=input_embeds,
         )
     B, T = tokens.shape
     if input_embeds is not None:

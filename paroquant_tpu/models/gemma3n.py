@@ -173,6 +173,41 @@ def per_layer_inputs(
 # ---------------------------------------------------------------------------
 
 
+def gemma3n_qkv(
+    p: dict[str, Any],
+    h: jax.Array,  # [B, T, H]
+    config: ModelConfig,
+    cos: jax.Array,
+    sin: jax.Array,
+    quant_mode: str,
+    *,
+    need_kv: bool = True,
+) -> tuple[jax.Array, jax.Array | None, jax.Array | None]:
+    """q/k/v projections with the gemma3n norms: q_norm->rope, k_norm->rope,
+    no-scale RMS on v. Returns (q [B,T,Hq,D], k [B,T,Hkv,D]|None, v|None)."""
+    B, T, _ = h.shape
+    Hq, Hkv, D = config.num_attention_heads, config.num_key_value_heads, config.head_dim
+    eps = config.rms_norm_eps
+    if "qkv_proj" in p:  # merged projections (one fused kernel launch)
+        qkv = merged_linear_forward(p["qkv_proj"], h, mode=quant_mode)
+        q, k_raw, v_raw = jnp.split(qkv, p["qkv_proj"].split_points, axis=-1)
+        q = q.reshape(B, T, Hq, D)
+    else:
+        q = apply_linear(p["q_proj"], h, quant_mode=quant_mode).reshape(B, T, Hq, D)
+        k_raw = v_raw = None
+    q = _norm(q, p["q_norm"], eps)
+    q = apply_rope(q, cos, sin)
+    if not need_kv:
+        return q, None, None
+    if k_raw is None:
+        k_raw = apply_linear(p["k_proj"], h, quant_mode=quant_mode)
+        v_raw = apply_linear(p["v_proj"], h, quant_mode=quant_mode)
+    k = _norm(k_raw.reshape(B, T, Hkv, D), p["k_norm"], eps)
+    k = apply_rope(k, cos, sin)
+    v = _rms_noscale(v_raw.reshape(B, T, Hkv, D), eps)  # v_norm has no scale
+    return q, k, v
+
+
 def gemma3n_attention(
     p: dict[str, Any],
     h: jax.Array,  # [B, T, H] (normed active prediction)
@@ -185,35 +220,20 @@ def gemma3n_attention(
     cache_offset: jax.Array,
     shared_kv: tuple[jax.Array, jax.Array] | None,
     quant_mode: str,
+    attn_mode: str = "einsum",
 ) -> tuple[jax.Array, tuple[jax.Array, jax.Array] | None, tuple[jax.Array, jax.Array] | None]:
     """Returns (attn out [B,T,Hq*D], updated cache rows, this layer's (k, v)
     full-sequence tensors for shared-KV consumers when cache is None)."""
     B, T, _ = h.shape
     Hq, Hkv, D = config.num_attention_heads, config.num_key_value_heads, config.head_dim
-    eps = config.rms_norm_eps
-
-    if "qkv_proj" in p:  # merged projections (one fused kernel launch)
-        qkv = merged_linear_forward(p["qkv_proj"], h, mode=quant_mode)
-        q, k_raw, v_raw = jnp.split(qkv, p["qkv_proj"].split_points, axis=-1)
-        q = q.reshape(B, T, Hq, D)
-    else:
-        q = apply_linear(p["q_proj"], h, quant_mode=quant_mode).reshape(B, T, Hq, D)
-        k_raw = v_raw = None
-    q = _norm(q, p["q_norm"], eps)
-    q = apply_rope(q, cos, sin)
 
     is_shared = shared_kv is not None
+    q, k, v = gemma3n_qkv(p, h, config, cos, sin, quant_mode, need_kv=not is_shared)
     if is_shared:
         k_all, v_all = shared_kv  # full rows of the source layer's cache
         new_cache = None
         own_kv = None
     else:
-        if k_raw is None:
-            k_raw = apply_linear(p["k_proj"], h, quant_mode=quant_mode)
-            v_raw = apply_linear(p["v_proj"], h, quant_mode=quant_mode)
-        k = _norm(k_raw.reshape(B, T, Hkv, D), p["k_norm"], eps)
-        k = apply_rope(k, cos, sin)
-        v = _rms_noscale(v_raw.reshape(B, T, Hkv, D), eps)  # v_norm has no scale
         if kv_cache_layer is not None:
             ck, cv = kv_cache_layer
             ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_offset, 0, 0))
@@ -227,40 +247,54 @@ def gemma3n_attention(
             own_kv = (k, v)
 
     valid = cache_offset + T
-    out = attention(
-        q, k_all, v_all, q_positions, valid,
-        scale=config.attn_scale,  # 1.0
-        sliding_window=config.layer_sliding_window(layer_idx),
+    S_kv = k_all.shape[1]
+    flash_ok = (
+        attn_mode == "flash"
+        and T >= 128 and T % 128 == 0
+        and S_kv % min(256, S_kv) == 0
     )
+    if flash_ok:
+        # Pallas flash kernel (prefill-from-0 path, like decoder.layer_forward)
+        from ..kernels.attention import flash_attention
+
+        out = flash_attention(
+            jnp.swapaxes(q, 1, 2), jnp.swapaxes(k_all, 1, 2),
+            jnp.swapaxes(v_all, 1, 2),
+            jnp.broadcast_to(valid.reshape(-1), (B,)),
+            scale=config.attn_scale,  # 1.0
+            sliding_window=config.layer_sliding_window(layer_idx),
+            block_q=min(256, T), block_k=min(256, S_kv),
+        )
+        out = jnp.swapaxes(out, 1, 2)
+    else:
+        out = attention(
+            q, k_all, v_all, q_positions, valid,
+            scale=config.attn_scale,  # 1.0
+            sliding_window=config.layer_sliding_window(layer_idx),
+        )
     out = out.reshape(B, T, Hq * D)
     out = apply_linear(p["o_proj"], out, quant_mode=quant_mode)
     return out, new_cache, own_kv
 
 
-def gemma3n_layer(
+def gemma3n_layer_core(
     p: dict[str, Any],
     hidden: jax.Array,  # [A, B, T, H] altup stack
     per_layer_input: jax.Array,  # [B, T, P]
     config: ModelConfig,
     layer_idx: int,
-    cos: jax.Array,
-    sin: jax.Array,
-    q_positions: jax.Array,
-    kv_cache_layer: tuple[jax.Array, jax.Array] | None,
-    cache_offset: jax.Array,
-    shared_kv: tuple[jax.Array, jax.Array] | None,
+    attn_fn,  # callable(active_normed [B,T,H]) -> o_proj output [B,T,H]
     quant_mode: str,
-) -> tuple[jax.Array, tuple | None, tuple | None]:
+) -> jax.Array:
+    """Layer math shared by the contiguous and paged decode paths; the
+    attention inner (contiguous cache vs paged pool) is injected."""
     eps = config.rms_norm_eps
     predictions = altup_predict(p["altup"], hidden, config)
     active = predictions[config.altup_active_idx]
     active_normed = _norm(active, p["input_layernorm"], eps)
     laurel_out = laurel_forward(p["laurel"], active_normed, config)
 
-    attn, new_cache, own_kv = gemma3n_attention(
-        p, active_normed, config, layer_idx, cos, sin, q_positions,
-        kv_cache_layer, cache_offset, shared_kv, quant_mode,
-    )
+    attn = attn_fn(active_normed)
     attn = _norm(attn, p["post_attention_layernorm"], eps)
     attn_gated = active + attn
     attn_laurel = (attn_gated + laurel_out) * jnp.asarray(2.0 ** -0.5, attn.dtype)
@@ -283,7 +317,37 @@ def gemma3n_layer(
     proj = apply_linear(p["per_layer_projection"], gated)
     proj = _norm(proj, p["post_per_layer_input_norm"], eps)
     corrected = corrected.at[1:].add(proj.astype(corrected.dtype))
-    return corrected, new_cache, own_kv
+    return corrected
+
+
+def gemma3n_layer(
+    p: dict[str, Any],
+    hidden: jax.Array,  # [A, B, T, H] altup stack
+    per_layer_input: jax.Array,  # [B, T, P]
+    config: ModelConfig,
+    layer_idx: int,
+    cos: jax.Array,
+    sin: jax.Array,
+    q_positions: jax.Array,
+    kv_cache_layer: tuple[jax.Array, jax.Array] | None,
+    cache_offset: jax.Array,
+    shared_kv: tuple[jax.Array, jax.Array] | None,
+    quant_mode: str,
+    attn_mode: str = "einsum",
+) -> tuple[jax.Array, tuple | None, tuple | None]:
+    out: dict[str, Any] = {"cache": None, "own_kv": None}
+
+    def attn_fn(active_normed: jax.Array) -> jax.Array:
+        attn, out["cache"], out["own_kv"] = gemma3n_attention(
+            p, active_normed, config, layer_idx, cos, sin, q_positions,
+            kv_cache_layer, cache_offset, shared_kv, quant_mode, attn_mode,
+        )
+        return attn
+
+    corrected = gemma3n_layer_core(
+        p, hidden, per_layer_input, config, layer_idx, attn_fn, quant_mode
+    )
+    return corrected, out["cache"], out["own_kv"]
 
 
 # ---------------------------------------------------------------------------
@@ -298,6 +362,7 @@ def gemma3n_forward(
     cache: KVCache | None = None,
     *,
     quant_mode: str = "xla",
+    attn_mode: str = "einsum",
     input_embeds: jax.Array | None = None,
 ) -> tuple[jax.Array, KVCache | None]:
     """Returns (logits [B, T, V], updated cache).
@@ -343,7 +408,7 @@ def gemma3n_forward(
             layer_cache = None if cache is None else (cache.k[i], cache.v[i])
         hidden, updated, own_kv = gemma3n_layer(
             lp, hidden, pli[:, :, i], config, i, cos, sin, positions,
-            layer_cache, offset, shared_kv, quant_mode,
+            layer_cache, offset, shared_kv, quant_mode, attn_mode,
         )
         if updated is not None:
             new_k.append(updated[0])

@@ -77,20 +77,43 @@ def _experts_spec(experts: Any):
     return {k: P("model", None, None) for k in experts}
 
 
+def _merged_col_spec(lin: Any):
+    """MergedQuantizedLinear (QKV / gate-up): column-parallel on the
+    concatenated O axis. Correct under GSPMD for any split_points (sharding
+    is layout, the static splits stay global); rotations are input-side and
+    replicate."""
+    from ..ops.qlinear import MergedQuantizedLinear
+
+    return MergedQuantizedLinear(
+        qweight=P(None, "model"), scales=P(None, "model"),
+        zeros=P(None, "model"), rot=P(),
+        bias=None if lin.bias is None else P("model"),
+        out_splits=lin.out_splits,
+    )
+
+
 def param_specs(params: dict[str, Any], config: ModelConfig) -> dict[str, Any]:
-    """PartitionSpec pytree matching the model params pytree."""
-    specs: dict[str, Any] = {
-        "embed_tokens": P(),
-        "norm": P(),
-        "layers": [],
-    }
-    if "lm_head" in params:
-        specs["lm_head"] = _linear_spec(params["lm_head"], "col")
+    """PartitionSpec pytree matching the model params pytree.
+
+    Keys without a TP rule (norms, altup/laurel/per-layer-input modules,
+    vision tower, delta-net params) replicate — always correct, just not
+    model-sharded."""
+    from ..ops.qlinear import MergedQuantizedLinear
+
+    specs: dict[str, Any] = {}
+    for name, val in params.items():
+        if name == "lm_head":
+            specs[name] = _linear_spec(val, "col")
+        elif name != "layers":
+            specs[name] = jax.tree.map(lambda _: P(), val)
+    specs["layers"] = []
     for lp in params["layers"]:
         ls: dict[str, Any] = {}
         for name, val in lp.items():
             if name in ("q_proj", "k_proj", "v_proj"):
                 ls[name] = _linear_spec(val, "col")
+            elif name == "qkv_proj" and isinstance(val, MergedQuantizedLinear):
+                ls[name] = _merged_col_spec(val)
             elif name == "o_proj":
                 ls[name] = _linear_spec(val, "row")
             elif name == "mlp":
@@ -98,6 +121,8 @@ def param_specs(params: dict[str, Any], config: ModelConfig) -> dict[str, Any]:
                 for mn, mv in val.items():
                     if mn in ("gate_proj", "up_proj"):
                         ms[mn] = _linear_spec(mv, "col")
+                    elif mn == "gate_up_proj" and isinstance(mv, MergedQuantizedLinear):
+                        ms[mn] = _merged_col_spec(mv)
                     elif mn == "down_proj":
                         ms[mn] = _linear_spec(mv, "row")
                     elif mn == "experts":
@@ -142,8 +167,11 @@ def shard_paged_cache(cache: Any, mesh: Mesh) -> Any:
     kv heads split on "model" like the contiguous cache.
     """
     spec = NamedSharding(mesh, P(None, None, None, "model", None))
+    rep = NamedSharding(mesh, P())
     return type(cache)(
-        k=jax.device_put(cache.k, spec), v=jax.device_put(cache.v, spec)
+        k=jax.device_put(cache.k, spec), v=jax.device_put(cache.v, spec),
+        conv=None if cache.conv is None else jax.device_put(cache.conv, rep),
+        rec=None if cache.rec is None else jax.device_put(cache.rec, rep),
     )
 
 

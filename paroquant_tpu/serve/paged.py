@@ -114,6 +114,113 @@ def paged_attention(
     return out.reshape(B, Hq, D)
 
 
+def _gemma3n_paged_decode(
+    params: dict[str, Any],
+    config: ModelConfig,
+    tokens: jax.Array,  # [B] int32
+    seq_lens: jax.Array,  # [B] int32 length BEFORE this token
+    page_table: jax.Array,  # [B, maxP] int32
+    cache: PagedKVCache,
+    *,
+    quant_mode: str,
+    attn_mode: str,
+) -> tuple[jax.Array, PagedKVCache]:
+    """gemma-4-class paged decode step: AltUp stack + laurel + per-layer
+    inputs over the paged KV pool. Pool rows cover only the first
+    `first_kv_shared_layer` layers; shared-KV tail layers attend over their
+    source layer's pages (already updated with the current token this step,
+    since the source runs earlier in the layer loop). Layer math is
+    single-sourced from models/gemma3n.gemma3n_layer_core."""
+    from ..models.gemma3n import (
+        _magnitude_match,
+        _norm,
+        gemma3n_layer_core,
+        gemma3n_qkv,
+        per_layer_inputs,
+    )
+    from ..models.decoder import rope_tables
+
+    B = tokens.shape[0]
+    ps = cache.page_size
+    H = config.hidden_size
+
+    x0 = jnp.take(params["embed_tokens"], tokens, axis=0)[:, None, :]  # [B,1,H]
+    x0 = x0 * jnp.asarray(np.sqrt(H), x0.dtype)
+    pli = per_layer_inputs(params, config, tokens[:, None], x0)  # [B,1,L,P]
+
+    positions = seq_lens[:, None]  # [B, 1] 0-based position of current token
+    rope_global = rope_tables(positions, config.head_dim, config.rope_theta)
+    rope_local = rope_tables(
+        positions, config.head_dim, config.rope_local_theta or config.rope_theta
+    )
+    page_idx = jnp.take_along_axis(
+        page_table, (seq_lens // ps)[:, None], axis=1
+    )[:, 0]
+    offset = seq_lens % ps
+
+    stack = [x0]
+    from ..models.decoder import apply_linear as _apply
+
+    for proj in params["altup_projections"]:
+        stack.append(_magnitude_match(_apply(proj, x0), x0))
+    hidden = jnp.stack(stack)  # [A, B, 1, H]
+
+    new_k, new_v = cache.k, cache.v
+    for i, lp in enumerate(params["layers"]):
+        sliding = config.layer_sliding_window(i)
+        cos, sin = rope_local if sliding is not None else rope_global
+        src = config.kv_share_source(i)
+
+        def attn_fn(h, i=i, lp=lp, cos=cos, sin=sin, src=src, sliding=sliding):
+            nonlocal new_k, new_v
+            q, k, v = gemma3n_qkv(
+                lp, h, config, cos, sin, quant_mode, need_kv=src is None
+            )
+            q = q[:, 0]  # [B, Hq, D]
+            if src is None:
+                new_k = new_k.at[i, page_idx, offset].set(k[:, 0].astype(new_k.dtype))
+                new_v = new_v.at[i, page_idx, offset].set(v[:, 0].astype(new_v.dtype))
+                row = i
+            else:
+                row = src
+            if attn_mode == "kernel":
+                from ..kernels.attention import paged_decode_attention
+
+                attn = paged_decode_attention(
+                    q, new_k[row], new_v[row], page_table, seq_lens + 1,
+                    scale=config.attn_scale, sliding_window=sliding,
+                    logit_softcap=None,
+                )
+            else:
+                attn = paged_attention(
+                    q, new_k[row][page_table], new_v[row][page_table],
+                    seq_lens + 1, scale=config.attn_scale, sliding_window=sliding,
+                )
+            attn = attn.reshape(B, 1, -1)
+            return apply_linear(lp["o_proj"], attn, quant_mode=quant_mode)
+
+        hidden = gemma3n_layer_core(
+            lp, hidden, pli[:, :, i], config, i, attn_fn, quant_mode
+        )
+
+    outs = [hidden[0]]
+    for j, proj in enumerate(params["altup_unembed_projections"]):
+        outs.append(_magnitude_match(_apply(proj, hidden[j + 1]), hidden[0]))
+    x = jnp.mean(jnp.stack(outs), axis=0)
+    x = _norm(x, params["norm"], config.rms_norm_eps)[:, 0]  # [B, H]
+
+    lm_head = params.get("lm_head")
+    if lm_head is None:
+        logits = jnp.dot(x, params["embed_tokens"].T.astype(x.dtype),
+                         preferred_element_type=jnp.float32)
+    else:
+        logits = apply_linear(lm_head, x, quant_mode=quant_mode)
+    logits = logits.astype(jnp.float32)
+    if config.logit_softcap:
+        logits = jnp.tanh(logits / config.logit_softcap) * config.logit_softcap
+    return logits, cache._replace(k=new_k, v=new_v)
+
+
 def _paged_decode_step_impl(
     params: dict[str, Any],
     config: ModelConfig,
@@ -126,6 +233,11 @@ def _paged_decode_step_impl(
     attn_mode: str = "einsum",
 ) -> tuple[jax.Array, PagedKVCache]:
     """One decode step for every slot. Returns (logits [B, V], cache)."""
+    if config.is_gemma3n:
+        return _gemma3n_paged_decode(
+            params, config, tokens, seq_lens, page_table, cache,
+            quant_mode=quant_mode, attn_mode=attn_mode,
+        )
     B = tokens.shape[0]
     ps = cache.page_size
     Hq, Hkv, D = config.num_attention_heads, config.num_key_value_heads, config.head_dim

@@ -87,6 +87,29 @@ def test_gemma3n_decode_with_cache_matches_prefill(qparams):
     )
 
 
+def test_gemma3n_flash_prefill_matches_einsum(dense_params, monkeypatch):
+    """gemma3n prefill through the Pallas flash kernel (interpret mode on
+    CPU) must match the einsum attention path: sliding windows and the
+    shared-KV tail both flow through flash_attention."""
+    import functools
+
+    import paroquant_tpu.kernels.attention as ka
+
+    orig = ka.flash_attention
+    monkeypatch.setattr(
+        ka, "flash_attention", functools.partial(orig, interpret=True)
+    )
+    rng = np.random.default_rng(5)
+    ids = jnp.asarray(
+        rng.integers(0, CFG.vocab_size_per_layer_input, (1, 128)), jnp.int32
+    )
+    ref, _ = model_forward(dense_params, CFG, ids, attn_mode="einsum")
+    got, _ = model_forward(dense_params, CFG, ids, attn_mode="flash")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3
+    )
+
+
 def test_gemma3n_calibration_smoke(dense_params):
     """Layer-wise calibration runs over the AltUp-stacked layer I/O, trains
     the shared-KV tail against the quantized source layers' (k, v), and

@@ -111,6 +111,66 @@ def test_engine_tp_matches_single_device(setup):
     assert got == ref
 
 
+def test_engine_tp_gemma3n_matches_single_device():
+    """gemma-4-class TP serving: param_specs must cover the gemma3n extra
+    top-level modules (per-layer embeddings, altup projections) and the paged
+    gemma3n step must run under GSPMD."""
+    from jax.sharding import Mesh
+
+    from paroquant_tpu.serve import Engine, SamplingParams
+
+    config = PRESETS["tiny-gemma3n"]
+    params = init_params(config, jax.random.PRNGKey(7), dtype=jnp.float32)
+    rng = np.random.default_rng(7)
+    prompts = [list(rng.integers(0, config.vocab_size, n)) for n in (6, 13)]
+    sp = SamplingParams(max_tokens=6, temperature=0.0)
+
+    eng_ref = Engine(params, config, max_batch=2, max_len=64, page_size=8,
+                     quant_mode="xla", cache_dtype=jnp.float32)
+    ref = [eng_ref.generate_sync(p, sp) for p in prompts]
+
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(1, 2), ("data", "model"))
+    eng_tp = Engine(params, config, max_batch=2, max_len=64, page_size=8,
+                    quant_mode="xla", cache_dtype=jnp.float32, mesh=mesh)
+    got = [eng_tp.generate_sync(p, sp) for p in prompts]
+    assert got == ref
+
+
+def test_engine_tp_hybrid_matches_single_device():
+    """qwen3_next TP serving: shard_paged_cache must carry the per-slot
+    delta-net conv/recurrent states through (replicated), not drop them."""
+    from jax.sharding import Mesh
+
+    from paroquant_tpu.models import from_hf_dict
+    from paroquant_tpu.serve import Engine, SamplingParams
+
+    config = from_hf_dict(dict(
+        model_type="qwen3_next", vocab_size=128, hidden_size=64,
+        intermediate_size=96, num_hidden_layers=4, full_attention_interval=4,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        partial_rotary_factor=0.25, rope_theta=10000.0,
+        linear_num_value_heads=4, linear_num_key_heads=2,
+        linear_key_head_dim=16, linear_value_head_dim=16,
+        linear_conv_kernel_dim=4, num_experts=4, num_experts_per_tok=2,
+        moe_intermediate_size=32, shared_expert_intermediate_size=32,
+        tie_word_embeddings=False,
+    ))
+    params = init_params(config, jax.random.PRNGKey(8), dtype=jnp.float32)
+    rng = np.random.default_rng(8)
+    prompts = [list(rng.integers(0, config.vocab_size, n)) for n in (5, 9)]
+    sp = SamplingParams(max_tokens=6, temperature=0.0)
+
+    eng_ref = Engine(params, config, max_batch=2, max_len=64, page_size=8,
+                     quant_mode="xla", cache_dtype=jnp.float32)
+    ref = [eng_ref.generate_sync(p, sp) for p in prompts]
+
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(1, 2), ("data", "model"))
+    eng_tp = Engine(params, config, max_batch=2, max_len=64, page_size=8,
+                    quant_mode="xla", cache_dtype=jnp.float32, mesh=mesh)
+    got = [eng_tp.generate_sync(p, sp) for p in prompts]
+    assert got == ref
+
+
 def test_dp_sharded_calibration_matches_single_device():
     """calibrate_model(mesh=...) runs the whole layer-wise pipeline under
     GSPMD data parallelism and quantizes to (numerically) the same model as
