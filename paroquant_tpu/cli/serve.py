@@ -17,6 +17,8 @@ def main(argv=None):
     ap.add_argument("--max-len", type=int, default=4096)
     ap.add_argument("--page-size", type=int, default=128)
     ap.add_argument("--quant-mode", default=None, choices=["xla", "fused", "auto"])
+    ap.add_argument("--decode-burst", type=int, default=None,
+                    help="decode steps fused per dispatch (default: 8 on TPU, 1 on CPU)")
     ap.add_argument("--served-model-name", default=None)
     ap.add_argument("--device", default="auto", choices=["cpu", "tpu", "auto"])
     args = ap.parse_args(argv)
@@ -32,11 +34,13 @@ def main(argv=None):
 
     params, config = load_checkpoint(args.model)
     tokenizer = load_tokenizer(args.model)
-    qmode = args.quant_mode or ("auto" if detect_backend() == "tpu" else "xla")
+    on_tpu = detect_backend() == "tpu"
+    qmode = args.quant_mode or ("auto" if on_tpu else "xla")
+    burst = args.decode_burst if args.decode_burst is not None else (8 if on_tpu else 1)
     engine = Engine(
         params, config, tokenizer,
         max_batch=args.max_batch, max_len=args.max_len, page_size=args.page_size,
-        quant_mode=qmode,
+        quant_mode=qmode, decode_burst=burst,
     )
     processor = None
     if config.is_vlm:  # image templating + pixel preprocessing for chat images

@@ -77,8 +77,7 @@ class _PrefillState:
     final_logits: Any = None  # logits row of the last prompt token
 
 
-@jax.jit
-def _sample_batch(logits, keys, temps, top_ps, top_ks, rep_pens, token_counts):
+def _sample_batch_impl(logits, keys, temps, top_ps, top_ks, rep_pens, token_counts):
     """Vectorized per-slot sampling: repetition penalty -> temperature ->
     top-k -> top-p, the same operation order as the single-stream
     `sampling.sample_token` so Engine output matches Generator output for
@@ -123,6 +122,55 @@ def _sample_batch(logits, keys, temps, top_ps, top_ks, rep_pens, token_counts):
     return toks, new_counts
 
 
+_sample_batch = jax.jit(_sample_batch_impl)
+
+
+def _decode_burst_impl(
+    params, config, tokens, seq_lens, page_table, cache,
+    base_keys, steps0, temps, top_ps, top_ks, rep_pens, token_counts,
+    *, quant_mode, attn_mode, n_steps,
+):
+    """n_steps fused decode+sample steps in ONE dispatch (lax.scan), the
+    TPU-native analogue of vLLM's multi-step scheduling: sampled tokens feed
+    back on-device, so the host pays one dispatch round-trip per n_steps
+    tokens instead of per token. Slots that finish (EOS/max_tokens) mid-burst
+    keep decoding into their remaining reserved pages (overruns land on the
+    trash page via the page-table default); the host discards their extra
+    tokens. Returns (toks [n_steps, B], cache, token_counts)."""
+    from .paged import _paged_decode_step_impl
+
+    def body(carry, step_i):
+        tokens, seq_lens, cache, token_counts = carry
+        logits, cache = _paged_decode_step_impl(
+            params, config, tokens, seq_lens, page_table, cache,
+            quant_mode=quant_mode, attn_mode=attn_mode,
+        )
+        step_keys = jax.vmap(jax.random.fold_in)(
+            base_keys, (steps0 + step_i).astype(jnp.uint32)
+        )
+        toks, token_counts = _sample_batch_impl(
+            logits, step_keys, temps, top_ps, top_ks, rep_pens, token_counts
+        )
+        return (toks, seq_lens + 1, cache, token_counts), toks
+
+    (_, _, cache, token_counts), toks_seq = jax.lax.scan(
+        body, (tokens, seq_lens, cache, token_counts),
+        jnp.arange(n_steps, dtype=jnp.int32),
+    )
+    return toks_seq, cache, token_counts
+
+
+from functools import partial as _partial  # noqa: E402
+
+_decode_burst_donate = _partial(
+    jax.jit, static_argnames=("config", "quant_mode", "attn_mode", "n_steps"),
+    donate_argnames=("cache", "token_counts"),
+)(_decode_burst_impl)
+_decode_burst_nodonate = _partial(
+    jax.jit, static_argnames=("config", "quant_mode", "attn_mode", "n_steps")
+)(_decode_burst_impl)
+
+
 @jax.jit
 def _set_count_row(counts, slot_id, row):
     return counts.at[slot_id].set(row)
@@ -155,6 +203,7 @@ class Engine:
         cache_dtype=jnp.bfloat16,
         mesh=None,
         prefill_chunk: int = 256,
+        decode_burst: int = 1,
     ):
         # Tensor-parallel serving (reference counterpart: the vLLM plugin's
         # TP, plugin.py:167-311): pass a jax.sharding.Mesh and the engine
@@ -194,6 +243,10 @@ class Engine:
         # with decode) instead of stalling the whole scheduler
         self.prefill_chunk = prefill_chunk
         self._prefill_state: _PrefillState | None = None
+        # multi-step decode: when >1 and no admission work is pending, run
+        # this many decode+sample steps in ONE dispatch (tokens feed back
+        # on-device) — amortizes the host->device round-trip per token
+        self.decode_burst = max(1, decode_burst)
         # device-side slot state
         self.tokens = np.zeros(max_batch, np.int32)
         self.seq_lens = np.zeros(max_batch, np.int32)
@@ -396,7 +449,10 @@ class Engine:
         arm the slot. `final_logits` is the [1, V] row of the last prompt
         token; `pages` were reserved at admission."""
         T = len(req.prompt_tokens)
-        page_vec = np.zeros(self.max_pages_per_seq, np.int32)
+        # unused table entries point at the trash page, NOT page 0: a burst
+        # decode can step a finished slot past its reserved pages, and those
+        # overrun writes must never land on another request's page 0
+        page_vec = np.full(self.max_pages_per_seq, self.trash_page, np.int32)
         page_vec[: len(pages)] = pages
         kv_pages_needed = (T + self.page_size - 1) // self.page_size
         pad_T = kv_pages_needed * self.page_size
@@ -449,6 +505,10 @@ class Engine:
         self._emit(slot_id, tok)
 
     def _decode(self, active: list[int]):
+        burst = self._burst_size(active)
+        if burst > 1:
+            self._decode_burst(active, burst)
+            return
         # jnp.asarray on the CPU backend can ZERO-COPY the numpy buffer; the
         # async computation then races with our in-place host mutations below
         # (observed: nondeterministic decode). Ship fresh copies to the device.
@@ -481,6 +541,53 @@ class Engine:
             self.tokens[i] = tok
             self.slots[i].n_generated += 1
             self._emit(i, tok)
+
+    def _burst_size(self, active: list[int]) -> int:
+        """How many decode steps to fuse into one dispatch this tick: 1 when
+        admission work is pending (keeps chunked prefill interleaving), else
+        decode_burst clamped so no active slot is guaranteed-finished
+        mid-burst (EOS can still finish one early; its overrun tokens are
+        discarded and its overrun KV writes hit the trash page)."""
+        if self.decode_burst <= 1:
+            return 1
+        if self._prefill_state is not None or self._pending or not self.waiting.empty():
+            return 1
+        remaining = min(
+            self.slots[i].request.sampling.max_tokens - self.slots[i].n_generated
+            for i in active
+        )
+        # only two compiled variants (n_steps is a static jit arg): full
+        # bursts while every active slot has >= burst tokens left, single
+        # steps for the tail
+        return self.decode_burst if remaining >= self.decode_burst else 1
+
+    def _decode_burst(self, active: list[int], n_steps: int):
+        on_cpu = jax.devices()[0].platform == "cpu"
+        fn = _decode_burst_nodonate if on_cpu else _decode_burst_donate
+        attn_mode = "einsum" if on_cpu else "kernel"
+        toks_seq, self.cache, self.token_counts = fn(
+            self.params, self.config,
+            jnp.asarray(np.array(self.tokens)), jnp.asarray(np.array(self.seq_lens)),
+            jnp.asarray(np.array(self.page_table)), self.cache,
+            jnp.asarray(np.array(self.slot_keys)),
+            jnp.asarray(np.array(self.slot_steps, np.uint32)),
+            jnp.asarray(np.array(self.temps)), jnp.asarray(np.array(self.top_ps)),
+            jnp.asarray(np.array(self.top_ks)), jnp.asarray(np.array(self.rep_pens)),
+            self.token_counts,
+            quant_mode=self.quant_mode, attn_mode=attn_mode, n_steps=n_steps,
+        )
+        toks_host = np.asarray(toks_seq)  # [n_steps, B]
+        self.metrics["steps"] += n_steps
+        self.seq_lens[active] += n_steps
+        self.slot_steps += n_steps
+        for step in range(n_steps):
+            for i in active:
+                if self.slots[i].request is None:
+                    continue  # finished earlier in this burst
+                tok = int(toks_host[step, i])
+                self.tokens[i] = tok
+                self.slots[i].n_generated += 1
+                self._emit(i, tok)
 
     def _emit(self, slot_id: int, tok: int):
         slot = self.slots[slot_id]

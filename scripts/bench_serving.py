@@ -36,6 +36,8 @@ def main():
     ap.add_argument("--requests", type=int, default=24)
     ap.add_argument("--max-tokens", type=int, default=48)
     ap.add_argument("--device", default="auto", choices=["cpu", "tpu", "auto"])
+    ap.add_argument("--decode-burst", type=int, default=None,
+                    help="decode steps fused per dispatch (default: 8 on TPU)")
     args = ap.parse_args()
 
     import dataclasses
@@ -65,10 +67,11 @@ def main():
     if on_tpu:
         qparams = jax.device_put(qparams, jax.devices()[0])
 
+    burst = args.decode_burst if args.decode_burst is not None else (8 if on_tpu else 1)
     eng = Engine(
         qparams, config, max_batch=args.max_batch, max_len=args.max_len,
         page_size=64, quant_mode="auto" if on_tpu else "xla",
-        prefill_chunk=256,
+        prefill_chunk=256, decode_burst=burst,
     )
     rng = np.random.default_rng(0)
     # mixed lengths: short chat turns + long contexts (north-star config 3)
@@ -114,6 +117,7 @@ def main():
         "tokens_per_s": round(total_tokens / wall, 1),
         "wall_s": round(wall, 1),
         "decode_steps": eng.metrics["steps"],
+        "decode_burst": burst,
     }
     print(json.dumps(out))
 

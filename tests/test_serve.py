@@ -94,6 +94,68 @@ def test_paged_decode_matches_contiguous_gemma():
     )
 
 
+def test_paged_decode_matches_contiguous_gemma3n():
+    """gemma-4-class serving parity: the AltUp/laurel/per-layer-input paged
+    step (serve/paged.py _gemma3n_paged_decode) must match the contiguous
+    gemma3n forward, including the shared-KV tail reading the source layer's
+    pages updated with the current token."""
+    gcfg = PRESETS["tiny-gemma3n"]
+    params = init_params(gcfg, jax.random.PRNGKey(5), dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    prompt = rng.integers(0, gcfg.vocab_size, (1, 12)).astype(np.int32)
+
+    cache = KVCache.create(gcfg, 1, 32, jnp.float32)
+    _, cache = model_forward(params, gcfg, jnp.asarray(prompt), cache)
+    ref_logits, _ = model_forward(params, gcfg, jnp.asarray([[7]], jnp.int32), cache)
+
+    ps = 8
+    pcache = PagedKVCache.create(gcfg, num_pages=8, page_size=ps, dtype=jnp.float32)
+    page_ids = np.array([2, 6, 1, 4], np.int32)
+    ck = jnp.pad(cache.k[:, 0, :12], ((0, 0), (0, 4), (0, 0), (0, 0)))
+    cv = jnp.pad(cache.v[:, 0, :12], ((0, 0), (0, 4), (0, 0), (0, 0)))
+    pcache = scatter_prefill_kv(gcfg, pcache, ck, cv, jnp.asarray(page_ids))
+    page_table = np.zeros((1, 4), np.int32)
+    page_table[0] = page_ids
+    logits_paged, _ = paged_decode_step(
+        params, gcfg, jnp.asarray([7], jnp.int32), jnp.asarray([12], jnp.int32),
+        jnp.asarray(page_table), pcache,
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits_paged[0]), np.asarray(ref_logits[0, -1]),
+        rtol=2e-3, atol=2e-3,
+    )
+
+
+def test_engine_matches_generator_greedy_gemma3n():
+    """gemma-4-class end-to-end through the continuous-batching Engine."""
+    gcfg = PRESETS["tiny-gemma3n"]
+    params = init_params(gcfg, jax.random.PRNGKey(6), dtype=jnp.float32)
+    gen = Generator(params, gcfg, quant_mode="xla", cache_dtype=jnp.float32)
+    rng = np.random.default_rng(6)
+    prompts = [list(rng.integers(0, gcfg.vocab_size, n)) for n in (5, 11)]
+    sp = SamplingParams(max_tokens=6, temperature=0.0)
+    ref = [[t for t in gen.stream_generate(p, sp)] for p in prompts]
+
+    # decode_burst=3 also exercises the multi-step path through the gemma3n
+    # paged step (two full bursts per request at max_tokens=6)
+    eng = Engine(
+        params, gcfg, max_batch=2, max_len=64, page_size=8,
+        quant_mode="xla", cache_dtype=jnp.float32, decode_burst=3,
+    )
+    reqs = [eng.submit(p, sp) for p in prompts]
+    for _ in range(100):
+        if not eng.step():
+            break
+    for r, want in zip(reqs, ref):
+        toks = []
+        while True:
+            kind, t = r.out_queue.get_nowait()
+            if kind == "done":
+                break
+            toks.append(t)
+        assert toks == want
+
+
 def test_engine_matches_generator_greedy(model):
     params = model
     gen = Generator(params, CFG, quant_mode="xla", cache_dtype=jnp.float32)
@@ -137,6 +199,56 @@ def test_engine_matches_generator_greedy(model):
         assert last[top2[1]] - last[top2[0]] < 1e-3, (i, last[top2])
     # all pages returned (the pool excludes the engine's trash page)
     assert len(eng.free_pages) == eng.cache.num_pages - 1
+
+
+def test_engine_burst_decode_matches_single_step(model):
+    """decode_burst=N (multi-step decode: N decode+sample steps fused into
+    one dispatch, tokens fed back on-device) must emit exactly the tokens of
+    the single-step engine — greedy, seeded sampling, and repetition penalty
+    all flow through the same on-device sampler."""
+    params = model
+    rng = np.random.default_rng(21)
+    prompts = [list(rng.integers(0, CFG.vocab_size, n)) for n in (5, 9)]
+    cases = [
+        SamplingParams(max_tokens=11, temperature=0.0),
+        SamplingParams(max_tokens=11, temperature=0.8, top_k=8, seed=7),
+        SamplingParams(max_tokens=11, temperature=0.0, repetition_penalty=1.3),
+    ]
+    for sp in cases:
+        eng1 = Engine(params, CFG, max_batch=2, max_len=64, page_size=8,
+                      quant_mode="xla", cache_dtype=jnp.float32)
+        ref = [eng1.generate_sync(p, dataclasses.replace(sp)) for p in prompts]
+        eng4 = Engine(params, CFG, max_batch=2, max_len=64, page_size=8,
+                      quant_mode="xla", cache_dtype=jnp.float32, decode_burst=4)
+        got = [eng4.generate_sync(p, dataclasses.replace(sp)) for p in prompts]
+        assert got == ref, sp
+        assert len(eng4.free_pages) == eng4.cache.num_pages - 1
+
+
+def test_engine_burst_eos_mid_burst(model):
+    """A slot hitting a stop token mid-burst: extra burst tokens are
+    discarded, pages freed, and a fresh request reuses the slot cleanly."""
+    params = model
+    rng = np.random.default_rng(22)
+    prompt = list(rng.integers(0, CFG.vocab_size, 6))
+    # find the greedy token at step 2 and declare it a stop token
+    eng_probe = Engine(params, CFG, max_batch=1, max_len=64, page_size=8,
+                       quant_mode="xla", cache_dtype=jnp.float32)
+    toks = eng_probe.generate_sync(
+        prompt, SamplingParams(max_tokens=6, temperature=0.0))
+    # stop token whose FIRST occurrence is mid-sequence (greedy decode on a
+    # tiny random model repeats tokens, so pick by first occurrence)
+    j = next(i for i in range(1, len(toks)) if toks[i] not in toks[:i])
+    stop = toks[j]
+    sp = SamplingParams(max_tokens=12, temperature=0.0, stop_token_ids=(stop,))
+    eng = Engine(params, CFG, max_batch=1, max_len=64, page_size=8,
+                 quant_mode="xla", cache_dtype=jnp.float32, decode_burst=4)
+    got = eng.generate_sync(prompt, sp)
+    assert got == toks[: j + 1], (got, toks)
+    assert len(eng.free_pages) == eng.cache.num_pages - 1
+    # slot is reusable afterwards and produces the un-stopped sequence
+    again = eng.generate_sync(prompt, SamplingParams(max_tokens=6, temperature=0.0))
+    assert again == toks
 
 
 def test_engine_interleaved_admission(model):
