@@ -21,6 +21,8 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--quant-mode", default=None, choices=["xla", "fused", "auto"])
     ap.add_argument("--device", default="auto", choices=["cpu", "tpu", "auto"])
+    ap.add_argument("--decode-burst", type=int, default=None,
+                    help="sample+decode steps fused per dispatch (default: 8 on TPU)")
     args = ap.parse_args(argv)
 
     from ..utils import force_platform
@@ -30,10 +32,13 @@ def main(argv=None):
     from ..serve.generator import Generator, detect_backend
     from ..serve.sampling import SamplingParams
 
+    on_tpu = detect_backend() == "tpu"
+    burst = args.decode_burst if args.decode_burst is not None else (8 if on_tpu else 1)
     gen = Generator.from_pretrained(
         args.model,
         max_len=args.prefill_len + args.decode_len + 8,
         quant_mode=args.quant_mode,
+        decode_burst=burst,
     )
     rng = np.random.default_rng(0)
     prompt = list(rng.integers(0, gen.config.vocab_size, args.prefill_len))

@@ -14,6 +14,8 @@ def main(argv=None):
     ap.add_argument("--top-p", type=float, default=0.95)
     ap.add_argument("--quant-mode", default=None, choices=["xla", "fused", "auto"])
     ap.add_argument("--device", default="auto", choices=["cpu", "tpu", "auto"])
+    ap.add_argument("--decode-burst", type=int, default=1,
+                    help=">1 streams tokens in bursts of N (one dispatch per burst)")
     args = ap.parse_args(argv)
 
     from ..utils import force_platform
@@ -30,7 +32,8 @@ def main(argv=None):
     console = Console()
     console.print(f"[dim]loading {args.model}...[/dim]")
     gen = Generator.from_pretrained(args.model, quant_mode=args.quant_mode,
-                                    max_len=args.max_tokens * 2 + 512)
+                                    max_len=args.max_tokens * 2 + 512,
+                                    decode_burst=args.decode_burst)
     if gen.tokenizer is None:
         console.print("[red]model dir has no tokenizer; chat needs one[/red]")
         return

@@ -16,9 +16,54 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from functools import partial
+
 from ..models.config import ModelConfig
-from ..models.decoder import KVCache, decode_step, prefill
+from ..models.decoder import KVCache, decode_step, model_forward, prefill
 from .sampling import SamplingParams, sample_token
+
+
+def _stream_burst_impl(
+    params, config, logits, cache, key, counts,
+    *, quant_mode, n_steps, temperature, top_p, top_k, repetition_penalty,
+):
+    """n_steps sample+decode steps fused into one dispatch (lax.scan), with
+    the exact sampling-chain semantics of the step-by-step stream_generate
+    loop (same key splits, same counts-update order) so emitted tokens are
+    identical. Returns (toks [n_steps], final logits, cache, key, counts)."""
+
+    def body(carry, _):
+        logits, cache, key, counts = carry
+        key, sub = jax.random.split(key)
+        tok = sample_token(
+            logits, sub, counts if repetition_penalty != 1.0 else None,
+            temperature=temperature, top_p=top_p, top_k=top_k,
+            repetition_penalty=repetition_penalty,
+        )
+        if repetition_penalty != 1.0:
+            counts = counts.at[0, tok[0]].add(1)
+        logits, cache = model_forward(
+            params, config, tok[:, None], cache, quant_mode=quant_mode
+        )
+        logits = logits[:, -1, :]
+        return (logits, cache, key, counts), tok[0]
+
+    (logits, cache, key, counts), toks = jax.lax.scan(
+        body, (logits, cache, key, counts), None, length=n_steps
+    )
+    return toks, logits, cache, key, counts
+
+
+_STREAM_BURST_STATICS = (
+    "config", "quant_mode", "n_steps", "temperature", "top_p", "top_k",
+    "repetition_penalty",
+)
+_stream_burst_donate = partial(
+    jax.jit, static_argnames=_STREAM_BURST_STATICS, donate_argnames=("cache",)
+)(_stream_burst_impl)
+_stream_burst_nodonate = partial(
+    jax.jit, static_argnames=_STREAM_BURST_STATICS
+)(_stream_burst_impl)
 
 
 @dataclasses.dataclass
@@ -64,12 +109,16 @@ class Generator:
         max_len: int = 4096,
         quant_mode: str | None = None,
         cache_dtype=jnp.bfloat16,
+        decode_burst: int = 1,
     ):
         self.params = params
         self.config = config
         self.tokenizer = tokenizer
         self.max_len = max_len
         self.cache_dtype = cache_dtype
+        # >1: sample+decode this many tokens per dispatch (one lax.scan);
+        # amortizes the per-token host round-trip, tokens stream in bursts
+        self.decode_burst = max(1, decode_burst)
         if quant_mode is None:
             # "auto" = fused Pallas at decode-sized M, XLA dequant-GEMM at
             # prefill-sized M (ops/qlinear.py AUTO_FUSED_MAX_M)
@@ -137,6 +186,31 @@ class Generator:
         stop = set(sp.stop_token_ids)
         if self.tokenizer is not None and getattr(self.tokenizer, "eos_token_id", None) is not None:
             stop.add(int(self.tokenizer.eos_token_id))
+        if self.decode_burst > 1:
+            # dummy counts when no penalty (carried through the scan, unused)
+            counts_arr = counts if counts is not None else jnp.zeros((1, 1), jnp.int32)
+            fn = (
+                _stream_burst_nodonate
+                if jax.devices()[0].platform == "cpu"
+                else _stream_burst_donate
+            )
+            remaining = sp.max_tokens
+            while remaining > 0:
+                # two compiled variants: full bursts, then single-step tail
+                n = self.decode_burst if remaining >= self.decode_burst else 1
+                toks, logits, cache, key, counts_arr = fn(
+                    self.params, self.config, logits, cache, key, counts_arr,
+                    quant_mode=self.quant_mode, n_steps=n,
+                    temperature=sp.temperature, top_p=sp.top_p, top_k=sp.top_k,
+                    repetition_penalty=sp.repetition_penalty,
+                )
+                for t in np.asarray(toks):
+                    tid = int(t)
+                    yield tid
+                    remaining -= 1
+                    if tid in stop or remaining <= 0:
+                        return
+            return
         for i in range(sp.max_tokens):
             key, sub = jax.random.split(key)
             tok = sample_token(

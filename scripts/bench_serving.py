@@ -81,10 +81,12 @@ def main():
     lengths = [int(l) for l in rng.choice(pool, args.requests, p=probs)]
     sp = SamplingParams(max_tokens=args.max_tokens, temperature=0.0)
 
-    # warmup: compile prefill buckets + decode step
+    # warmup: compile prefill buckets + BOTH decode variants (full burst and
+    # the single-step tail) — burst+1 tokens forces one burst then one single
+    warm_toks = burst + 1 if burst > 1 else 2
     for L in sorted(set(lengths)):
         eng.generate_sync(list(rng.integers(0, config.vocab_size, L)),
-                          SamplingParams(max_tokens=2, temperature=0.0))
+                          SamplingParams(max_tokens=warm_toks, temperature=0.0))
 
     reqs = []
     t_start = time.perf_counter()

@@ -201,6 +201,27 @@ def test_engine_matches_generator_greedy(model):
     assert len(eng.free_pages) == eng.cache.num_pages - 1
 
 
+def test_generator_burst_matches_single_step(model):
+    """Generator(decode_burst=N) streams the exact tokens of the per-step
+    loop: the scanned burst replicates the same key-split chain and
+    counts-update order."""
+    params = model
+    rng = np.random.default_rng(23)
+    prompt = list(rng.integers(0, CFG.vocab_size, 7))
+    cases = [
+        SamplingParams(max_tokens=10, temperature=0.0),
+        SamplingParams(max_tokens=10, temperature=0.9, top_p=0.8, top_k=16, seed=3),
+        SamplingParams(max_tokens=10, temperature=0.7, repetition_penalty=1.4, seed=3),
+    ]
+    gen1 = Generator(params, CFG, quant_mode="xla", cache_dtype=jnp.float32)
+    gen4 = Generator(params, CFG, quant_mode="xla", cache_dtype=jnp.float32,
+                     decode_burst=4)
+    for sp in cases:
+        ref = [t for t in gen1.stream_generate(prompt, sp)]
+        got = [t for t in gen4.stream_generate(prompt, sp)]
+        assert got == ref, sp
+
+
 def test_engine_burst_decode_matches_single_step(model):
     """decode_burst=N (multi-step decode: N decode+sample steps fused into
     one dispatch, tokens fed back on-device) must emit exactly the tokens of
