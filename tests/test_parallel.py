@@ -110,6 +110,13 @@ def test_engine_tp_matches_single_device(setup):
     got = [eng_tp.generate_sync(p, sp) for p in prompts]
     assert got == ref
 
+    # burst decode under GSPMD: the scanned multi-step path must partition too
+    eng_tpb = Engine(qparams, config, max_batch=2, max_len=64, page_size=8,
+                     quant_mode="xla", cache_dtype=jnp.float32, mesh=mesh,
+                     decode_burst=3)
+    got_b = [eng_tpb.generate_sync(p, sp) for p in prompts]
+    assert got_b == ref
+
 
 def test_engine_tp_gemma3n_matches_single_device():
     """gemma-4-class TP serving: param_specs must cover the gemma3n extra

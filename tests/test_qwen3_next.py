@@ -202,6 +202,12 @@ def test_qwen3_next_engine_matches_generator(hf_and_ours):
     got = [eng.generate_sync(p, sp) for p in prompts]
     assert got == ref
 
+    # burst decode carries the recurrent delta-net states through the scan
+    eng_b = Engine(params, config, max_batch=2, max_len=64, page_size=8,
+                   quant_mode="xla", cache_dtype=jnp.float32, decode_burst=3)
+    got_b = [eng_b.generate_sync(p, sp) for p in prompts]
+    assert got_b == ref
+
     # interleaved: both requests decode in the same batch
     eng2 = Engine(params, config, max_batch=2, max_len=64, page_size=8,
                   quant_mode="xla", cache_dtype=jnp.float32)
