@@ -95,6 +95,16 @@ def _dequant_contrib(acc, xsum, s_ref, z_ref, g):
     return (acc - xsum * z) * s
 
 
+def _split_dot(xr, lo, hi):
+    """y = xr @ concat([lo, hi], axis=0) WITHOUT materializing the [S, O]
+    concat: two half-depth MXU dots. The VPU concat copy was ~10% of kernel
+    time at O=4096 M=1 (scripts/kernel_unpack_exp.py, within-run)."""
+    S2 = lo.shape[0]
+    return jnp.dot(xr[:, :S2], lo, preferred_element_type=jnp.float32) + jnp.dot(
+        xr[:, S2:], hi, preferred_element_type=jnp.float32
+    )
+
+
 def _rotate_block_butterfly(x, cos_ref, sin_ref, distances):
     """Apply K butterfly Givens stages to x [TM, S] (f32) in registers."""
     TM, S = x.shape
@@ -137,9 +147,7 @@ def _kernel(
     q = qw_ref[:].astype(jnp.int32)
     lo = (q & 0xF).astype(jnp.bfloat16)  # channels [0, S/2)
     hi = ((q >> 4) & 0xF).astype(jnp.bfloat16)  # channels [S/2, S)
-    w = jnp.concatenate([lo, hi], axis=0)  # [S, O]
-
-    acc = jnp.dot(xr, w, preferred_element_type=jnp.float32)  # [TM, O]
+    acc = _split_dot(xr, lo, hi)  # [TM, O]
     contrib = _dequant_contrib(acc, xsum, s_ref, z_ref, g)
 
     @pl.when(g == 0)
@@ -234,8 +242,7 @@ def _kernel_plain(x_ref, qw_ref, s_ref, z_ref, o_ref, *, out_dtype):
     q = qw_ref[:].astype(jnp.int32)
     lo = (q & 0xF).astype(jnp.bfloat16)
     hi = ((q >> 4) & 0xF).astype(jnp.bfloat16)
-    w = jnp.concatenate([lo, hi], axis=0)
-    acc = jnp.dot(xr, w, preferred_element_type=jnp.float32)
+    acc = _split_dot(xr, lo, hi)
     contrib = _dequant_contrib(acc, xsum, s_ref, z_ref, g)
 
     @pl.when(g == 0)
@@ -487,9 +494,8 @@ def _kernel_merged_rot(x_ref, rot_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref, *,
                        splits, blocked, n_g):
     g = pl.program_id(2)
     q = qw_ref[:].astype(jnp.int32)
-    lo = (q & 0xF).astype(jnp.bfloat16)
+    lo = (q & 0xF).astype(jnp.bfloat16)  # [S/2, TO]
     hi = (q >> 4).astype(jnp.bfloat16)  # u8 zero-extended: >>4 is already 0-15
-    w = jnp.concatenate([lo, hi], axis=0)  # [S, TO]
     s_row = _row_select(s_ref, g)  # [1, TO] f32
     z_row = _row_select(z_ref, g)
 
@@ -509,7 +515,7 @@ def _kernel_merged_rot(x_ref, rot_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref, *,
         off = 0
         for p, n in enumerate(splits):
             xr, xsum = rotated(p)
-            acc = jnp.dot(xr, w[:, off : off + n], preferred_element_type=jnp.float32)
+            acc = _split_dot(xr, lo[:, off : off + n], hi[:, off : off + n])
             contribs.append(
                 (acc - xsum * z_row[:, off : off + n]) * s_row[:, off : off + n]
             )
@@ -520,13 +526,13 @@ def _kernel_merged_rot(x_ref, rot_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref, *,
         # boundaries, so compute each partition's contribution over the whole
         # block and select per column by its global index. Costs P matmuls per
         # block; only reached when the unblocked layout exceeds scoped VMEM.
-        TO = w.shape[1]
+        TO = lo.shape[1]
         col = pl.program_id(1) * TO + jax.lax.broadcasted_iota(jnp.int32, (1, TO), 1)
         contrib = jnp.zeros((x_ref.shape[0], TO), jnp.float32)
         off = 0
         for p, n in enumerate(splits):
             xr, xsum = rotated(p)
-            acc = jnp.dot(xr, w, preferred_element_type=jnp.float32)
+            acc = _split_dot(xr, lo, hi)
             part = (acc - xsum * z_row) * s_row
             contrib = jnp.where((col >= off) & (col < off + n), part, contrib)
             off += n
@@ -623,8 +629,7 @@ def _kernel_dense_rot(x_ref, rot_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref, *, n
     q = qw_ref[:].astype(jnp.int32)
     lo = (q & 0xF).astype(jnp.bfloat16)
     hi = (q >> 4).astype(jnp.bfloat16)  # u8 zero-extended: >>4 is already 0-15
-    w = jnp.concatenate([lo, hi], axis=0)
-    acc = jnp.dot(xr, w, preferred_element_type=jnp.float32)
+    acc = _split_dot(xr, lo, hi)
     contrib = _dequant_contrib(acc, xsum, s_ref, z_ref, g)
 
     # f32 accumulation lives in a VMEM scratch; the output block is written
