@@ -19,6 +19,8 @@ def main(argv=None):
     ap.add_argument("--quant-mode", default=None, choices=["xla", "fused", "auto"])
     ap.add_argument("--decode-burst", type=int, default=None,
                     help="decode steps fused per dispatch (default: 8 on TPU, 1 on CPU)")
+    ap.add_argument("--prefix-caching", action="store_true",
+                    help="share full prompt-prefix pages across requests (vLLM-style APC)")
     ap.add_argument("--served-model-name", default=None)
     ap.add_argument("--device", default="auto", choices=["cpu", "tpu", "auto"])
     args = ap.parse_args(argv)
@@ -41,6 +43,7 @@ def main(argv=None):
         params, config, tokenizer,
         max_batch=args.max_batch, max_len=args.max_len, page_size=args.page_size,
         quant_mode=qmode, decode_burst=burst,
+        prefix_caching=args.prefix_caching,
     )
     processor = None
     if config.is_vlm:  # image templating + pixel preprocessing for chat images

@@ -30,6 +30,7 @@ Design (see pallas_guide.md):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -52,6 +53,9 @@ def _pick_block_o(TM, S, O, s_bytes, z_bytes, sb_s, sb_z) -> int:
 
     def vmem(TO):
         # out TM*TO*4 (held) + qweight (S//2,TO)u8 x2 + scales/zeros x2 each
+        # (column-blocked launches use the concat unpack, whose peak this
+        # models; unblocked launches use split-dot and are small by
+        # construction — see _kernel_dense_rot `split`)
         return TO * (4 * TM + S + 2 * sb_s * s_bytes + 2 * sb_z * z_bytes)
 
     if vmem(O) <= budget:
@@ -93,6 +97,14 @@ def _dequant_contrib(acc, xsum, s_ref, z_ref, g):
     s = _row_select(s_ref, g)
     z = _row_select(z_ref, g)
     return (acc - xsum * z) * s
+
+
+# A/B knob for the split-dot unpack in unblocked launches. Isolated kernel
+# chains measured split-dot up to 16% faster, but END-TO-END 0.6B decode
+# (the arbiter; kernel timing noise floor is ~±8us over the relay) measured
+# concat >= split in adjacent A/B runs (vs_baseline 1.178 vs 1.114), so
+# concat is the default and split stays available for re-evaluation.
+_SPLIT_DOT = os.environ.get("PARO_SPLIT_DOT", "0") == "1"
 
 
 def _split_dot(xr, lo, hi):
@@ -147,7 +159,12 @@ def _kernel(
     q = qw_ref[:].astype(jnp.int32)
     lo = (q & 0xF).astype(jnp.bfloat16)  # channels [0, S/2)
     hi = ((q >> 4) & 0xF).astype(jnp.bfloat16)  # channels [S/2, S)
-    acc = _split_dot(xr, lo, hi)  # [TM, O]
+    if _SPLIT_DOT:
+        acc = _split_dot(xr, lo, hi)  # [TM, O]
+    else:
+        acc = jnp.dot(
+            xr, jnp.concatenate([lo, hi], axis=0), preferred_element_type=jnp.float32
+        )
     contrib = _dequant_contrib(acc, xsum, s_ref, z_ref, g)
 
     @pl.when(g == 0)
@@ -242,7 +259,12 @@ def _kernel_plain(x_ref, qw_ref, s_ref, z_ref, o_ref, *, out_dtype):
     q = qw_ref[:].astype(jnp.int32)
     lo = (q & 0xF).astype(jnp.bfloat16)
     hi = ((q >> 4) & 0xF).astype(jnp.bfloat16)
-    acc = _split_dot(xr, lo, hi)
+    if _SPLIT_DOT:
+        acc = _split_dot(xr, lo, hi)
+    else:
+        acc = jnp.dot(
+            xr, jnp.concatenate([lo, hi], axis=0), preferred_element_type=jnp.float32
+        )
     contrib = _dequant_contrib(acc, xsum, s_ref, z_ref, g)
 
     @pl.when(g == 0)
@@ -515,7 +537,13 @@ def _kernel_merged_rot(x_ref, rot_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref, *,
         off = 0
         for p, n in enumerate(splits):
             xr, xsum = rotated(p)
-            acc = _split_dot(xr, lo[:, off : off + n], hi[:, off : off + n])
+            if _SPLIT_DOT:
+                acc = _split_dot(xr, lo[:, off : off + n], hi[:, off : off + n])
+            else:
+                w = jnp.concatenate(
+                    [lo[:, off : off + n], hi[:, off : off + n]], axis=0
+                )
+                acc = jnp.dot(xr, w, preferred_element_type=jnp.float32)
             contribs.append(
                 (acc - xsum * z_row[:, off : off + n]) * s_row[:, off : off + n]
             )
@@ -526,13 +554,16 @@ def _kernel_merged_rot(x_ref, rot_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref, *,
         # boundaries, so compute each partition's contribution over the whole
         # block and select per column by its global index. Costs P matmuls per
         # block; only reached when the unblocked layout exceeds scoped VMEM.
-        TO = lo.shape[1]
+        # concat unpack here: the blocked branch only triggers for very wide
+        # O_tot where _pick_block_o's VMEM model (concat peak) sizes TO
+        w = jnp.concatenate([lo, hi], axis=0)  # [S, TO]
+        TO = w.shape[1]
         col = pl.program_id(1) * TO + jax.lax.broadcasted_iota(jnp.int32, (1, TO), 1)
         contrib = jnp.zeros((x_ref.shape[0], TO), jnp.float32)
         off = 0
         for p, n in enumerate(splits):
             xr, xsum = rotated(p)
-            acc = _split_dot(xr, lo, hi)
+            acc = jnp.dot(xr, w, preferred_element_type=jnp.float32)
             part = (acc - xsum * z_row) * s_row
             contrib = jnp.where((col >= off) & (col < off + n), part, contrib)
             off += n
@@ -616,7 +647,8 @@ def merged_rot_w4_matmul(
 # ---------------------------------------------------------------------------
 
 
-def _kernel_dense_rot(x_ref, rot_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref, *, n_g):
+def _kernel_dense_rot(x_ref, rot_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref, *,
+                      n_g, split):
     g = pl.program_id(2)
     rot = rot_ref[0]  # [S, S] (bf16 storage; MXU-native); y_row = x_row @ rot^T
     x = x_ref[:].astype(rot.dtype)
@@ -629,7 +661,15 @@ def _kernel_dense_rot(x_ref, rot_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref, *, n
     q = qw_ref[:].astype(jnp.int32)
     lo = (q & 0xF).astype(jnp.bfloat16)
     hi = (q >> 4).astype(jnp.bfloat16)  # u8 zero-extended: >>4 is already 0-15
-    acc = _split_dot(xr, lo, hi)
+    if split:
+        # faster (skips the [S, TO] concat) but higher VMEM peak — used for
+        # unblocked launches; column-blocked wide layers keep the concat so
+        # _pick_block_o's larger block sizes stay within scoped VMEM
+        acc = _split_dot(xr, lo, hi)
+    else:
+        acc = jnp.dot(
+            xr, jnp.concatenate([lo, hi], axis=0), preferred_element_type=jnp.float32
+        )
     contrib = _dequant_contrib(acc, xsum, s_ref, z_ref, g)
 
     # f32 accumulation lives in a VMEM scratch; the output block is written
@@ -677,7 +717,7 @@ def rot_w4_matmul(
     )
     n_o = (O + TO - 1) // TO  # edge block partial: inputs pad, output masked
     out = pl.pallas_call(
-        functools.partial(_kernel_dense_rot, n_g=G),
+        functools.partial(_kernel_dense_rot, n_g=G, split=n_o == 1 and _SPLIT_DOT),
         grid=(n_m, n_o, G),
         in_specs=[
             pl.BlockSpec((TM, S), lambda i, o, g: (i, g), memory_space=pltpu.VMEM),

@@ -73,8 +73,10 @@ class _PrefillState:
     pages: list[int]
     toks: np.ndarray  # [1, bucket] zero-padded prompt
     cache: Any  # contiguous KVCache being filled
-    offset: int = 0  # tokens prefilled so far
+    offset: int = 0  # tokens prefilled so far (starts past a cached prefix)
     final_logits: Any = None  # logits row of the last prompt token
+    n_matched: int = 0  # prefix-cache pages reused (head of `pages`)
+    reg_keys: tuple = ()  # cumulative hashes of the full prompt pages
 
 
 def _sample_batch_impl(logits, keys, temps, top_ps, top_ks, rep_pens, token_counts):
@@ -204,6 +206,7 @@ class Engine:
         mesh=None,
         prefill_chunk: int = 256,
         decode_burst: int = 1,
+        prefix_caching: bool = False,
     ):
         # Tensor-parallel serving (reference counterpart: the vLLM plugin's
         # TP, plugin.py:167-311): pass a jax.sharding.Mesh and the engine
@@ -247,6 +250,18 @@ class Engine:
         # this many decode+sample steps in ONE dispatch (tokens feed back
         # on-device) — amortizes the host->device round-trip per token
         self.decode_burst = max(1, decode_burst)
+        # automatic prefix caching (the reference inherits this from vLLM):
+        # full prompt pages are registered under a cumulative block hash and
+        # shared read-only by later requests with the same prefix — only the
+        # suffix prefills (via the chunked path). Pages carry refcounts;
+        # zero-ref cached pages sit in an LRU and are evicted on demand.
+        self.prefix_caching = prefix_caching
+        from collections import OrderedDict
+
+        self.prefix_map: dict[int, int] = {}  # cumulative hash -> page id
+        self.page_key: dict[int, int] = {}  # registered page -> its hash
+        self.page_refs: dict[int, int] = {}  # registered page -> active refs
+        self.cached_idle: "OrderedDict[int, int]" = OrderedDict()  # LRU idle
         # device-side slot state
         self.tokens = np.zeros(max_batch, np.int32)
         self.seq_lens = np.zeros(max_batch, np.int32)
@@ -273,7 +288,10 @@ class Engine:
         self.eos_ids: set[int] = set()
         if tokenizer is not None and getattr(tokenizer, "eos_token_id", None) is not None:
             self.eos_ids.add(int(tokenizer.eos_token_id))
-        self.metrics = {"requests": 0, "tokens_generated": 0, "steps": 0}
+        self.metrics = {
+            "requests": 0, "tokens_generated": 0, "steps": 0,
+            "prefix_hit_tokens": 0,
+        }
         # Pallas flash prefill on real TPUs; einsum reference path on CPU
         self.prefill_attn = (
             "einsum" if jax.devices()[0].platform == "cpu" else "flash"
@@ -337,7 +355,53 @@ class Engine:
     # ------------------------------------------------------------------
 
     def _num_free_pages(self) -> int:
-        return len(self.free_pages)
+        # zero-ref cached pages are reclaimable on demand
+        return len(self.free_pages) + len(self.cached_idle)
+
+    def _take_free_page(self) -> int:
+        if self.free_pages:
+            return self.free_pages.pop()
+        # evict the least-recently-idle cached page
+        pid, key = self.cached_idle.popitem(last=False)
+        del self.prefix_map[key]
+        del self.page_key[pid]
+        self.page_refs.pop(pid, None)
+        return pid
+
+    def _match_prefix(self, toks: list[int]) -> tuple[list[int], tuple]:
+        """(matched cached pages, cumulative keys of every full prompt page).
+        Matching stops one token short of the prompt end so at least one
+        suffix token always prefills (the sampler needs its logits row)."""
+        ps = self.page_size
+        n_full = (len(toks) - 1) // ps
+        keys, h = [], 0
+        for j in range(n_full):
+            h = hash((h, tuple(toks[j * ps : (j + 1) * ps])))
+            keys.append(h)
+        pages: list[int] = []
+        for key in keys:
+            pid = self.prefix_map.get(key)
+            if pid is None:
+                break
+            pages.append(pid)
+        return pages, tuple(keys)
+
+    def _claim_cached(self, pages: list[int]) -> None:
+        for pid in pages:
+            self.page_refs[pid] = self.page_refs.get(pid, 0) + 1
+            self.cached_idle.pop(pid, None)
+
+    def _register_prefix(self, pages: list[int], reg_keys: tuple, n_matched: int):
+        """Make this request's full prompt pages shareable. The owner's use
+        counts as a ref; the page goes idle (LRU, evictable) when every
+        user has finished."""
+        for j, key in enumerate(reg_keys):
+            if j < n_matched or key in self.prefix_map:
+                continue
+            pid = pages[j]
+            self.prefix_map[key] = pid
+            self.page_key[pid] = key
+            self.page_refs[pid] = self.page_refs.get(pid, 0) + 1
 
     def _admit(self):
         # an in-progress chunked prefill advances ONE chunk per tick so the
@@ -359,42 +423,78 @@ class Engine:
             T = len(req.prompt_tokens)
             total = T + req.sampling.max_tokens
             need_pages = (total + self.page_size - 1) // self.page_size
-            if need_pages > self._num_free_pages():
+            matched: list[int] = []
+            reg_keys: tuple = ()
+            # hybrids excluded: the delta-net recurrent state at the prefix
+            # boundary is not page-resident, so a prefix hit can't resume it
+            if (
+                self.prefix_caching
+                and req.pixel_values is None
+                and self.config.num_linear_layers == 0
+            ):
+                matched, reg_keys = self._match_prefix(req.prompt_tokens)
+            if need_pages - len(matched) > self._num_free_pages():
                 return  # wait for pages to free up
             self._pending.pop(0)
             slot_id = free_slots[0]
             # VLM prompts prefill whole (bidirectional image blocks must see
-            # the full prompt at once); text prompts longer than one chunk
-            # stream chunk-per-tick so active decodes keep flowing
-            if T > self.prefill_chunk and req.pixel_values is None:
-                self._start_chunked_prefill(slot_id, req)
+            # the full prompt at once); text prompts longer than one chunk —
+            # and any prompt with a cached prefix — stream chunk-per-tick so
+            # active decodes keep flowing
+            if (T > self.prefill_chunk or matched) and req.pixel_values is None:
+                self._start_chunked_prefill(slot_id, req, matched, reg_keys)
                 return  # first chunk next tick; decode keeps running now
-            self._prefill_into_slot(slot_id, req)
+            self._prefill_into_slot(slot_id, req, reg_keys)
 
-    def _alloc_pages(self, req: Request) -> list[int]:
+    def _alloc_pages(self, req: Request, n_matched: int = 0) -> list[int]:
         T = len(req.prompt_tokens)
         need = (T + req.sampling.max_tokens + self.page_size - 1) // self.page_size
-        return [self.free_pages.pop() for _ in range(need)]
+        return [self._take_free_page() for _ in range(need - n_matched)]
 
-    def _start_chunked_prefill(self, slot_id: int, req: Request):
+    def _start_chunked_prefill(
+        self, slot_id: int, req: Request, matched: list[int] | None = None,
+        reg_keys: tuple = (),
+    ):
+        matched = matched or []
         T = len(req.prompt_tokens)
         bucket = self._bucket(T)
+        C = self.prefill_chunk
         toks = np.zeros((1, bucket), np.int32)
         toks[0, :T] = req.prompt_tokens
-        cache = KVCache.create(self.config, 1, bucket, self.cache.k.dtype)
+        # +C slack: a cached prefix starts chunks at arbitrary page-aligned
+        # offsets, so the last chunk's dynamic_update_slice may run past
+        # `bucket` rows (padding rows are masked by valid lengths everywhere)
+        self._claim_cached(matched)
+        pages = matched + self._alloc_pages(req, len(matched))
+        if matched:
+            from .paged import gather_prefix_rows
+
+            page_vec = np.full(self.max_pages_per_seq, self.trash_page, np.int32)
+            page_vec[: len(pages)] = pages
+            k0, v0 = gather_prefix_rows(
+                self.cache, jnp.asarray(page_vec), bucket + C
+            )
+            cache = KVCache(k0, v0, jnp.zeros((), jnp.int32))
+            self.metrics["prefix_hit_tokens"] += len(matched) * self.page_size
+        else:
+            cache = KVCache.create(self.config, 1, bucket + C, self.cache.k.dtype)
         slot = self.slots[slot_id]
         slot.request = req
         slot.prefilling = True
         self._prefill_state = _PrefillState(
-            request=req, slot_id=slot_id, pages=self._alloc_pages(req),
-            toks=toks, cache=cache,
+            request=req, slot_id=slot_id, pages=pages,
+            toks=toks, cache=cache, offset=len(matched) * self.page_size,
+            n_matched=len(matched), reg_keys=reg_keys,
         )
 
     def _advance_prefill(self):
         st = self._prefill_state
         C = self.prefill_chunk
         T = len(st.request.prompt_tokens)
-        chunk = jnp.asarray(st.toks[:, st.offset : st.offset + C])
+        chunk_np = st.toks[:, st.offset : st.offset + C]
+        if chunk_np.shape[1] < C:  # host-side pad keeps the compiled shape
+            chunk_np = np.pad(chunk_np, ((0, 0), (0, C - chunk_np.shape[1])))
+        chunk = jnp.asarray(chunk_np)
         cache = KVCache(st.cache.k, st.cache.v, jnp.asarray(st.offset, jnp.int32))
         # einsum attention for chunks: the flash kernel's causal block clamp
         # is specialized on a static q_offset (compile-count explosion across
@@ -409,7 +509,8 @@ class Engine:
             last_in_chunk = (T - 1) - (st.offset - C)
             st.final_logits = logits[:, last_in_chunk, :]
             self._finish_prefill(
-                st.slot_id, st.request, st.cache, st.final_logits, st.pages
+                st.slot_id, st.request, st.cache, st.final_logits, st.pages,
+                reg_keys=st.reg_keys, n_matched=st.n_matched,
             )
             self.slots[st.slot_id].prefilling = False
             self._prefill_state = None
@@ -420,7 +521,7 @@ class Engine:
             b *= 2
         return min(b, self.max_len)
 
-    def _prefill_into_slot(self, slot_id: int, req: Request):
+    def _prefill_into_slot(self, slot_id: int, req: Request, reg_keys: tuple = ()):
         T = len(req.prompt_tokens)
         bucket = self._bucket(T)
         toks = np.zeros((1, bucket), np.int32)
@@ -441,26 +542,35 @@ class Engine:
                 self.prefill_attn, jnp.asarray(T, jnp.int32),
             )
         self._finish_prefill(
-            slot_id, req, cache, logits[:, T - 1, :], self._alloc_pages(req)
+            slot_id, req, cache, logits[:, T - 1, :], self._alloc_pages(req),
+            reg_keys=reg_keys,
         )
 
-    def _finish_prefill(self, slot_id, req, cache, final_logits, pages):
+    def _finish_prefill(self, slot_id, req, cache, final_logits, pages,
+                        reg_keys: tuple = (), n_matched: int = 0):
         """Scatter the prefilled KV into pages, sample the first token and
         arm the slot. `final_logits` is the [1, V] row of the last prompt
-        token; `pages` were reserved at admission."""
+        token; `pages` were reserved at admission (a cached prefix occupies
+        the first `n_matched` entries — owned by the prefix cache, never
+        rewritten: their scatter writes are redirected to the trash page,
+        which keeps the compiled scatter shape identical)."""
         T = len(req.prompt_tokens)
         # unused table entries point at the trash page, NOT page 0: a burst
         # decode can step a finished slot past its reserved pages, and those
         # overrun writes must never land on another request's page 0
         page_vec = np.full(self.max_pages_per_seq, self.trash_page, np.int32)
         page_vec[: len(pages)] = pages
+        scat_vec = np.full(self.max_pages_per_seq, self.trash_page, np.int32)
+        scat_vec[: len(pages)] = [self.trash_page] * n_matched + pages[n_matched:]
         kv_pages_needed = (T + self.page_size - 1) // self.page_size
         pad_T = kv_pages_needed * self.page_size
         layer_k = cache.k[:, 0, :pad_T]
         layer_v = cache.v[:, 0, :pad_T]
         self.cache = scatter_prefill_kv(
-            self.config, self.cache, layer_k, layer_v, jnp.asarray(page_vec)
+            self.config, self.cache, layer_k, layer_v, jnp.asarray(scat_vec)
         )
+        if self.prefix_caching and req.pixel_values is None:
+            self._register_prefix(pages, reg_keys, n_matched)
         if cache.linear is not None:  # hybrid: install the slot's delta states
             self.cache = _set_linear_slot(
                 self.cache, jnp.asarray(slot_id),
@@ -601,7 +711,13 @@ class Engine:
         if finished:
             req.finish_time = time.perf_counter()
             req.out_queue.put(("done", None))
-            self.free_pages.extend(slot.pages)
+            for pid in slot.pages:
+                if pid in self.page_key:  # shared: idle when last user leaves
+                    self.page_refs[pid] -= 1
+                    if self.page_refs[pid] == 0:
+                        self.cached_idle[pid] = self.page_key[pid]
+                else:
+                    self.free_pages.append(pid)
             slot.request = None
             slot.pages = []
             self.seq_lens[slot_id] = 0

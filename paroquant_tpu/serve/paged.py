@@ -412,3 +412,29 @@ def scatter_prefill_kv(config, cache, layer_k, layer_v, page_ids):
         else _scatter_prefill_nodonate
     )
     return fn(config, cache, layer_k, layer_v, page_ids)
+
+
+@partial(jax.jit, static_argnames=("rows",))
+def gather_prefix_rows(
+    cache: PagedKVCache,
+    page_vec: jax.Array,  # [maxP] int32 (matched pages first, trash after)
+    rows: int,  # static: contiguous rows to materialize (>= the prefix)
+) -> tuple[jax.Array, jax.Array]:
+    """Materialize a request's page-resident KV as contiguous rows [L, 1,
+    rows, Hkv, D] — used by prefix-cache admission to seed the chunked
+    prefill cache with the shared prefix. Rows beyond the true prefix carry
+    trash-page garbage; they are overwritten by the suffix chunks and masked
+    by valid lengths everywhere else. `rows` is static per (engine, bucket),
+    so compile count stays bounded."""
+    L = cache.k.shape[0]
+    ps = cache.page_size
+    maxP = page_vec.shape[0]
+    k = cache.k[:, page_vec].reshape(L, maxP * ps, *cache.k.shape[3:])
+    v = cache.v[:, page_vec].reshape(L, maxP * ps, *cache.v.shape[3:])
+    if rows <= maxP * ps:
+        k, v = k[:, :rows], v[:, :rows]
+    else:
+        pad = rows - maxP * ps
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    return k[:, None], v[:, None]

@@ -38,6 +38,7 @@ def main():
     ap.add_argument("--device", default="auto", choices=["cpu", "tpu", "auto"])
     ap.add_argument("--decode-burst", type=int, default=None,
                     help="decode steps fused per dispatch (default: 8 on TPU)")
+    ap.add_argument("--prefix-caching", action="store_true")
     args = ap.parse_args()
 
     import dataclasses
@@ -72,6 +73,7 @@ def main():
         qparams, config, max_batch=args.max_batch, max_len=args.max_len,
         page_size=64, quant_mode="auto" if on_tpu else "xla",
         prefill_chunk=256, decode_burst=burst,
+        prefix_caching=args.prefix_caching,
     )
     rng = np.random.default_rng(0)
     # mixed lengths: short chat turns + long contexts (north-star config 3)

@@ -201,6 +201,57 @@ def test_engine_matches_generator_greedy(model):
     assert len(eng.free_pages) == eng.cache.num_pages - 1
 
 
+def test_engine_prefix_caching_matches_uncached(model):
+    """Automatic prefix caching (reference counterpart: vLLM APC): requests
+    sharing a prompt prefix reuse the cached pages read-only and prefill only
+    the suffix — emitted tokens must be identical to the uncached engine,
+    and page accounting must balance after all requests finish."""
+    params = model
+    rng = np.random.default_rng(31)
+    base = list(rng.integers(0, CFG.vocab_size, 40))
+    prompts = [
+        base + list(rng.integers(0, CFG.vocab_size, 5)),
+        base + list(rng.integers(0, CFG.vocab_size, 9)),
+        list(base),  # exact prefix as the whole prompt
+        list(rng.integers(0, CFG.vocab_size, 7)),  # unrelated short prompt
+    ]
+    sp = SamplingParams(max_tokens=6, temperature=0.0)
+    eng0 = Engine(params, CFG, max_batch=2, max_len=128, page_size=8,
+                  quant_mode="xla", cache_dtype=jnp.float32)
+    ref = [eng0.generate_sync(p, sp) for p in prompts]
+
+    eng1 = Engine(params, CFG, max_batch=2, max_len=128, page_size=8,
+                  quant_mode="xla", cache_dtype=jnp.float32,
+                  prefix_caching=True)
+    got = [eng1.generate_sync(p, sp) for p in prompts]
+    assert got == ref
+    # the second and third requests hit the first request's prefix pages
+    assert eng1.metrics["prefix_hit_tokens"] >= 2 * (len(base) // 8 - 1) * 8
+    # accounting: every page is either free or idle-cached; no dangling refs
+    assert len(eng1.free_pages) + len(eng1.cached_idle) == eng1.cache.num_pages - 1
+    assert all(r == 0 for r in eng1.page_refs.values())
+
+
+def test_engine_prefix_cache_eviction(model):
+    """Under page pressure the LRU evicts idle cached pages; outputs stay
+    correct and the allocator never double-books a page."""
+    params = model
+    rng = np.random.default_rng(32)
+    prompts = [list(rng.integers(0, CFG.vocab_size, 20)) for _ in range(10)]
+    sp = SamplingParams(max_tokens=4, temperature=0.0)
+    eng0 = Engine(params, CFG, max_batch=1, max_len=64, page_size=8,
+                  quant_mode="xla", cache_dtype=jnp.float32, num_pages=12)
+    ref = [eng0.generate_sync(p, sp) for p in prompts]
+    eng1 = Engine(params, CFG, max_batch=1, max_len=64, page_size=8,
+                  quant_mode="xla", cache_dtype=jnp.float32, num_pages=12,
+                  prefix_caching=True)
+    got = [eng1.generate_sync(p, sp) for p in prompts]
+    assert got == ref
+    assert len(eng1.free_pages) + len(eng1.cached_idle) == 12
+    # rerunning an earlier prompt still works after evictions
+    assert eng1.generate_sync(prompts[0], sp) == ref[0]
+
+
 def test_generator_burst_matches_single_step(model):
     """Generator(decode_burst=N) streams the exact tokens of the per-step
     loop: the scanned burst replicates the same key-split chain and
