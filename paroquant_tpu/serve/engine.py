@@ -173,6 +173,46 @@ _decode_burst_nodonate = _partial(
 )(_decode_burst_impl)
 
 
+def _finish_prefill_impl(
+    config, pool, token_counts, layer_k, layer_v, scat_vec, final_logits,
+    base_key, temp, top_p, top_k, rep_pen, toks_row, T, slot_id,
+    conv=None, rec=None,
+):
+    """Fused prefill finish — ONE dispatch for: scatter the prefilled KV
+    into pages, build the prompt's token-count row on device (no [V]-sized
+    host transfer), sample the first token, install the count row, and (for
+    hybrids) install the slot's delta-net states. Collapses the ~4 dispatch
+    round-trips per admission that dominated serving wall time over the
+    device link (scripts/bench_serving.py)."""
+    from .paged import _scatter_prefill_impl
+
+    pool = _scatter_prefill_impl(config, pool, layer_k, layer_v, scat_vec)
+    if conv is not None:
+        pool = pool._replace(
+            conv=pool.conv.at[:, slot_id].set(conv.astype(pool.conv.dtype)),
+            rec=pool.rec.at[:, slot_id].set(rec),
+        )
+    bucket = toks_row.shape[0]
+    pos_mask = (jnp.arange(bucket, dtype=jnp.int32) < T).astype(jnp.int32)
+    prompt_counts = jnp.zeros((config.vocab_size,), jnp.int32).at[toks_row].add(pos_mask)
+    key0 = jax.random.fold_in(base_key, jnp.uint32(0))
+    tok, row = _sample_batch_impl(
+        final_logits, key0[None], temp[None], top_p[None], top_k[None],
+        rep_pen[None], prompt_counts[None],
+    )
+    token_counts = token_counts.at[slot_id].set(row[0])
+    return tok[0], token_counts, pool
+
+
+_finish_prefill_donate = _partial(
+    jax.jit, static_argnames=("config",),
+    donate_argnames=("pool", "token_counts"),
+)(_finish_prefill_impl)
+_finish_prefill_nodonate = _partial(jax.jit, static_argnames=("config",))(
+    _finish_prefill_impl
+)
+
+
 @jax.jit
 def _set_count_row(counts, slot_id, row):
     return counts.at[slot_id].set(row)
@@ -562,42 +602,41 @@ class Engine:
         page_vec[: len(pages)] = pages
         scat_vec = np.full(self.max_pages_per_seq, self.trash_page, np.int32)
         scat_vec[: len(pages)] = [self.trash_page] * n_matched + pages[n_matched:]
-        kv_pages_needed = (T + self.page_size - 1) // self.page_size
-        pad_T = kv_pages_needed * self.page_size
-        layer_k = cache.k[:, 0, :pad_T]
-        layer_v = cache.v[:, 0, :pad_T]
-        self.cache = scatter_prefill_kv(
-            self.config, self.cache, layer_k, layer_v, jnp.asarray(scat_vec)
-        )
+        # all bucket rows scatter (rows past the prompt land on real-page
+        # padding or the trash page and are masked by seq_lens) — keeps the
+        # fused finish's compiled shape a function of the bucket only.
+        # Trim to the table capacity: the chunked cache carries +chunk slack
+        # rows that must not spill past max_pages_per_seq pages.
+        max_rows = min(cache.k.shape[2], self.max_pages_per_seq * self.page_size)
+        layer_k = cache.k[:, 0, :max_rows]
+        layer_v = cache.v[:, 0, :max_rows]
         if self.prefix_caching and req.pixel_values is None:
             self._register_prefix(pages, reg_keys, n_matched)
-        if cache.linear is not None:  # hybrid: install the slot's delta states
-            self.cache = _set_linear_slot(
-                self.cache, jnp.asarray(slot_id),
-                cache.linear.conv[:, 0], cache.linear.rec[:, 0],
-            )
-        # first sampled token (request-seeded stream)
         sp = req.sampling
         base_key = jax.random.PRNGKey(
             sp.seed if sp.seed is not None else abs(hash(req.request_id)) % (1 << 31)
         )
-        key0 = np.asarray(jax.random.fold_in(base_key, 0), np.uint32)
-        prompt_counts = np.bincount(
-            np.asarray(req.prompt_tokens, np.int64),
-            minlength=self.config.vocab_size,
-        ).astype(np.int32)[None, :]
-        tok_arr, row_counts = _sample_batch(
-            final_logits, jnp.asarray(key0[None, :]),
-            jnp.asarray([sp.temperature], jnp.float32),
-            jnp.asarray([sp.top_p], jnp.float32),
-            jnp.asarray([sp.top_k], jnp.int32),
-            jnp.asarray([sp.repetition_penalty], jnp.float32),
-            jnp.asarray(prompt_counts),
+        toks_row = np.zeros(layer_k.shape[1], np.int32)
+        toks_row[:T] = req.prompt_tokens
+        hybrid = {} if cache.linear is None else dict(
+            conv=cache.linear.conv[:, 0], rec=cache.linear.rec[:, 0]
         )
-        tok = int(tok_arr[0])
-        self.token_counts = _set_count_row(
-            self.token_counts, jnp.asarray(slot_id), row_counts[0]
+        fn = (
+            _finish_prefill_nodonate
+            if jax.devices()[0].platform == "cpu"
+            else _finish_prefill_donate
         )
+        tok_arr, self.token_counts, self.cache = fn(
+            self.config, self.cache, self.token_counts, layer_k, layer_v,
+            jnp.asarray(scat_vec), final_logits, base_key,
+            jnp.asarray(sp.temperature, jnp.float32),
+            jnp.asarray(sp.top_p, jnp.float32),
+            jnp.asarray(sp.top_k, jnp.int32),
+            jnp.asarray(sp.repetition_penalty, jnp.float32),
+            jnp.asarray(toks_row), jnp.asarray(T, jnp.int32),
+            jnp.asarray(slot_id, jnp.int32), **hybrid,
+        )
+        tok = int(tok_arr)
         slot = self.slots[slot_id]
         slot.request = req
         slot.n_generated = 1
