@@ -483,7 +483,11 @@ class Engine:
             # active decodes keep flowing
             if (T > self.prefill_chunk or matched) and req.pixel_values is None:
                 self._start_chunked_prefill(slot_id, req, matched, reg_keys)
-                return  # first chunk next tick; decode keeps running now
+                if matched and T - len(matched) * self.page_size <= self.prefill_chunk:
+                    # prefix hit with a one-chunk suffix: cheaper than a full
+                    # direct prefill, so finish it this tick like one
+                    self._advance_prefill()
+                return  # (otherwise) first chunk next tick; decode keeps flowing
             self._prefill_into_slot(slot_id, req, reg_keys)
 
     def _alloc_pages(self, req: Request, n_matched: int = 0) -> list[int]:
@@ -509,8 +513,14 @@ class Engine:
         if matched:
             from .paged import gather_prefix_rows
 
-            page_vec = np.full(self.max_pages_per_seq, self.trash_page, np.int32)
-            page_vec[: len(pages)] = pages
+            # gather only the pages the prefill cache can hold (static per
+            # bucket): bounds the copy by the bucket, not the engine max_len
+            n_gather = min(
+                self.max_pages_per_seq,
+                (bucket + C + self.page_size - 1) // self.page_size,
+            )
+            page_vec = np.full(n_gather, self.trash_page, np.int32)
+            page_vec[: min(len(pages), n_gather)] = pages[:n_gather]
             k0, v0 = gather_prefix_rows(
                 self.cache, jnp.asarray(page_vec), bucket + C
             )

@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--decode-burst", type=int, default=None,
                     help="decode steps fused per dispatch (default: 8 on TPU)")
     ap.add_argument("--prefix-caching", action="store_true")
+    ap.add_argument("--distinct-prompts", type=int, default=None,
+                    help="draw requests from a pool of N distinct prompts "
+                         "(chat-like reuse; pairs with --prefix-caching)")
     args = ap.parse_args()
 
     import dataclasses
@@ -82,6 +85,18 @@ def main():
              4: [0.4, 0.3, 0.2, 0.1]}[len(pool)]
     lengths = [int(l) for l in rng.choice(pool, args.requests, p=probs)]
     sp = SamplingParams(max_tokens=args.max_tokens, temperature=0.0)
+    prompts: list[list[int]] | None = None
+    if args.distinct_prompts:
+        # long prompts (multiple full pages) so prefix caching has something
+        # to share; short ones have zero full pages at page_size=64
+        base_lens = sorted(pool, reverse=True)
+        base = [
+            list(rng.integers(0, config.vocab_size,
+                              base_lens[i % len(base_lens)]))
+            for i in range(args.distinct_prompts)
+        ]
+        prompts = [base[i % len(base)] for i in range(args.requests)]
+        lengths = [len(p) for p in prompts]
 
     # warmup: compile prefill buckets + BOTH decode variants (full burst and
     # the single-step tail) — burst+1 tokens forces one burst then one single
@@ -89,6 +104,14 @@ def main():
     for L in sorted(set(lengths)):
         eng.generate_sync(list(rng.integers(0, config.vocab_size, L)),
                           SamplingParams(max_tokens=warm_toks, temperature=0.0))
+    if args.prefix_caching:
+        # a repeated prompt compiles the prefix-hit admission path (gather +
+        # offset-started chunks) for each bucket
+        for L in sorted(set(lengths)):
+            w = list(rng.integers(0, config.vocab_size, L))
+            for _ in range(2):
+                eng.generate_sync(
+                    w, SamplingParams(max_tokens=warm_toks, temperature=0.0))
 
     reqs = []
     t_start = time.perf_counter()
@@ -99,9 +122,9 @@ def main():
     ):
         now = time.perf_counter() - t_start
         if i < args.requests and now >= next_submit:
-            reqs.append(eng.submit(
-                list(rng.integers(0, config.vocab_size, lengths[i])), sp
-            ))
+            p = (prompts[i] if prompts is not None
+                 else list(rng.integers(0, config.vocab_size, lengths[i])))
+            reqs.append(eng.submit(p, sp))
             i += 1
             next_submit = now + float(rng.exponential(0.03))
         if not eng.step():
@@ -122,6 +145,7 @@ def main():
         "wall_s": round(wall, 1),
         "decode_steps": eng.metrics["steps"],
         "decode_burst": burst,
+        "prefix_hit_tokens": eng.metrics["prefix_hit_tokens"],
     }
     print(json.dumps(out))
 
