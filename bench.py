@@ -5,6 +5,12 @@ decode, 2 warmup + 5 timed runs. Model: Qwen3-0.6B geometry (random weights),
 RTN-quantized to the PARO runtime format, decoding through the fused Pallas
 rotation+dequant kernel. Baseline: the same model dense BF16 through XLA.
 
+The two arms are measured INTERLEAVED (bf16, w4, bf16, w4, ...) and scored
+best-of-reps: the TPU relay on this box has multi-x wall-clock drift windows
+(see STATUS.md kernel campaign), so sequential mean-of-runs lets a stall
+land on one arm and corrupt the ratio. Best-of-reps with interleaving makes
+both arms see the same drift; the ratio is the stable quantity.
+
 vs_baseline = W4 tokens/s / BF16 tokens/s (north star: >= 0.9).
 """
 
@@ -24,8 +30,9 @@ from paroquant_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 
 
-def bench_decode(params, config, quant_mode, n_tokens=96, batch=1, warmup=2, runs=5):
-    import jax
+def make_decode_runner(params, config, quant_mode, n_tokens=96, batch=1):
+    """Returns run() -> tokens/s for one greedy-decode pass (prefill unsynced
+    out of the timed region, full device->host sync at the end)."""
     import jax.numpy as jnp
 
     from paroquant_tpu.models import KVCache
@@ -47,9 +54,7 @@ def bench_decode(params, config, quant_mode, n_tokens=96, batch=1, warmup=2, run
         np.asarray(toks)  # full sync through host fetch
         return n_tokens * batch / (time.perf_counter() - t0)
 
-    for _ in range(warmup):
-        run()
-    return float(np.mean([run() for _ in range(runs)]))
+    return run
 
 
 def main():
@@ -81,8 +86,17 @@ def main():
         params = jax.device_put(params, dev)
         qparams = jax.device_put(qparams, dev)
     qmode = "fused" if on_tpu else "xla"
-    tok_s_bf16 = bench_decode(params, config, "xla")
-    tok_s_w4 = bench_decode(qparams, config, qmode)
+    run_bf16 = make_decode_runner(params, config, "xla")
+    run_w4 = make_decode_runner(qparams, config, qmode)
+    for _ in range(2):  # warmup: compile + cache-prime both arms
+        run_bf16()
+        run_w4()
+    bf16_samples, w4_samples = [], []
+    for _ in range(5):  # interleaved reps; best-of is the drift-robust score
+        bf16_samples.append(run_bf16())
+        w4_samples.append(run_w4())
+    tok_s_bf16 = float(np.max(bf16_samples))
+    tok_s_w4 = float(np.max(w4_samples))
 
     print(
         json.dumps(
