@@ -53,6 +53,14 @@ def main(argv=None):
                     help="module names left dense (reference --skipped-modules; "
                     "default skips the delta-net decay/gate projection)")
     ap.add_argument("--loss", default="mse", choices=["mse", "smooth_l1"])
+    ap.add_argument("--resident-act-gb", type=float, default=4.0,
+                    help="device budget for a layer's staged activations; "
+                         "past it, batches stream host->device per step "
+                         "(the reference's CachedTensorShards paging)")
+    ap.add_argument("--act-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="host staging dtype for activations (bfloat16 "
+                         "halves RAM + transfer bytes at 8B+ scale)")
     ap.add_argument("--grad-accum", type=int, default=1)
     ap.add_argument("--early-stop", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
@@ -110,6 +118,8 @@ def main(argv=None):
         seed=args.seed, stages=stages, loss=args.loss,
         grad_accum=args.grad_accum, early_stop=args.early_stop,
         skip=tuple(args.skip),
+        resident_act_bytes=int(args.resident_act_gb * (1 << 30)),
+        act_dtype=jnp.bfloat16 if args.act_dtype == "bfloat16" else np.float32,
     )
     run = None
     if args.wandb:

@@ -75,6 +75,17 @@ class CalibConfig:
     early_stop: int | None = None
     val_fraction: float = 0.1
     rot_dtype: Any = jnp.float32
+    # device-residency budget for the per-layer activation set (inputs +
+    # teacher targets). Under budget, all batches live on device for the
+    # whole stage (fast path); over it, batches stay host-side and stream
+    # to device per optimizer step — the CachedTensorShards analogue
+    # (util.py:292-361) that lets 8B-scale 4M-token calibration run in a
+    # 16GB-HBM chip.
+    resident_act_bytes: int = 4 << 30
+    # storage dtype for host-staged activations. float32 preserves the f32
+    # teacher outputs exactly; bfloat16 halves host RAM + transfer bytes
+    # (protocol-equivalent: the reference stages fp16 model activations)
+    act_dtype: Any = np.float32
     # module names (as emitted by _layer_linear_names) left dense, mirroring
     # the reference --skipped-modules default for hybrids
     skip: tuple = ("linear_attn.in_proj_ba",)
@@ -98,6 +109,12 @@ def _layer_linear_names(
     names += [f"mlp.{n}" for n in MLP_NAMES if n in mlp]
     if "experts" in mlp:
         names.append("mlp.experts")
+    # shared expert: quantized like any GLU — the reference skips only its
+    # sigmoid gate (4bit_moe.sh --skipped-modules mlp.shared_expert_gate)
+    names += [
+        f"mlp.shared_expert.{n}" for n in MLP_NAMES
+        if n in mlp.get("shared_expert", {})
+    ]
     return [n for n in names if n not in skip]
 
 
@@ -128,21 +145,41 @@ def unflatten_export(flat: dict[str, Any]) -> dict[str, Any]:
     return out
 
 
+class _HostPagedBatches:
+    """Lazy (input, target) batch sequence: activations stay host-resident
+    and each iteration transfers one batch to device (fresh transfer per
+    epoch). Engaged when a layer's activation set exceeds
+    CalibConfig.resident_act_bytes — the CachedTensorShards path
+    (util.py:292-361) for calibration sets bigger than device memory."""
+
+    def __init__(self, make_batch, indices):
+        self._make = make_batch
+        self._idx = indices
+
+    def __len__(self):
+        return len(self._idx)
+
+    def __iter__(self):
+        for i in self._idx:
+            yield self._make(i)
+
+
 def _get_linear(layer_params, name):
-    if "." in name:
-        sub, leaf = name.split(".", 1)
-        return layer_params[sub][leaf]
-    return layer_params[name]
+    node = layer_params
+    for part in name.split("."):
+        node = node[part]
+    return node
 
 
 def _set_linear(layer_params, name, value):
+    """Functional set along a dotted path (copies every dict on the way)."""
+    parts = name.split(".")
     lp = dict(layer_params)
-    if "." in name:
-        sub, leaf = name.split(".", 1)
-        lp[sub] = dict(lp[sub])
-        lp[sub][leaf] = value
-    else:
-        lp[name] = value
+    node = lp
+    for part in parts[:-1]:
+        node[part] = dict(node[part])
+        node = node[part]
+    node[parts[-1]] = value
     return lp
 
 
@@ -184,6 +221,11 @@ def calibrate_model(
     out = dict(params)
     layers = list(params["layers"])
     N, B, T = token_batches.shape
+    _adt = np.dtype(cfg.act_dtype)
+
+    def _host(a) -> np.ndarray:
+        """Device activation -> host staging array (CalibConfig.act_dtype)."""
+        return np.asarray(a).astype(_adt, copy=False)
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
@@ -238,8 +280,8 @@ def calibrate_model(
         hs, plis = [], []
         for tb in token_batches:
             h_i, p_i = embed_expand(_dev_batch(np.asarray(tb, np.int32)))
-            hs.append(np.asarray(h_i))
-            plis.append(np.asarray(p_i))
+            hs.append(_host(h_i))
+            plis.append(_host(p_i))
         xs = np.stack(hs)  # [N, A, B, T, H]
         pli_all = np.stack(plis)  # [N, B, T, L, P]
         shared_store: dict[int, list] = {}
@@ -253,7 +295,7 @@ def calibrate_model(
             return jnp.take(embed, toks, axis=0).astype(jnp.float32) * scale
 
         xs = np.stack([
-            np.asarray(embed_fn(_dev_batch(np.asarray(tb, np.int32))))
+            _host(embed_fn(_dev_batch(np.asarray(tb, np.int32))))
             for tb in token_batches
         ])
 
@@ -327,7 +369,7 @@ def calibrate_model(
             return y
 
         dense_apply_j = jax.jit(lambda x: apply_with(lp, x))
-        teacher = np.stack([np.asarray(dense_apply_j(_batch_in(i))) for i in range(N)])
+        teacher = np.stack([_host(dense_apply_j(_batch_in(i))) for i in range(N)])
 
         layer_result: dict[str, Any] = {}
         saved = {}
@@ -378,12 +420,25 @@ def calibrate_model(
                     new_lp = _set_linear(new_lp, name, lin)
                 return apply_with(new_lp, x)
 
-            batches = [
-                (_batch_in(i), _dev_batch(teacher[i], axis=1 if _is_g3n else 0))
-                for i in range(N)
-            ]
-            train_b = batches[: N - n_val] if n_val else batches
-            val_b = batches[N - n_val :] if n_val else batches[:1]
+            def _make_batch(i):
+                return (_batch_in(i), _dev_batch(teacher[i], axis=1 if _is_g3n else 0))
+
+            train_idx = list(range(N - n_val)) if n_val else list(range(N))
+            val_idx = list(range(N - n_val, N)) if n_val else [0]
+            per_bytes = teacher[0].nbytes + xs[0].nbytes
+            if _is_g3n:
+                per_bytes += pli_all[0, :, :, li].nbytes
+                if _src is not None:
+                    per_bytes += sum(a.nbytes for a in shared_store[_src][0])
+            if N * per_bytes <= cfg.resident_act_bytes:
+                cached = [_make_batch(i) for i in range(N)]
+                train_b = [cached[i] for i in train_idx]
+                val_b = [cached[i] for i in val_idx]
+            else:
+                # activation set exceeds the device budget: stream host->device
+                # one batch per optimizer step (fresh transfer each epoch)
+                train_b = _HostPagedBatches(_make_batch, train_idx)
+                val_b = _HostPagedBatches(_make_batch, val_idx)
 
             linears = _dev_rep(linears)
             step = 0
@@ -432,13 +487,13 @@ def calibrate_model(
             outs, kvs = [], []
             for i in range(N):
                 o, kv = student_kv_j(_batch_in(i))
-                outs.append(np.asarray(o))
-                kvs.append(tuple(np.asarray(a) for a in kv))
+                outs.append(_host(o))
+                kvs.append(tuple(_host(a) for a in kv))
             xs = np.stack(outs)
             shared_store[li] = kvs
         else:
             student_j = jax.jit(lambda x: apply_with(qlp, x))
-            xs = np.stack([np.asarray(student_j(_batch_in(i))) for i in range(N)])
+            xs = np.stack([_host(student_j(_batch_in(i))) for i in range(N)])
         results.append(layer_result)
         if progress_fn:
             progress_fn(li, len(layers), {"seconds": time.time() - t_start})

@@ -133,6 +133,32 @@ def test_calibrate_model_end_to_end(tmp_path):
     np.testing.assert_allclose(np.asarray(l_cal2), np.asarray(l_cal), atol=1e-4)
 
 
+def test_calibrate_host_paged_matches_resident():
+    """Streaming batches host->device per step (the over-budget
+    CachedTensorShards path, resident_act_bytes=0) must produce the exact
+    same quantized params as the all-resident fast path: the math and batch
+    order are identical, only residency changes."""
+    import dataclasses
+
+    config = dataclasses.replace(
+        PRESETS["tiny"], num_hidden_layers=1, hidden_size=128, intermediate_size=256
+    )
+    params = init_params(config, jax.random.PRNGKey(1), dtype=jnp.float32)
+    rng = np.random.default_rng(7)
+    tokens = rng.integers(0, config.vocab_size, (3, 2, 16)).astype(np.int32)
+    stages = (({"channel_scales": 5e-2, "angles": 5e-2}, 2),)
+    base = CalibConfig(n_bits=4, group_size=64, num_rotations=4, stages=stages)
+    paged = dataclasses.replace(base, resident_act_bytes=0)
+
+    q_resident, _ = calibrate_model(params, config, tokens, base)
+    q_paged, _ = calibrate_model(params, config, tokens, paged)
+
+    test_tokens = jnp.asarray(rng.integers(0, config.vocab_size, (1, 16)), jnp.int32)
+    l_a, _ = model_forward(q_resident, config, test_tokens)
+    l_b, _ = model_forward(q_paged, config, test_tokens)
+    np.testing.assert_array_equal(np.asarray(l_a), np.asarray(l_b))
+
+
 def test_calibrate_hybrid_delta_net_layers():
     """qwen3_next hybrid calibration: delta-net layers' in_proj_qkvz/out_proj
     are quantized through the layer's own forward (the reference routes these
@@ -179,11 +205,14 @@ def test_calibrate_hybrid_delta_net_layers():
 
 
 def test_hybrid_checkpoint_round_trip(tmp_path):
-    """Calibrated qwen3_next hybrid survives PARO-TPU save -> load: the
-    delta-net extras (conv/dt_bias/A_log/norm) and quantized in_proj/out_proj
-    reproduce identical logits."""
+    """Calibrated qwen3_next MoE hybrid survives PARO-TPU save -> load: the
+    delta-net extras (conv/dt_bias/A_log/norm), quantized in_proj/out_proj,
+    routed experts, AND the shared expert (+ its dense sigmoid gate)
+    reproduce the same logits."""
     from paroquant_tpu.convert import load_checkpoint, save_paro_checkpoint
     from paroquant_tpu.models import from_hf_dict
+    from paroquant_tpu.models.decoder import DenseLinear
+    from paroquant_tpu.ops.qlinear import QuantizedLinear
 
     config = from_hf_dict(dict(
         model_type="qwen3_next", vocab_size=64, hidden_size=64,
@@ -192,9 +221,12 @@ def test_hybrid_checkpoint_round_trip(tmp_path):
         partial_rotary_factor=0.25, rope_theta=10000.0,
         linear_num_value_heads=4, linear_num_key_heads=2,
         linear_key_head_dim=16, linear_value_head_dim=16,
-        linear_conv_kernel_dim=4, tie_word_embeddings=True,
+        linear_conv_kernel_dim=4, num_experts=4, num_experts_per_tok=2,
+        moe_intermediate_size=32, shared_expert_intermediate_size=32,
+        tie_word_embeddings=True,
     ))
     params = init_params(config, jax.random.PRNGKey(2), dtype=jnp.float32)
+    assert "shared_expert" in params["layers"][0]["mlp"]
     rng = np.random.default_rng(7)
     tokens = rng.integers(0, config.vocab_size, (2, 1, 16)).astype(np.int32)
     cfg = CalibConfig(
@@ -202,9 +234,16 @@ def test_hybrid_checkpoint_round_trip(tmp_path):
         stages=(({"channel_scales": 5e-2}, 1),),
     )
     qparams, exports = calibrate_model(params, config, tokens, cfg)
+    mlp_q = qparams["layers"][0]["mlp"]
+    assert isinstance(mlp_q["shared_expert"]["gate_proj"], QuantizedLinear)
+    assert isinstance(mlp_q["shared_expert_gate"], DenseLinear)
+    assert "mlp.shared_expert.gate_proj" in exports[0]
     save_paro_checkpoint(tmp_path, params, config, exports)
     params2, config2 = load_checkpoint(tmp_path, dtype=jnp.float32)
     assert config2.layer_is_linear(0) and not config2.layer_is_linear(1)
+    mlp_l = params2["layers"][0]["mlp"]
+    assert isinstance(mlp_l["shared_expert"]["gate_proj"], QuantizedLinear)
+    assert isinstance(mlp_l["shared_expert_gate"], DenseLinear)
 
     test_tokens = jnp.asarray(rng.integers(0, config.vocab_size, (1, 12)), jnp.int32)
     l_a, _ = model_forward(qparams, config, test_tokens)
