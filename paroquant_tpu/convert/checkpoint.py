@@ -47,6 +47,9 @@ _MLP = {"gate_proj", "up_proj", "down_proj"}
 
 
 _LINEAR_ATTN = {"in_proj_qkvz", "in_proj_ba", "out_proj"}
+# shared expert (Qwen3-Next/Qwen2-MoE): quantized like any GLU; only its
+# sigmoid gate stays dense (4bit_moe.sh --skipped-modules shared_expert_gate)
+_SHARED_EXPERT = tuple(sorted(f"mlp.shared_expert.{m}" for m in _MLP))
 
 
 def hf_prefix(layer_idx: int, name: str) -> str:
@@ -56,6 +59,20 @@ def hf_prefix(layer_idx: int, name: str) -> str:
     if name in _ATTN:
         return f"model.layers.{layer_idx}.self_attn.{name}"
     raise ValueError(name)
+
+
+def _holder_for(lp: dict, name: str):
+    """Walk a dotted module path inside a layer dict -> (container, leaf),
+    or (None, None) when any segment is absent."""
+    parts = name.split(".")
+    holder = lp
+    for p in parts[:-1]:
+        if not isinstance(holder, dict) or p not in holder:
+            return None, None
+        holder = holder[p]
+    if not isinstance(holder, dict) or parts[-1] not in holder:
+        return None, None
+    return holder, parts[-1]
 
 
 # ---------------------------------------------------------------------------
@@ -181,16 +198,18 @@ def save_paro_checkpoint(
             tensors[f"{lab}.dt_bias"] = np.asarray(la["dt_bias"], np.float32)
             tensors[f"{lab}.A_log"] = np.asarray(la["A_log"], np.float32)
             tensors[f"{lab}.norm.weight"] = _to_f16(la["norm"])
+        if "shared_expert_gate" in mlp:
+            tensors[f"model.layers.{li}.mlp.shared_expert_gate.weight"] = _to_f16(
+                np.asarray(mlp["shared_expert_gate"].w).T
+            )
         for name in (
             list(_ATTN)
             + [f"linear_attn.{n}" for n in _LINEAR_ATTN]
             + [f"mlp.{m}" for m in _MLP]
+            + list(_SHARED_EXPERT)
         ):
-            sub, _, base = name.rpartition(".")
-            if sub and sub not in lp:
-                continue
-            holder = lp[sub] if sub else lp
-            if base not in holder:
+            holder, base = _holder_for(lp, name)
+            if holder is None:
                 continue
             prefix = hf_prefix(li, name)
             if name in exp_layer:
@@ -318,10 +337,15 @@ def save_awq_checkpoint(
                     tensors[
                         f"model.layers.{li}.mlp.experts.{e}.{pn}.weight"
                     ] = _to_f16(np.asarray(ex[pn][e]).T)
-        for name in list(_ATTN) + [f"mlp.{m}" for m in _MLP]:
-            base = name[4:] if name.startswith("mlp.") else name
-            holder = lp["mlp"] if name.startswith("mlp.") else lp
-            if base not in holder:
+        if "shared_expert_gate" in mlp:
+            tensors[f"model.layers.{li}.mlp.shared_expert_gate.weight"] = _to_f16(
+                np.asarray(mlp["shared_expert_gate"].w).T
+            )
+        for name in (
+            list(_ATTN) + [f"mlp.{m}" for m in _MLP] + list(_SHARED_EXPERT)
+        ):
+            holder, base = _holder_for(lp, name)
+            if holder is None:
                 continue
             prefix = hf_prefix(li, name)
             if name in exp_layer:
@@ -721,6 +745,22 @@ def load_checkpoint(
                 mlp["experts"] = {
                     pn: jnp.asarray(np.stack(ws), dtype) for pn, ws in experts.items()
                 }
+            # Qwen3-Next/Qwen2-MoE-style shared expert: always-on GLU beside
+            # the routed experts, sigmoid-gated (decoder.moe_forward); the
+            # reference quantizes it and skips only the gate
+            # (experiments/optimize/4bit_moe.sh --skipped-modules)
+            sb = f"{lbase}.mlp.shared_expert"
+            if f"{sb}.gate_proj.weight" in tensors or f"{sb}.gate_proj.qweight" in tensors:
+                mlp["shared_expert"] = {
+                    name: pick_linear(f"{sb}.{name}") for name in _MLP
+                }
+                mlp["shared_expert_gate"] = DenseLinear(
+                    jnp.asarray(
+                        tensors[f"{lbase}.mlp.shared_expert_gate.weight"].T.copy(),
+                        dtype,
+                    ),
+                    None,
+                )
         else:
             for name in _MLP:
                 mlp[name] = pick_linear(f"{lbase}.mlp.{name}")

@@ -164,11 +164,27 @@ def quantize_model_rtn(
     layers = []
     for i, lp in enumerate(params["layers"]):
         nlp = dict(lp)
-        for name in ("q_proj", "k_proj", "v_proj", "o_proj"):
-            nlp[name] = quantize_linear_rtn(
-                lp[name], n_bits=n_bits, group_size=group_size,
+
+        def _q(lin):
+            if lin.w.shape[0] % group_size:  # input dim not group-aligned
+                return lin
+            return quantize_linear_rtn(
+                lin, n_bits=n_bits, group_size=group_size,
                 num_rotations=num_rotations, seed=seed + i, rot_dtype=rot_dtype,
             )
+
+        for name in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            if name in lp:
+                nlp[name] = _q(lp[name])
+        if "linear_attn" in lp:
+            # gated delta-net (hybrid) layer: quantize the big projections,
+            # keep the decay/gate projection dense — the reference skips it
+            # (4bit_moe.sh --skipped-modules linear_attn.in_proj_a/b; our
+            # fused in_proj_ba is that projection)
+            la = dict(lp["linear_attn"])
+            for name in ("in_proj_qkvz", "out_proj"):
+                la[name] = _q(la[name])
+            nlp["linear_attn"] = la
         mlp = dict(lp["mlp"])
         if "experts" in mlp and not isinstance(mlp["experts"], QuantizedMoEExperts):
             if config.moe_intermediate_size % group_size == 0:
@@ -183,6 +199,12 @@ def quantize_model_rtn(
                         mlp[name], n_bits=n_bits, group_size=group_size,
                         num_rotations=num_rotations, seed=seed + i, rot_dtype=rot_dtype,
                     )
+        if "shared_expert" in mlp:
+            # quantized like any GLU; its sigmoid gate stays dense (the
+            # reference skips only mlp.shared_expert_gate, 4bit_moe.sh)
+            mlp["shared_expert"] = {
+                name: _q(lin) for name, lin in mlp["shared_expert"].items()
+            }
         nlp["mlp"] = mlp
         layers.append(nlp)
     out["layers"] = layers

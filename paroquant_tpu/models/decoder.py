@@ -608,7 +608,7 @@ def _init_mlp(config: ModelConfig, keys, i: int, dtype) -> dict[str, Any]:
     if config.layer_is_sparse(i):
         E, I_moe = config.num_experts, config.moe_intermediate_size
         k1, k2, k3, k4 = jax.random.split(next(keys), 4)
-        return {
+        mlp: dict[str, Any] = {
             "router": DenseLinear(
                 (jax.random.normal(k1, (H, E), jnp.float32) * 0.02).astype(dtype), None
             ),
@@ -624,6 +624,18 @@ def _init_mlp(config: ModelConfig, keys, i: int, dtype) -> dict[str, Any]:
                 ).astype(dtype),
             },
         }
+        if config.shared_expert_intermediate_size:
+            I_sh = config.shared_expert_intermediate_size
+            mlp["shared_expert"] = {
+                "gate_proj": _dense(next(keys), H, I_sh, dtype),
+                "up_proj": _dense(next(keys), H, I_sh, dtype),
+                "down_proj": _dense(next(keys), I_sh, H, dtype),
+            }
+            mlp["shared_expert_gate"] = DenseLinear(
+                (jax.random.normal(next(keys), (H, 1), jnp.float32) * 0.02
+                 ).astype(dtype), None,
+            )
+        return mlp
     return {
         "gate_proj": _dense(next(keys), H, config.intermediate_size, dtype, config.mlp_bias),
         "up_proj": _dense(next(keys), H, config.intermediate_size, dtype, config.mlp_bias),

@@ -127,6 +127,15 @@ def param_specs(params: dict[str, Any], config: ModelConfig) -> dict[str, Any]:
                         ms[mn] = _linear_spec(mv, "row")
                     elif mn == "experts":
                         ms[mn] = _experts_spec(mv)
+                    elif mn == "shared_expert":
+                        # always-on GLU beside the routed experts: shard like
+                        # the dense MLP (col/col/row); its sigmoid gate (a
+                        # [H,1] DenseLinear) falls to the replicate default
+                        ms[mn] = {
+                            "gate_proj": _linear_spec(mv["gate_proj"], "col"),
+                            "up_proj": _linear_spec(mv["up_proj"], "col"),
+                            "down_proj": _linear_spec(mv["down_proj"], "row"),
+                        }
                     elif mn == "router":
                         ms[mn] = _linear_spec(mv, "rep")
                     else:
