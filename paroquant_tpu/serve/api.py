@@ -27,6 +27,9 @@ def _sampling_from_body(
     body: dict[str, Any], engine: Engine, prompt_len: int = 0
 ) -> SamplingParams:
     room = max(engine.max_len - prompt_len, 1)
+    stop = body.get("stop") or ()
+    if isinstance(stop, str):
+        stop = (stop,)
     return SamplingParams(
         max_tokens=min(int(body.get("max_tokens") or 512), room),
         temperature=float(body.get("temperature", 1.0)),
@@ -34,7 +37,18 @@ def _sampling_from_body(
         top_k=int(body.get("top_k", 0)),
         repetition_penalty=float(body.get("repetition_penalty", 1.0)),
         seed=body.get("seed"),
+        stop=tuple(stop),
     )
+
+
+def _find_stop(text: str, stops: tuple[str, ...]) -> int:
+    """Earliest index of any stop sequence in text, or -1."""
+    hit = -1
+    for s in stops:
+        i = text.find(s)
+        if i >= 0 and (hit < 0 or i < hit):
+            hit = i
+    return hit
 
 
 class Server:
@@ -147,6 +161,9 @@ class Server:
         rid = f"chatcmpl-{uuid.uuid4().hex[:12]}" if chat else f"cmpl-{uuid.uuid4().hex[:12]}"
         tok = self.engine.tokenizer
 
+        stops = sp.stop if tok else ()
+        holdback = max((len(s) for s in stops), default=1) - 1
+
         if body.get("stream"):
             resp = web.StreamResponse(
                 headers={
@@ -155,19 +172,8 @@ class Server:
                 }
             )
             await resp.prepare(request)
-            pending: list[int] = []
-            while True:
-                kind, t = await asyncio.get_event_loop().run_in_executor(
-                    None, req.out_queue.get
-                )
-                if kind == "done":
-                    break
-                pending.append(t)
-                text = tok.decode(pending, skip_special_tokens=True) if tok else ""
-                if tok and text and not text.endswith("�"):
-                    pending.clear()
-                elif tok:
-                    continue
+
+            async def send_chunk(text: str, t: int | None, reason: str | None):
                 delta = {"content": text} if chat else None
                 chunk = {
                     "id": rid,
@@ -178,18 +184,56 @@ class Server:
                         {
                             "index": 0,
                             **({"delta": delta} if chat else {"text": text}),
-                            "finish_reason": None,
+                            "finish_reason": reason,
                         }
                     ],
                 }
-                if not tok:
+                if not tok and t is not None:
                     chunk["choices"][0]["token_ids"] = [t]
                 await resp.write(f"data: {json.dumps(chunk)}\n\n".encode())
+
+            pending: list[int] = []  # token-buffered path (no stop strings)
+            all_toks: list[int] = []  # full re-decode path (stop strings)
+            emitted = 0  # chars already streamed (stop-string path)
+            finish_reason = "stop"
+            while True:
+                kind, t = await asyncio.get_event_loop().run_in_executor(
+                    None, req.out_queue.get
+                )
+                if kind == "done":
+                    if len(all_toks) + len(pending) >= sp.max_tokens:
+                        finish_reason = "length"
+                    break
+                if stops:
+                    # stop sequences can straddle token boundaries: re-decode
+                    # the full text, stream only past the longest-stop window
+                    all_toks.append(t)
+                    full = tok.decode(all_toks, skip_special_tokens=True)
+                    hit = _find_stop(full, stops)
+                    if hit >= 0:
+                        if hit > emitted:
+                            await send_chunk(full[emitted:hit], t, None)
+                        self.engine.cancel(req)
+                        break
+                    safe = len(full) - holdback
+                    if safe > emitted and not full.endswith("�"):
+                        await send_chunk(full[emitted:safe], t, None)
+                        emitted = safe
+                    continue
+                pending.append(t)
+                text = tok.decode(pending, skip_special_tokens=True) if tok else ""
+                if tok and text and not text.endswith("�"):
+                    pending.clear()
+                elif tok:
+                    continue
+                await send_chunk(text, t, None)
+            await send_chunk("", None, finish_reason)
             await resp.write(b"data: [DONE]\n\n")
             await resp.write_eof()
             return resp
 
         out: list[int] = []
+        finish_reason = None
         while True:
             kind, t = await asyncio.get_event_loop().run_in_executor(
                 None, req.out_queue.get
@@ -197,7 +241,20 @@ class Server:
             if kind == "done":
                 break
             out.append(t)
+            if stops:
+                hit = _find_stop(tok.decode(out, skip_special_tokens=True), stops)
+                if hit >= 0:
+                    finish_reason = "stop"
+                    self.engine.cancel(req)
+                    break
         text = tok.decode(out, skip_special_tokens=True) if tok else ""
+        if stops:
+            hit = _find_stop(text, stops)
+            if hit >= 0:
+                text = text[:hit]
+                finish_reason = "stop"
+        if finish_reason is None:
+            finish_reason = "length" if len(out) >= sp.max_tokens else "stop"
         payload = {
             "id": rid,
             "object": "chat.completion" if chat else "text_completion",
@@ -217,7 +274,7 @@ class Server:
                         else {"text": text}
                     ),
                     "token_ids": out,
-                    "finish_reason": "stop",
+                    "finish_reason": finish_reason,
                 }
             ],
         }

@@ -323,6 +323,7 @@ class Engine:
         self.slot_steps = np.zeros(max_batch, np.int64)
         self._id_counter = itertools.count()
         self._lock = threading.Lock()
+        self._cancelled: set[str] = set()
         self._stop_flag = False
         self._thread: threading.Thread | None = None
         self.eos_ids: set[int] = set()
@@ -376,6 +377,13 @@ class Engine:
         if self._thread is not None:
             self._thread.join(timeout=5)
 
+    def cancel(self, req: Request) -> None:
+        """Request-level abort: the scheduler finishes the request on its
+        next tick ('done' emitted, slot + pages reclaimed). Safe from any
+        thread. Used by the HTTP layer for stop-sequence matches and client
+        disconnects (vLLM AsyncLLMEngine.abort counterpart)."""
+        self._cancelled.add(req.request_id)
+
     # ------------------------------------------------------------------
     # scheduler tick
     # ------------------------------------------------------------------
@@ -383,6 +391,7 @@ class Engine:
     def step(self) -> bool:
         """One tick: advance prefill by at most one chunk, admit small
         requests, run one decode step. Returns False when fully idle."""
+        self._reap_cancelled()
         self._admit()
         active = [
             i for i, s in enumerate(self.slots)
@@ -460,6 +469,11 @@ class Engine:
                 except queue.Empty:
                     return
             req = self._pending[0]
+            if req.request_id in self._cancelled:  # cancelled while queued
+                self._pending.pop(0)
+                self._cancelled.discard(req.request_id)
+                req.out_queue.put(("done", None))
+                continue
             T = len(req.prompt_tokens)
             total = T + req.sampling.max_tokens
             need_pages = (total + self.page_size - 1) // self.page_size
@@ -758,24 +772,61 @@ class Engine:
         )
         req.out_queue.put(("token", tok))
         if finished:
-            req.finish_time = time.perf_counter()
-            req.out_queue.put(("done", None))
-            for pid in slot.pages:
-                if pid in self.page_key:  # shared: idle when last user leaves
-                    self.page_refs[pid] -= 1
-                    if self.page_refs[pid] == 0:
-                        self.cached_idle[pid] = self.page_key[pid]
+            self._finish_slot(slot_id, req)
+
+    def _finish_slot(self, slot_id: int, req: Request):
+        """Emit 'done', release the slot's pages (shared prefix pages go
+        idle when their last user leaves), and zero the slot state."""
+        slot = self.slots[slot_id]
+        req.finish_time = time.perf_counter()
+        req.out_queue.put(("done", None))
+        for pid in slot.pages:
+            if pid in self.page_key:  # shared: idle when last user leaves
+                self.page_refs[pid] -= 1
+                if self.page_refs[pid] == 0:
+                    self.cached_idle[pid] = self.page_key[pid]
+            else:
+                self.free_pages.append(pid)
+        slot.request = None
+        slot.pages = []
+        self.seq_lens[slot_id] = 0
+        self.tokens[slot_id] = 0
+        self.temps[slot_id] = 0.0
+        self.top_ps[slot_id] = 1.0
+        self.top_ks[slot_id] = 0
+        self.rep_pens[slot_id] = 1.0
+        self.page_table[slot_id] = self.trash_page
+
+    def _reap_cancelled(self):
+        """Finish any slot / queued request whose id was cancel()ed. Slots
+        mid-prefill finish on a later tick (the chunked prefill must land
+        its KV before the pages can be reclaimed safely)."""
+        if not self._cancelled:
+            return
+        for i, slot in enumerate(self.slots):
+            r = slot.request
+            if r is not None and not slot.prefilling and r.request_id in self._cancelled:
+                self._cancelled.discard(r.request_id)
+                self._finish_slot(i, r)
+        for r in list(self._pending):
+            if r.request_id in self._cancelled:
+                self._pending.remove(r)
+                self._cancelled.discard(r.request_id)
+                r.out_queue.put(("done", None))
+        if self._cancelled and not self.waiting.empty():
+            kept = []
+            while True:
+                try:
+                    r = self.waiting.get_nowait()
+                except queue.Empty:
+                    break
+                if r.request_id in self._cancelled:
+                    self._cancelled.discard(r.request_id)
+                    r.out_queue.put(("done", None))
                 else:
-                    self.free_pages.append(pid)
-            slot.request = None
-            slot.pages = []
-            self.seq_lens[slot_id] = 0
-            self.tokens[slot_id] = 0
-            self.temps[slot_id] = 0.0
-            self.top_ps[slot_id] = 1.0
-            self.top_ks[slot_id] = 0
-            self.rep_pens[slot_id] = 1.0
-            self.page_table[slot_id] = self.trash_page
+                    kept.append(r)
+            for r in kept:
+                self.waiting.put(r)
 
     # convenience: synchronous generation through the engine
     def generate_sync(

@@ -25,6 +25,10 @@ class SamplingParams:
     repetition_penalty: float = 1.0
     seed: int | None = None
     stop_token_ids: tuple[int, ...] = ()
+    # string stop sequences (OpenAI `stop`): matched against decoded text by
+    # the HTTP layer (serve/api.py), which truncates at the match and
+    # cancel()s the engine request — the engine itself stays token-level
+    stop: tuple[str, ...] = ()
 
     @property
     def greedy(self) -> bool:

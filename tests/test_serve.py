@@ -521,3 +521,49 @@ def test_chunked_prefill_matches_oneshot(model):
     short_toks = drain(req_s)
     assert long_toks == ref_long
     assert short_toks == ref_short
+
+
+def test_engine_cancel_releases_slot(model):
+    """cancel() finishes the request on the next tick, frees its pages, and
+    the slot serves a subsequent request normally (the HTTP layer uses this
+    for string stop-sequence matches and client disconnects)."""
+    eng = Engine(model, CFG, max_batch=1, max_len=64, page_size=8,
+                 quant_mode="xla", cache_dtype=jnp.float32)
+    free_before = len(eng.free_pages)
+    sp = SamplingParams(max_tokens=40, temperature=0.0)
+    req = eng.submit([3, 1, 4, 1, 5], sp)
+    for _ in range(3):
+        eng.step()
+    assert eng.slots[0].request is req
+    eng.cancel(req)
+    eng.step()
+    kinds = []
+    while not req.out_queue.empty():
+        kinds.append(req.out_queue.get_nowait()[0])
+    assert kinds and kinds[-1] == "done"
+    assert len(kinds) - 1 < sp.max_tokens  # finished early
+    assert eng.slots[0].request is None
+    assert len(eng.free_pages) == free_before  # pages reclaimed
+    # the engine still serves new work after the cancel
+    toks = eng.generate_sync([2, 7, 1], SamplingParams(max_tokens=4, temperature=0.0))
+    assert len(toks) == 4
+
+    # cancelling while still queued (no free slot) emits done without decode
+    blocker = eng.submit([5, 5, 5], SamplingParams(max_tokens=30, temperature=0.0))
+    eng.step()
+    queued = eng.submit([1, 2, 3], SamplingParams(max_tokens=5, temperature=0.0))
+    eng.cancel(queued)
+    for _ in range(4):
+        eng.step()
+    kind, _ = queued.out_queue.get_nowait()
+    assert kind == "done"
+    eng.cancel(blocker)
+    eng.step()
+
+
+def test_find_stop_earliest_match():
+    from paroquant_tpu.serve.api import _find_stop
+
+    assert _find_stop("hello world", ("world", "lo")) == 3
+    assert _find_stop("hello", ("xyz",)) == -1
+    assert _find_stop("abc", ()) == -1
