@@ -3,8 +3,10 @@
 Token-block packing: tokenize documents, concatenate, cut into fixed
 [batch, seqlen] blocks. Multi-dataset even mixing + seeded shuffle
 (util.py:111-139). Dataset names match the reference recipes: pileval,
-wikitext2, c4, redpajama — plus `synthetic` (random tokens) for offline
-development; this box has zero egress so HF datasets must already be cached.
+wikitext2, c4, redpajama — plus `synthetic` (random tokens) and
+`file:<path>` (local .txt / .jsonl corpora, shuffled at document
+granularity) so calibration runs on air-gapped machines where the HF hub
+datasets aren't cached.
 """
 
 from __future__ import annotations
@@ -41,6 +43,8 @@ def get_calib_dataset(
         return rng.integers(0, vocab_size, (n_samples, seqlen)).astype(np.int32)
     if tokenizer is None:
         raise ValueError(f"dataset {name} needs a tokenizer")
+    if name.startswith("file:"):
+        return _file_calib_dataset(name[5:], tokenizer, n_samples, seqlen, seed)
     from datasets import load_dataset
 
     repo, subset, split, field = DATASET_SPECS[name]
@@ -58,6 +62,41 @@ def get_calib_dataset(
         if not text:
             continue
         stream.extend(tokenizer(text).input_ids)
+        if len(stream) >= n_samples * seqlen:
+            break
+    return _pack_blocks(stream, n_samples, seqlen)
+
+
+def _file_calib_dataset(
+    path: str, tokenizer, n_samples: int, seqlen: int, seed: int
+) -> np.ndarray:
+    """Local corpus loader: .jsonl ({'text': ...} per line) or plain text
+    (blank-line-separated documents). Documents are seed-shuffled before
+    packing, mirroring the HF-dataset path."""
+    import json
+    from pathlib import Path
+
+    p = Path(path)
+    if not p.exists():
+        raise FileNotFoundError(f"calibration corpus not found: {path}")
+    docs: list[str] = []
+    if p.suffix in (".jsonl", ".ndjson"):
+        for line in p.read_text().splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            row = json.loads(line)
+            text = row.get("text") if isinstance(row, dict) else None
+            if text:
+                docs.append(text)
+    else:
+        docs = [d.strip() for d in p.read_text().split("\n\n") if d.strip()]
+    if not docs:
+        raise ValueError(f"no documents in {path}")
+    rng = np.random.default_rng(seed)
+    stream: list[int] = []
+    for i in rng.permutation(len(docs)):
+        stream.extend(tokenizer(docs[int(i)]).input_ids)
         if len(stream) >= n_samples * seqlen:
             break
     return _pack_blocks(stream, n_samples, seqlen)

@@ -250,3 +250,32 @@ def test_hybrid_checkpoint_round_trip(tmp_path):
     l_b, _ = model_forward(params2, config2, test_tokens)
     # dense side tensors + theta serialize as f16 -> small logit rounding
     np.testing.assert_allclose(np.asarray(l_b), np.asarray(l_a), rtol=2e-2, atol=5e-2)
+
+
+def test_file_calibration_dataset(tmp_path):
+    """`file:<path>` corpora (.txt blank-line docs and .jsonl) tokenize,
+    shuffle at document granularity, and pack to [n, seqlen] blocks."""
+    from paroquant_tpu.optim.data import get_calib_dataset, get_mixed_calib_dataset
+
+    class StubTok:
+        def __call__(self, text):
+            class R:
+                input_ids = [ord(c) % 97 for c in text]
+            return R()
+
+    txt = tmp_path / "corpus.txt"
+    txt.write_text("hello world\n\nsecond document here\n\nthird doc")
+    jl = tmp_path / "corpus.jsonl"
+    jl.write_text('{"text": "alpha beta"}\n{"text": "gamma delta"}\n')
+
+    a = get_calib_dataset(f"file:{txt}", StubTok(), 3, 8, seed=0)
+    assert a.shape == (3, 8) and a.dtype == np.int32
+    b = get_calib_dataset(f"file:{jl}", StubTok(), 2, 8, seed=0)
+    assert b.shape == (2, 8)
+    # mixing a local file with synthetic works through the same path
+    m = get_mixed_calib_dataset([f"file:{txt}", "synthetic"], StubTok(), 4, 8,
+                                seed=0, vocab_size=97)
+    assert m.shape == (4, 8)
+    # document-level shuffle: different seeds reorder the stream
+    c = get_calib_dataset(f"file:{txt}", StubTok(), 3, 8, seed=1)
+    assert not np.array_equal(a, c)
