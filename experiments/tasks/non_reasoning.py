@@ -11,6 +11,11 @@ Data: --data <task.jsonl> with rows {"query": str, "choices": [str, ...],
 "gold": int} (the lm_eval docs' canonical MC form; export real tasks to this
 with any lm_eval dump). --synthetic runs the protocol on generated data so
 the harness is exercisable on a zero-egress box.
+
+The same protocol is also servable: POST /v1/completions with
+{"echo": true, "logprobs": 1, "max_tokens": 0} returns per-token prompt
+logprobs (serve/api.py), so stock lm_eval's OpenAI-completions backend can
+score against a running `paroquant_tpu.cli.serve` instance.
 """
 
 from __future__ import annotations

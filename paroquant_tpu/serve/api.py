@@ -145,6 +145,38 @@ class Server:
             import numpy as np
 
             pixel_values = np.asarray(body["pixel_values"], np.float32)
+        if body.get("echo") and not int(body.get("max_tokens") or 0):
+            # prompt scoring (echo + logprobs + max_tokens=0): the lm_eval /
+            # OpenAI loglikelihood protocol — no generation, return per-token
+            # logprobs of the prompt itself
+            lps = await asyncio.get_event_loop().run_in_executor(
+                None, self.engine.score_sync, prompt
+            )
+            token_texts = (
+                [tok.decode([t]) for t in prompt] if tok else [str(t) for t in prompt]
+            )
+            return web.json_response({
+                "id": f"cmpl-{uuid.uuid4().hex[:12]}",
+                "object": "text_completion",
+                "created": int(time.time()),
+                "model": self.model_name,
+                "choices": [{
+                    "index": 0,
+                    "text": tok.decode(prompt, skip_special_tokens=True) if tok else "",
+                    "logprobs": {
+                        "tokens": token_texts,
+                        "token_logprobs": lps,
+                        "text_offset": [],
+                        "top_logprobs": None,
+                    },
+                    "finish_reason": "stop",
+                }],
+                "usage": {
+                    "prompt_tokens": len(prompt),
+                    "completion_tokens": 0,
+                    "total_tokens": len(prompt),
+                },
+            })
         return await self._run(request, body, prompt, chat=False,
                                pixel_values=pixel_values)
 

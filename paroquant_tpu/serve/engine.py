@@ -828,6 +828,30 @@ class Engine:
             for r in kept:
                 self.waiting.put(r)
 
+    def score_sync(self, prompt_tokens: list[int]) -> list[float | None]:
+        """Per-token prompt logprobs (log p(tok_i | tok_<i)) under the model —
+        the OpenAI `echo`+`logprobs` completions surface that lm_eval-style
+        multiple-choice harnesses use for loglikelihood scoring. One bucketed
+        prefill, no slot occupancy; the first token has no conditional
+        logprob (None, matching OpenAI)."""
+        T = len(prompt_tokens)
+        if T > self.max_len:
+            raise ValueError(f"prompt {T} exceeds engine max_len {self.max_len}")
+        if T < 2:
+            return [None] * T
+        bucket = self._bucket(T)
+        toks = np.zeros((1, bucket), np.int32)
+        toks[0, :T] = prompt_tokens
+        cache = KVCache.create(self.config, 1, bucket, self.cache.k.dtype)
+        logits, _ = _prefill_jit(
+            self.params, self.config, jnp.asarray(toks), cache, self.quant_mode,
+            self.prefill_attn, jnp.asarray(T, jnp.int32),
+        )
+        lp = jax.nn.log_softmax(logits[0, : T - 1].astype(jnp.float32), axis=-1)
+        idx = jnp.asarray(prompt_tokens[1:], jnp.int32)
+        vals = jnp.take_along_axis(lp, idx[:, None], axis=1)[:, 0]
+        return [None] + np.asarray(vals).tolist()
+
     # convenience: synchronous generation through the engine
     def generate_sync(
         self, prompt_tokens: list[int], sampling: SamplingParams,

@@ -567,3 +567,25 @@ def test_find_stop_earliest_match():
     assert _find_stop("hello world", ("world", "lo")) == 3
     assert _find_stop("hello", ("xyz",)) == -1
     assert _find_stop("abc", ()) == -1
+
+
+def test_engine_score_sync_matches_model_forward(model):
+    """score_sync logprobs == log_softmax of the model's own prefill logits
+    gathered at the realized next tokens (the lm_eval loglikelihood route)."""
+    eng = Engine(model, CFG, max_batch=1, max_len=64, page_size=8,
+                 quant_mode="xla", cache_dtype=jnp.float32)
+    rng = np.random.default_rng(11)
+    prompt = list(rng.integers(0, CFG.vocab_size, 9))
+    got = eng.score_sync(prompt)
+    assert got[0] is None and len(got) == len(prompt)
+
+    logits, _ = model_forward(model, CFG, jnp.asarray([prompt], jnp.int32))
+    lp = jax.nn.log_softmax(logits[0, :-1].astype(jnp.float32), axis=-1)
+    want = [float(lp[i, prompt[i + 1]]) for i in range(len(prompt) - 1)]
+    np.testing.assert_allclose(got[1:], want, rtol=1e-4, atol=1e-5)
+
+    # higher-likelihood continuation scores higher (sanity of the protocol)
+    best_cont = int(np.argmax(np.asarray(lp[len(prompt) - 2])))
+    s_good = eng.score_sync(prompt + [best_cont])
+    s_rand = eng.score_sync(prompt + [(best_cont + 7) % CFG.vocab_size])
+    assert s_good[-1] > s_rand[-1]
