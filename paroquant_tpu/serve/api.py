@@ -287,6 +287,24 @@ class Server:
                 finish_reason = "stop"
         if finish_reason is None:
             finish_reason = "length" if len(out) >= sp.max_tokens else "stop"
+        logprobs_obj = None
+        if body.get("logprobs"):
+            lps = req.logprobs[: len(out)]
+            tok_texts = [tok.decode([t]) for t in out] if tok else [str(t) for t in out]
+            if chat:  # OpenAI chat logprobs shape
+                logprobs_obj = {
+                    "content": [
+                        {"token": s, "logprob": l}
+                        for s, l in zip(tok_texts, lps)
+                    ]
+                }
+            else:  # completions logprobs shape
+                logprobs_obj = {
+                    "tokens": tok_texts,
+                    "token_logprobs": lps,
+                    "text_offset": [],
+                    "top_logprobs": None,
+                }
         payload = {
             "id": rid,
             "object": "chat.completion" if chat else "text_completion",
@@ -306,6 +324,7 @@ class Server:
                         else {"text": text}
                     ),
                     "token_ids": out,
+                    **({"logprobs": logprobs_obj} if logprobs_obj else {}),
                     "finish_reason": finish_reason,
                 }
             ],

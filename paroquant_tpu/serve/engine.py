@@ -47,6 +47,9 @@ class Request:
     enqueue_time: float = dataclasses.field(default_factory=time.perf_counter)
     first_token_time: float | None = None
     finish_time: float | None = None
+    # per generated token: logprob under the raw model distribution, appended
+    # before the token lands on out_queue (OpenAI `logprobs` surface)
+    logprobs: list[float] = dataclasses.field(default_factory=list)
 
     @property
     def ttft(self) -> float | None:
@@ -88,9 +91,12 @@ def _sample_batch_impl(logits, keys, temps, top_ps, top_ks, rep_pens, token_coun
     `keys` is a per-slot [B, 2] uint32 PRNG-key array so each request's
     sampling stream is independent and seed-reproducible. `token_counts`
     [B, V] int32 counts every token seen by the slot (prompt + generated);
-    returns (tokens [B], counts updated with the sampled tokens)."""
+    returns (tokens [B], counts updated with the sampled tokens, and the
+    chosen tokens' logprobs [B] under the RAW model distribution — the
+    OpenAI `logprobs` semantics, before penalty/temperature shaping)."""
     B, V = logits.shape
     logits = logits.astype(jnp.float32)
+    raw_lp = jax.nn.log_softmax(logits, axis=-1)
     # HF-style repetition penalty on slots with penalty != 1
     seen = token_counts > 0
     penalized = jnp.where(
@@ -121,7 +127,8 @@ def _sample_batch_impl(logits, keys, temps, top_ps, top_ks, rep_pens, token_coun
     sampled = jax.vmap(jax.random.categorical)(keys, masked).astype(jnp.int32)
     toks = jnp.where(temps == 0, greedy_tok, sampled)
     new_counts = token_counts.at[jnp.arange(B), toks].add(1)
-    return toks, new_counts
+    lps = jnp.take_along_axis(raw_lp, toks[:, None], axis=1)[:, 0]
+    return toks, new_counts, lps
 
 
 _sample_batch = jax.jit(_sample_batch_impl)
@@ -138,7 +145,8 @@ def _decode_burst_impl(
     tokens instead of per token. Slots that finish (EOS/max_tokens) mid-burst
     keep decoding into their remaining reserved pages (overruns land on the
     trash page via the page-table default); the host discards their extra
-    tokens. Returns (toks [n_steps, B], cache, token_counts)."""
+    tokens. Returns (toks [n_steps, B], lps [n_steps, B], cache,
+    token_counts)."""
     from .paged import _paged_decode_step_impl
 
     def body(carry, step_i):
@@ -150,16 +158,16 @@ def _decode_burst_impl(
         step_keys = jax.vmap(jax.random.fold_in)(
             base_keys, (steps0 + step_i).astype(jnp.uint32)
         )
-        toks, token_counts = _sample_batch_impl(
+        toks, token_counts, lps = _sample_batch_impl(
             logits, step_keys, temps, top_ps, top_ks, rep_pens, token_counts
         )
-        return (toks, seq_lens + 1, cache, token_counts), toks
+        return (toks, seq_lens + 1, cache, token_counts), (toks, lps)
 
-    (_, _, cache, token_counts), toks_seq = jax.lax.scan(
+    (_, _, cache, token_counts), (toks_seq, lps_seq) = jax.lax.scan(
         body, (tokens, seq_lens, cache, token_counts),
         jnp.arange(n_steps, dtype=jnp.int32),
     )
-    return toks_seq, cache, token_counts
+    return toks_seq, lps_seq, cache, token_counts
 
 
 from functools import partial as _partial  # noqa: E402
@@ -196,12 +204,12 @@ def _finish_prefill_impl(
     pos_mask = (jnp.arange(bucket, dtype=jnp.int32) < T).astype(jnp.int32)
     prompt_counts = jnp.zeros((config.vocab_size,), jnp.int32).at[toks_row].add(pos_mask)
     key0 = jax.random.fold_in(base_key, jnp.uint32(0))
-    tok, row = _sample_batch_impl(
+    tok, row, lp = _sample_batch_impl(
         final_logits, key0[None], temp[None], top_p[None], top_k[None],
         rep_pen[None], prompt_counts[None],
     )
     token_counts = token_counts.at[slot_id].set(row[0])
-    return tok[0], token_counts, pool
+    return tok[0], lp[0], token_counts, pool
 
 
 _finish_prefill_donate = _partial(
@@ -650,7 +658,7 @@ class Engine:
             if jax.devices()[0].platform == "cpu"
             else _finish_prefill_donate
         )
-        tok_arr, self.token_counts, self.cache = fn(
+        tok_arr, lp_arr, self.token_counts, self.cache = fn(
             self.config, self.cache, self.token_counts, layer_k, layer_v,
             jnp.asarray(scat_vec), final_logits, base_key,
             jnp.asarray(sp.temperature, jnp.float32),
@@ -660,7 +668,7 @@ class Engine:
             jnp.asarray(toks_row), jnp.asarray(T, jnp.int32),
             jnp.asarray(slot_id, jnp.int32), **hybrid,
         )
-        tok = int(tok_arr)
+        tok, lp = int(tok_arr), float(lp_arr)
         slot = self.slots[slot_id]
         slot.request = req
         slot.n_generated = 1
@@ -675,7 +683,7 @@ class Engine:
         self.slot_keys[slot_id] = np.asarray(base_key, np.uint32)
         self.slot_steps[slot_id] = 1
         req.first_token_time = time.perf_counter()
-        self._emit(slot_id, tok)
+        self._emit(slot_id, tok, lp)
 
     def _decode(self, active: list[int]):
         burst = self._burst_size(active)
@@ -700,7 +708,7 @@ class Engine:
             np.uint32,
         )
         self.slot_steps += 1
-        toks_arr, self.token_counts = _sample_batch(
+        toks_arr, self.token_counts, lps_arr = _sample_batch(
             logits, jnp.asarray(step_keys), jnp.asarray(np.array(self.temps)),
             jnp.asarray(np.array(self.top_ps)),
             jnp.asarray(np.array(self.top_ks)),
@@ -708,12 +716,13 @@ class Engine:
             self.token_counts,
         )
         toks = np.asarray(toks_arr)
+        lps = np.asarray(lps_arr)
         self.metrics["steps"] += 1
         for i in active:
             tok = int(toks[i])
             self.tokens[i] = tok
             self.slots[i].n_generated += 1
-            self._emit(i, tok)
+            self._emit(i, tok, float(lps[i]))
 
     def _burst_size(self, active: list[int]) -> int:
         """How many decode steps to fuse into one dispatch this tick: 1 when
@@ -738,7 +747,7 @@ class Engine:
         on_cpu = jax.devices()[0].platform == "cpu"
         fn = _decode_burst_nodonate if on_cpu else _decode_burst_donate
         attn_mode = "einsum" if on_cpu else "kernel"
-        toks_seq, self.cache, self.token_counts = fn(
+        toks_seq, lps_seq, self.cache, self.token_counts = fn(
             self.params, self.config,
             jnp.asarray(np.array(self.tokens)), jnp.asarray(np.array(self.seq_lens)),
             jnp.asarray(np.array(self.page_table)), self.cache,
@@ -750,6 +759,7 @@ class Engine:
             quant_mode=self.quant_mode, attn_mode=attn_mode, n_steps=n_steps,
         )
         toks_host = np.asarray(toks_seq)  # [n_steps, B]
+        lps_host = np.asarray(lps_seq)
         self.metrics["steps"] += n_steps
         self.seq_lens[active] += n_steps
         self.slot_steps += n_steps
@@ -760,9 +770,9 @@ class Engine:
                 tok = int(toks_host[step, i])
                 self.tokens[i] = tok
                 self.slots[i].n_generated += 1
-                self._emit(i, tok)
+                self._emit(i, tok, float(lps_host[step, i]))
 
-    def _emit(self, slot_id: int, tok: int):
+    def _emit(self, slot_id: int, tok: int, lp: float | None = None):
         slot = self.slots[slot_id]
         req = slot.request
         self.metrics["tokens_generated"] += 1
@@ -770,6 +780,8 @@ class Engine:
         finished = (
             tok in stop_ids or slot.n_generated >= req.sampling.max_tokens
         )
+        if lp is not None:
+            req.logprobs.append(lp)
         req.out_queue.put(("token", tok))
         if finished:
             self._finish_slot(slot_id, req)

@@ -386,7 +386,7 @@ def test_engine_sampler_matches_single_stream():
             repetition_penalty=pen,
         )
         raw_key = jnp.asarray(np.asarray(key, np.uint32)[None, :])
-        got, new_counts = _sample_batch(
+        got, new_counts, _lp = _sample_batch(
             logits, raw_key,
             jnp.asarray([temp], jnp.float32), jnp.asarray([top_p], jnp.float32),
             jnp.asarray([top_k], jnp.int32), jnp.asarray([pen], jnp.float32),
@@ -589,3 +589,41 @@ def test_engine_score_sync_matches_model_forward(model):
     s_good = eng.score_sync(prompt + [best_cont])
     s_rand = eng.score_sync(prompt + [(best_cont + 7) % CFG.vocab_size])
     assert s_good[-1] > s_rand[-1]
+
+
+def test_engine_generation_logprobs(model):
+    """Each emitted token carries its logprob under the raw model
+    distribution: greedy decode's logprobs equal log_softmax of the model's
+    own logits at the argmax token, for both single-step and burst engines."""
+    rng = np.random.default_rng(13)
+    prompt = list(rng.integers(0, CFG.vocab_size, 7))
+    sp = SamplingParams(max_tokens=5, temperature=0.0)
+
+    def run(burst):
+        eng = Engine(model, CFG, max_batch=1, max_len=64, page_size=8,
+                     quant_mode="xla", cache_dtype=jnp.float32,
+                     decode_burst=burst)
+        req = eng.submit(prompt, sp)
+        toks = []
+        for _ in range(200):
+            eng.step()
+            while not req.out_queue.empty():
+                kind, t = req.out_queue.get_nowait()
+                if kind == "done":
+                    return toks, req.logprobs
+                toks.append(t)
+        raise AssertionError("did not finish")
+
+    toks1, lps1 = run(1)
+    toks8, lps8 = run(4)
+    assert toks1 == toks8 and len(lps1) == len(toks1)
+    np.testing.assert_allclose(lps1, lps8, rtol=1e-5, atol=1e-6)
+
+    # cross-check vs the model's own distribution
+    seq = jnp.asarray([prompt + toks1[:-1]], jnp.int32)
+    logits, _ = model_forward(model, CFG, seq)
+    lp_all = jax.nn.log_softmax(
+        logits[0, len(prompt) - 1 :].astype(jnp.float32), axis=-1
+    )
+    want = [float(lp_all[i, toks1[i]]) for i in range(len(toks1))]
+    np.testing.assert_allclose(lps1, want, rtol=1e-4, atol=1e-5)
