@@ -23,6 +23,9 @@ def main(argv=None):
     ap.add_argument("--device", default="auto", choices=["cpu", "tpu", "auto"])
     ap.add_argument("--decode-burst", type=int, default=None,
                     help="sample+decode steps fused per dispatch (default: 8 on TPU)")
+    ap.add_argument("--spec-k", type=int, default=0,
+                    help=">0: prompt-lookup speculative greedy decoding with "
+                         "k-token drafts (exact greedy output)")
     args = ap.parse_args(argv)
 
     from ..utils import force_platform
@@ -39,6 +42,7 @@ def main(argv=None):
         max_len=args.prefill_len + args.decode_len + 8,
         quant_mode=args.quant_mode,
         decode_burst=burst,
+        lookup_spec_k=args.spec_k,
     )
     rng = np.random.default_rng(0)
     prompt = list(rng.integers(0, gen.config.vocab_size, args.prefill_len))
@@ -55,6 +59,14 @@ def main(argv=None):
         f"ttft: {np.mean(ttft)*1e3:.1f} ms  decode: {np.mean(tps):.2f} tok/s "
         f"(min {min(tps):.2f}, max {max(tps):.2f})"
     )
+    if args.spec_k:
+        m = gen.spec_metrics
+        rate = m["accepted"] / max(m["drafted"], 1)
+        print(
+            f"speculation: {m['windows']} windows, "
+            f"{m['accepted']}/{m['drafted']} drafts accepted ({rate:.1%}), "
+            f"{(m['accepted'] + m['windows']) / max(m['windows'], 1):.2f} tok/window"
+        )
 
 
 if __name__ == "__main__":

@@ -16,6 +16,9 @@ def main(argv=None):
     ap.add_argument("--device", default="auto", choices=["cpu", "tpu", "auto"])
     ap.add_argument("--decode-burst", type=int, default=1,
                     help=">1 streams tokens in bursts of N (one dispatch per burst)")
+    ap.add_argument("--spec-k", type=int, default=0,
+                    help=">0: prompt-lookup speculative greedy decoding with "
+                         "k-token drafts (greedy turns only)")
     args = ap.parse_args(argv)
 
     from ..utils import force_platform
@@ -33,7 +36,8 @@ def main(argv=None):
     console.print(f"[dim]loading {args.model}...[/dim]")
     gen = Generator.from_pretrained(args.model, quant_mode=args.quant_mode,
                                     max_len=args.max_tokens * 2 + 512,
-                                    decode_burst=args.decode_burst)
+                                    decode_burst=args.decode_burst,
+                                    lookup_spec_k=args.spec_k)
     if gen.tokenizer is None:
         console.print("[red]model dir has no tokenizer; chat needs one[/red]")
         return

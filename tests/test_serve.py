@@ -627,3 +627,30 @@ def test_engine_generation_logprobs(model):
     )
     want = [float(lp_all[i, toks1[i]]) for i in range(len(toks1))]
     np.testing.assert_allclose(lps1, want, rtol=1e-4, atol=1e-5)
+
+
+def test_speculative_lookup_matches_greedy(model):
+    """Prompt-lookup speculative decoding is an exact greedy accelerator:
+    outputs are token-identical to the sequential greedy stream, on both a
+    repetitive prompt (drafts accept) and a random prompt (drafts reject)."""
+    from paroquant_tpu.serve import Generator
+
+    base = Generator(model, CFG, max_len=128, quant_mode="xla",
+                     cache_dtype=jnp.float32)
+    spec = Generator(model, CFG, max_len=128, quant_mode="xla",
+                     cache_dtype=jnp.float32, lookup_spec_k=4)
+    sp = SamplingParams(max_tokens=16, temperature=0.0)
+
+    rep_prompt = [7, 3, 9, 4] * 5  # strong n-gram structure
+    rng = np.random.default_rng(17)
+    rand_prompt = list(rng.integers(0, CFG.vocab_size, 12))
+
+    for prompt in (rep_prompt, rand_prompt):
+        want = list(base.stream_generate(prompt, sp))
+        got = list(spec.stream_generate(prompt, sp))
+        assert got == want, (prompt[:4], got, want)
+        assert len(got) == sp.max_tokens
+
+    assert spec.spec_metrics["windows"] > 0
+    # the repetitive prompt must actually exercise acceptance
+    assert spec.spec_metrics["accepted"] > 0, spec.spec_metrics
