@@ -19,6 +19,9 @@ def main(argv=None):
     ap.add_argument("--quant-mode", default=None, choices=["xla", "fused", "auto"])
     ap.add_argument("--decode-burst", type=int, default=None,
                     help="decode steps fused per dispatch (default: 8 on TPU, 1 on CPU)")
+    ap.add_argument("--spec-k", type=int, default=0,
+                    help=">0: prompt-lookup speculative decoding for "
+                         "greedy request batches (exact outputs)")
     ap.add_argument("--prefix-caching", action="store_true",
                     help="share full prompt-prefix pages across requests (vLLM-style APC)")
     ap.add_argument("--served-model-name", default=None)
@@ -43,7 +46,7 @@ def main(argv=None):
         params, config, tokenizer,
         max_batch=args.max_batch, max_len=args.max_len, page_size=args.page_size,
         quant_mode=qmode, decode_burst=burst,
-        prefix_caching=args.prefix_caching,
+        prefix_caching=args.prefix_caching, spec_k=args.spec_k,
     )
     processor = None
     if config.is_vlm:  # image templating + pixel preprocessing for chat images

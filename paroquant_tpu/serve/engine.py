@@ -64,6 +64,8 @@ class _Slot:
     n_generated: int = 0
     pages: list[int] = dataclasses.field(default_factory=list)
     prefilling: bool = False  # slot reserved, prompt still being chunk-prefilled
+    # prompt + generated tokens (host-side), kept for prompt-lookup drafting
+    ctx: list[int] = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass
@@ -255,6 +257,7 @@ class Engine:
         prefill_chunk: int = 256,
         decode_burst: int = 1,
         prefix_caching: bool = False,
+        spec_k: int = 0,
     ):
         # Tensor-parallel serving (reference counterpart: the vLLM plugin's
         # TP, plugin.py:167-311): pass a jax.sharding.Mesh and the engine
@@ -304,6 +307,18 @@ class Engine:
         # suffix prefills (via the chunked path). Pages carry refcounts;
         # zero-ref cached pages sit in an LRU and are evicted on demand.
         self.prefix_caching = prefix_caching
+        # prompt-lookup speculative decoding: when every active slot is
+        # greedy (temp 0, no penalty) and at least one has a context-drafted
+        # continuation, one paged verify forward emits n_accepted+1 exact
+        # greedy tokens per slot per weight read (the decode-HBM multiplier;
+        # Generator._spec_greedy_stream is the single-stream counterpart)
+        self.spec_k = max(0, spec_k)
+        if self.spec_k and (config.num_linear_layers or config.is_gemma3n):
+            raise ValueError(
+                "spec_k: speculative decoding supports standard-attention "
+                "families only (delta-net recurrent state and the gemma3n "
+                "decode path cannot roll back rejected drafts)"
+            )
         from collections import OrderedDict
 
         self.prefix_map: dict[int, int] = {}  # cumulative hash -> page id
@@ -340,6 +355,7 @@ class Engine:
         self.metrics = {
             "requests": 0, "tokens_generated": 0, "steps": 0,
             "prefix_hit_tokens": 0,
+            "spec_windows": 0, "spec_drafted": 0, "spec_accepted": 0,
         }
         # Pallas flash prefill on real TPUs; einsum reference path on CPU
         self.prefill_attn = (
@@ -673,6 +689,7 @@ class Engine:
         slot.request = req
         slot.n_generated = 1
         slot.pages = pages
+        slot.ctx = list(req.prompt_tokens)  # _emit appends generated tokens
         self.tokens[slot_id] = tok
         self.seq_lens[slot_id] = T
         self.page_table[slot_id] = page_vec
@@ -686,6 +703,8 @@ class Engine:
         self._emit(slot_id, tok, lp)
 
     def _decode(self, active: list[int]):
+        if self.spec_k and self._try_decode_spec(active):
+            return
         burst = self._burst_size(active)
         if burst > 1:
             self._decode_burst(active, burst)
@@ -723,6 +742,56 @@ class Engine:
             self.tokens[i] = tok
             self.slots[i].n_generated += 1
             self._emit(i, tok, float(lps[i]))
+
+    def _try_decode_spec(self, active: list[int]) -> bool:
+        """Speculative tick: when every active slot is greedy with no
+        repetition penalty and at least one slot has a prompt-lookup draft,
+        verify [current + k drafts] per slot in ONE paged forward and emit
+        each slot's accepted prefix + correction (exact greedy tokens).
+        Returns False (caller falls through to the normal path) otherwise."""
+        if any(
+            self.temps[i] != 0.0 or self.rep_pens[i] != 1.0 for i in active
+        ):
+            return False
+        from .generator import _lookup_draft
+        from .paged import paged_verify_step
+
+        k = self.spec_k
+        drafts = {i: _lookup_draft(self.slots[i].ctx, k) for i in active}
+        if not any(drafts.values()):
+            return False
+        windows = np.zeros((self.max_batch, 1 + k), np.int32)
+        for i in active:
+            windows[i, 0] = self.tokens[i]
+            d = drafts[i]
+            windows[i, 1 : 1 + len(d)] = d
+        pred_arr, lps_arr, self.cache = paged_verify_step(
+            self.params, self.config, jnp.asarray(windows),
+            jnp.asarray(np.array(self.seq_lens)),
+            jnp.asarray(np.array(self.page_table)), self.cache,
+            self.trash_page, quant_mode=self.quant_mode,
+        )
+        pred = np.asarray(pred_arr)
+        lps = np.asarray(lps_arr)
+        self.metrics["steps"] += 1
+        self.metrics["spec_windows"] += len(active)
+        for i in active:
+            d = drafts[i]
+            n_acc = 0
+            while n_acc < len(d) and d[n_acc] == int(pred[i, n_acc]):
+                n_acc += 1
+            self.metrics["spec_drafted"] += len(d)
+            self.metrics["spec_accepted"] += n_acc
+            self.seq_lens[i] += n_acc + 1
+            self.slot_steps[i] += n_acc + 1
+            for j in range(n_acc + 1):
+                if self.slots[i].request is None:
+                    break  # finished (EOS/max_tokens) earlier in this window
+                tok = int(pred[i, j])
+                self.tokens[i] = tok
+                self.slots[i].n_generated += 1
+                self._emit(i, tok, float(lps[i, j]))
+        return True
 
     def _burst_size(self, active: list[int]) -> int:
         """How many decode steps to fuse into one dispatch this tick: 1 when
@@ -782,6 +851,7 @@ class Engine:
         )
         if lp is not None:
             req.logprobs.append(lp)
+        slot.ctx.append(tok)
         req.out_queue.put(("token", tok))
         if finished:
             self._finish_slot(slot_id, req)
@@ -801,6 +871,7 @@ class Engine:
                 self.free_pages.append(pid)
         slot.request = None
         slot.pages = []
+        slot.ctx = []
         self.seq_lens[slot_id] = 0
         self.tokens[slot_id] = 0
         self.temps[slot_id] = 0.0

@@ -374,6 +374,163 @@ def paged_decode_step(params, config, tokens, seq_lens, page_table, cache, *,
               quant_mode=quant_mode, attn_mode=attn_mode)
 
 
+def paged_window_attention(
+    q: jax.Array,  # [B, W, Hq, D] a window of query tokens per slot
+    k_pages: jax.Array,  # [B, maxP, ps, Hkv, D] gathered pages
+    v_pages: jax.Array,
+    q_positions: jax.Array,  # [B, W] absolute 0-based position of each query
+    *,
+    scale: float,
+    sliding_window: int | None = None,
+    logit_softcap: float | None = None,
+) -> jax.Array:
+    """paged_attention generalized to W query tokens per slot (speculative
+    verify windows). Causal by absolute position: query at position p attends
+    kv rows <= p, which covers both the already-cached prefix and the
+    window's own freshly written rows."""
+    B, W, Hq, D = q.shape
+    _, maxP, ps, Hkv, _ = k_pages.shape
+    S = maxP * ps
+    k = k_pages.reshape(B, S, Hkv, D)
+    v = v_pages.reshape(B, S, Hkv, D)
+    group = Hq // Hkv
+    qf = q.reshape(B, W, Hkv, group, D).astype(jnp.float32)
+    scores = jnp.einsum("bwhgd,bshd->bwhgs", qf, k.astype(jnp.float32),
+                        preferred_element_type=jnp.float32) * scale
+    if logit_softcap:
+        scores = jnp.tanh(scores / logit_softcap) * logit_softcap
+    kv_pos = jnp.arange(S, dtype=jnp.int32)[None, None, :]  # [1, 1, S]
+    mask = kv_pos <= q_positions[:, :, None]
+    if sliding_window is not None:
+        mask &= kv_pos > q_positions[:, :, None] - sliding_window
+    scores = jnp.where(mask[:, :, None, None, :], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bwhgs,bshd->bwhgd", probs, v.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    return out.reshape(B, W, Hq, D)
+
+
+def _paged_verify_step_impl(
+    params: dict[str, Any],
+    config: ModelConfig,
+    windows: jax.Array,  # [B, W] int32: current token + W-1 drafted tokens
+    seq_lens: jax.Array,  # [B] int32 length BEFORE the window
+    page_table: jax.Array,  # [B, maxP] int32
+    cache: PagedKVCache,
+    trash_page: jax.Array,  # () int32: overrun-write redirect target
+    *,
+    quant_mode: str = "xla",
+) -> tuple[jax.Array, jax.Array, PagedKVCache]:
+    """Speculative verify: W tokens per slot through one paged forward —
+    the engine counterpart of the Generator's _verify_window (vLLM
+    multi-token speculative verification). Greedy-only: returns
+    (greedy next-token [B, W], its raw logprob [B, W], cache). Rejected
+    drafts' KV rows need no rollback: the slot's next window writes land on
+    exactly those rows before they ever enter the attended range (attention
+    masks by absolute position). Positions past the page table's range
+    redirect to the trash page. Standard-attention families only (hybrids'
+    recurrent state can't roll back; the engine guards)."""
+    B, W = windows.shape
+    ps = cache.page_size
+    maxP = page_table.shape[1]
+    Hq, Hkv, D = config.num_attention_heads, config.num_key_value_heads, config.head_dim
+
+    x = jnp.take(params["embed_tokens"], windows, axis=0)  # [B, W, H]
+    if config.gemma_norm:
+        x = x * jnp.asarray(np.sqrt(config.hidden_size), x.dtype)
+    positions = seq_lens[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
+    rope_by_layer = rope_tables_per_layer(positions, config)
+
+    in_range = positions < maxP * ps
+    page_idx = jnp.where(
+        in_range,
+        jnp.take_along_axis(page_table, jnp.minimum(positions // ps, maxP - 1), axis=1),
+        trash_page,
+    )  # [B, W]
+    offset = positions % ps
+
+    new_k, new_v = cache.k, cache.v
+    for li, lp in enumerate(params["layers"]):
+        kv_li = config.kv_layer_index(li)
+        cos, sin = rope_by_layer[li]
+        h = rms_norm(x, lp["input_layernorm"], config.rms_norm_eps,
+                     config.zero_centered_norm)
+        q, k, v, attn_gate = qkv_forward(lp, h, config, quant_mode)
+        if config.qk_norm:
+            q = rms_norm(q, lp["q_norm"], config.rms_norm_eps, config.zero_centered_norm)
+            k = rms_norm(k, lp["k_norm"], config.rms_norm_eps, config.zero_centered_norm)
+        q = apply_rope(q, cos, sin)  # [B, W, Hq, D]
+        k = apply_rope(k, cos, sin)  # [B, W, Hkv, D]
+
+        new_k = new_k.at[kv_li, page_idx, offset].set(k.astype(new_k.dtype))
+        new_v = new_v.at[kv_li, page_idx, offset].set(v.astype(new_v.dtype))
+
+        k_pages = new_k[kv_li][page_table]
+        v_pages = new_v[kv_li][page_table]
+        attn = paged_window_attention(
+            q, k_pages, v_pages, positions,
+            scale=config.attn_scale,
+            sliding_window=config.layer_sliding_window(li),
+            logit_softcap=config.attn_logit_softcap,
+        )
+        attn = attn.reshape(B, W, Hq * D)
+        if attn_gate is not None:
+            attn = (
+                attn.astype(jnp.float32) * jax.nn.sigmoid(attn_gate.astype(jnp.float32))
+            ).astype(attn.dtype)
+        attn = apply_linear(lp["o_proj"], attn, quant_mode=quant_mode)
+        if config.post_norms:
+            attn = rms_norm(attn, lp["post_attention_layernorm"],
+                            config.rms_norm_eps, config.zero_centered_norm)
+            x = x + attn
+            h2 = rms_norm(x, lp["pre_feedforward_layernorm"],
+                          config.rms_norm_eps, config.zero_centered_norm)
+        else:
+            x = x + attn
+            h2 = rms_norm(x, lp["post_attention_layernorm"],
+                          config.rms_norm_eps, config.zero_centered_norm)
+        if config.layer_is_sparse(li):
+            mlp_out = moe_forward(lp["mlp"], h2, config, quant_mode)
+        else:
+            mlp_out = mlp_forward(lp["mlp"], h2, quant_mode, config.hidden_act)
+        if config.post_norms:
+            mlp_out = rms_norm(mlp_out, lp["post_feedforward_layernorm"],
+                               config.rms_norm_eps, config.zero_centered_norm)
+        x = x + mlp_out
+
+    x = rms_norm(x, params["norm"], config.rms_norm_eps, config.zero_centered_norm)
+    lm_head = params.get("lm_head")
+    if lm_head is None:
+        logits = jnp.dot(x, params["embed_tokens"].T.astype(x.dtype),
+                         preferred_element_type=jnp.float32)
+    else:
+        logits = apply_linear(lm_head, x, quant_mode=quant_mode)
+    logits = logits.astype(jnp.float32)
+    if config.logit_softcap:
+        logits = jnp.tanh(logits / config.logit_softcap) * config.logit_softcap
+    toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, W]
+    lps = jnp.take_along_axis(
+        jax.nn.log_softmax(logits, axis=-1), toks[..., None], axis=-1
+    )[..., 0]
+    return toks, lps, PagedKVCache(new_k, new_v, cache.conv, cache.rec)
+
+
+_paged_verify_donate = partial(
+    jax.jit, static_argnames=("config", "quant_mode"), donate_argnames=("cache",)
+)(_paged_verify_step_impl)
+_paged_verify_nodonate = partial(
+    jax.jit, static_argnames=("config", "quant_mode")
+)(_paged_verify_step_impl)
+
+
+def paged_verify_step(params, config, windows, seq_lens, page_table, cache,
+                      trash_page, *, quant_mode="xla"):
+    on_cpu = jax.devices()[0].platform in ("cpu",)
+    fn = _paged_verify_nodonate if on_cpu else _paged_verify_donate
+    return fn(params, config, windows, seq_lens, page_table, cache,
+              jnp.asarray(trash_page, jnp.int32), quant_mode=quant_mode)
+
+
 def _scatter_prefill_impl(
     config: ModelConfig,
     cache: PagedKVCache,

@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--decode-burst", type=int, default=None,
                     help="decode steps fused per dispatch (default: 8 on TPU)")
     ap.add_argument("--prefix-caching", action="store_true")
+    ap.add_argument("--spec-k", type=int, default=0,
+                    help=">0: prompt-lookup speculative decoding "
+                         "(greedy batches)")
     ap.add_argument("--distinct-prompts", type=int, default=None,
                     help="draw requests from a pool of N distinct prompts "
                          "(chat-like reuse; pairs with --prefix-caching)")
@@ -76,7 +79,7 @@ def main():
         qparams, config, max_batch=args.max_batch, max_len=args.max_len,
         page_size=64, quant_mode="auto" if on_tpu else "xla",
         prefill_chunk=256, decode_burst=burst,
-        prefix_caching=args.prefix_caching,
+        prefix_caching=args.prefix_caching, spec_k=args.spec_k,
     )
     rng = np.random.default_rng(0)
     # mixed lengths: short chat turns + long contexts (north-star config 3)
@@ -146,6 +149,9 @@ def main():
         "decode_steps": eng.metrics["steps"],
         "decode_burst": burst,
         "prefix_hit_tokens": eng.metrics["prefix_hit_tokens"],
+        "spec_accept_rate": round(
+            eng.metrics["spec_accepted"] / max(eng.metrics["spec_drafted"], 1), 3
+        ) if args.spec_k else None,
     }
     print(json.dumps(out))
 

@@ -209,3 +209,29 @@ def test_dp_sharded_calibration_matches_single_device():
         calibrate_model(
             params, config, tokens[:, :3], ccfg, mesh=make_mesh(n_data=2, n_model=1)
         )
+
+
+def test_engine_speculative_tp_matches_single_device():
+    """Engine(mesh=..., spec_k>0): the paged verify step runs under GSPMD
+    and the speculative engine's greedy tokens equal the single-device plain
+    engine's exactly."""
+    from paroquant_tpu.serve import Engine, SamplingParams
+
+    config = dataclasses.replace(
+        PRESETS["tiny"], num_hidden_layers=2, num_attention_heads=8,
+        num_key_value_heads=4,
+    )
+    params = init_params(config, jax.random.PRNGKey(3), dtype=jnp.float32)
+    prompt = [5, 2, 8, 1] * 4
+    sp = SamplingParams(max_tokens=10, temperature=0.0)
+
+    ref = Engine(params, config, max_batch=2, max_len=64, page_size=8,
+                 quant_mode="xla", cache_dtype=jnp.float32
+                 ).generate_sync(prompt, sp)
+    mesh = make_mesh(n_data=2, n_model=4)
+    eng = Engine(params, config, max_batch=2, max_len=64, page_size=8,
+                 quant_mode="xla", cache_dtype=jnp.float32, mesh=mesh,
+                 spec_k=4)
+    got = eng.generate_sync(prompt, sp)
+    assert got == ref
+    assert eng.metrics["spec_windows"] > 0

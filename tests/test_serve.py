@@ -654,3 +654,60 @@ def test_speculative_lookup_matches_greedy(model):
     assert spec.spec_metrics["windows"] > 0
     # the repetitive prompt must actually exercise acceptance
     assert spec.spec_metrics["accepted"] > 0, spec.spec_metrics
+
+
+def test_engine_speculative_matches_plain(model):
+    """Engine(spec_k>0) emits token-identical greedy output to the plain
+    engine, with real acceptance on repetitive prompts, across concurrent
+    requests; non-greedy requests in the batch disable the spec tick (exact
+    sampler semantics preserved)."""
+    sp = SamplingParams(max_tokens=12, temperature=0.0)
+    prompts = [[7, 3, 9, 4] * 4, list(np.random.default_rng(19).integers(0, CFG.vocab_size, 9))]
+
+    def run(spec_k):
+        eng = Engine(model, CFG, max_batch=2, max_len=128, page_size=8,
+                     quant_mode="xla", cache_dtype=jnp.float32, spec_k=spec_k)
+        reqs = [eng.submit(p, sp) for p in prompts]
+        outs = [[] for _ in reqs]
+        for _ in range(300):
+            if not eng.step():
+                break
+        for r, out in zip(reqs, outs):
+            while not r.out_queue.empty():
+                kind, t = r.out_queue.get_nowait()
+                if kind != "done":
+                    out.append(t)
+        return outs, eng
+
+    want, _ = run(0)
+    got, eng = run(4)
+    assert got == want
+    assert eng.metrics["spec_windows"] > 0
+    assert eng.metrics["spec_accepted"] > 0, eng.metrics
+
+    # a sampled (non-greedy) request forces the normal path and still matches
+    # the plain engine exactly (same PRNG stream)
+    sp_t = SamplingParams(max_tokens=8, temperature=0.8, seed=5)
+    plain = Engine(model, CFG, max_batch=2, max_len=128, page_size=8,
+                   quant_mode="xla", cache_dtype=jnp.float32)
+    spec = Engine(model, CFG, max_batch=2, max_len=128, page_size=8,
+                  quant_mode="xla", cache_dtype=jnp.float32, spec_k=4)
+    assert (spec.generate_sync(prompts[0], sp_t)
+            == plain.generate_sync(prompts[0], sp_t))
+
+    # hybrids reject spec_k loudly
+    import dataclasses as _dc
+    from paroquant_tpu.models import from_hf_dict
+    hy = from_hf_dict(dict(
+        model_type="qwen3_next", vocab_size=64, hidden_size=64,
+        intermediate_size=96, num_hidden_layers=2, full_attention_interval=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        partial_rotary_factor=0.25, rope_theta=10000.0,
+        linear_num_value_heads=4, linear_num_key_heads=2,
+        linear_key_head_dim=16, linear_value_head_dim=16,
+        linear_conv_kernel_dim=4, tie_word_embeddings=True,
+    ))
+    hp = init_params(hy, jax.random.PRNGKey(0), dtype=jnp.float32)
+    with pytest.raises(ValueError):
+        Engine(hp, hy, max_batch=1, max_len=32, page_size=8,
+               quant_mode="xla", cache_dtype=jnp.float32, spec_k=2)
