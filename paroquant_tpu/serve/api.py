@@ -11,6 +11,7 @@ monkey-patches mlx_lm.server). Endpoints:
 from __future__ import annotations
 
 import asyncio
+import dataclasses
 import json
 import queue
 import time
@@ -185,8 +186,19 @@ class Server:
         pixel_values=None,
     ) -> web.StreamResponse:
         sp = _sampling_from_body(body, self.engine, len(prompt))
+        n = max(int(body.get("n") or 1), 1)
+        if n > 1 and body.get("stream"):
+            raise web.HTTPBadRequest(reason="n>1 with stream is not supported")
         try:
             req = self.engine.submit(prompt, sp, pixel_values=pixel_values)
+            reqs = [req]
+            for i in range(1, n):
+                # distinct sampling streams per choice: shift an explicit
+                # seed, otherwise each request id hashes its own base key
+                sp_i = dataclasses.replace(
+                    sp, seed=(sp.seed + i) if sp.seed is not None else None
+                )
+                reqs.append(self.engine.submit(prompt, sp_i, pixel_values=pixel_values))
         except ValueError as e:
             raise web.HTTPBadRequest(reason=str(e))
         created = int(time.time())
@@ -264,60 +276,63 @@ class Server:
             await resp.write_eof()
             return resp
 
-        out: list[int] = []
-        finish_reason = None
-        while True:
-            kind, t = await asyncio.get_event_loop().run_in_executor(
-                None, req.out_queue.get
-            )
-            if kind == "done":
-                break
-            out.append(t)
-            if stops:
-                hit = _find_stop(tok.decode(out, skip_special_tokens=True), stops)
-                if hit >= 0:
-                    finish_reason = "stop"
-                    self.engine.cancel(req)
+        # n>1 (non-streaming): the extra choices were submitted upfront in
+        # _run's caller-visible batch, so they decode CONCURRENTLY in the
+        # engine's continuous batch rather than sequentially
+        async def collect(r):
+            out: list[int] = []
+            finish_reason = None
+            while True:
+                kind, t = await asyncio.get_event_loop().run_in_executor(
+                    None, r.out_queue.get
+                )
+                if kind == "done":
                     break
-        text = tok.decode(out, skip_special_tokens=True) if tok else ""
-        if stops:
-            hit = _find_stop(text, stops)
-            if hit >= 0:
-                text = text[:hit]
-                finish_reason = "stop"
-        if finish_reason is None:
-            finish_reason = "length" if len(out) >= sp.max_tokens else "stop"
-        logprobs_obj = None
-        if body.get("logprobs"):
-            lps = req.logprobs[: len(out)]
-            tok_texts = [tok.decode([t]) for t in out] if tok else [str(t) for t in out]
-            if chat:  # OpenAI chat logprobs shape
-                logprobs_obj = {
-                    "content": [
-                        {"token": s, "logprob": l}
-                        for s, l in zip(tok_texts, lps)
-                    ]
-                }
-            else:  # completions logprobs shape
-                logprobs_obj = {
-                    "tokens": tok_texts,
-                    "token_logprobs": lps,
-                    "text_offset": [],
-                    "top_logprobs": None,
-                }
-        payload = {
-            "id": rid,
-            "object": "chat.completion" if chat else "text_completion",
-            "created": created,
-            "model": self.model_name,
-            "usage": {
-                "prompt_tokens": len(prompt),
-                "completion_tokens": len(out),
-                "total_tokens": len(prompt) + len(out),
-            },
-            "choices": [
+                out.append(t)
+                if stops:
+                    hit = _find_stop(tok.decode(out, skip_special_tokens=True), stops)
+                    if hit >= 0:
+                        finish_reason = "stop"
+                        self.engine.cancel(r)
+                        break
+            text = tok.decode(out, skip_special_tokens=True) if tok else ""
+            if stops:
+                hit = _find_stop(text, stops)
+                if hit >= 0:
+                    text = text[:hit]
+                    finish_reason = "stop"
+            if finish_reason is None:
+                finish_reason = "length" if len(out) >= sp.max_tokens else "stop"
+            return out, text, finish_reason
+
+        choices = []
+        total_completion = 0
+        for idx, r in enumerate(reqs):
+            out, text, finish_reason = await collect(r)
+            total_completion += len(out)
+            logprobs_obj = None
+            if body.get("logprobs"):
+                lps = r.logprobs[: len(out)]
+                tok_texts = (
+                    [tok.decode([t]) for t in out] if tok else [str(t) for t in out]
+                )
+                if chat:  # OpenAI chat logprobs shape
+                    logprobs_obj = {
+                        "content": [
+                            {"token": s, "logprob": l}
+                            for s, l in zip(tok_texts, lps)
+                        ]
+                    }
+                else:  # completions logprobs shape
+                    logprobs_obj = {
+                        "tokens": tok_texts,
+                        "token_logprobs": lps,
+                        "text_offset": [],
+                        "top_logprobs": None,
+                    }
+            choices.append(
                 {
-                    "index": 0,
+                    "index": idx,
                     **(
                         {"message": {"role": "assistant", "content": text}}
                         if chat
@@ -327,7 +342,18 @@ class Server:
                     **({"logprobs": logprobs_obj} if logprobs_obj else {}),
                     "finish_reason": finish_reason,
                 }
-            ],
+            )
+        payload = {
+            "id": rid,
+            "object": "chat.completion" if chat else "text_completion",
+            "created": created,
+            "model": self.model_name,
+            "usage": {
+                "prompt_tokens": len(prompt),
+                "completion_tokens": total_completion,
+                "total_tokens": len(prompt) + total_completion,
+            },
+            "choices": choices,
         }
         return web.json_response(payload)
 
