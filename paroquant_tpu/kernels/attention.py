@@ -195,6 +195,177 @@ def paged_decode_attention(
 
 
 # ---------------------------------------------------------------------------
+# Paged window (speculative verify) attention
+# ---------------------------------------------------------------------------
+
+
+def _paged_window_kernel(
+    # scalar prefetch
+    table_ref,  # [B, maxP] int32 (SMEM)
+    lens_ref,  # [B] int32 (SMEM): lengths BEFORE the window
+    # blocks
+    q_ref,  # [1, W, Hq, D]
+    k_ref,  # [1, ps, Hkv, D]
+    v_ref,  # [1, ps, Hkv, D]
+    o_ref,  # [1, W, Hq, D]
+    # scratch (rows flattened as (w, h))
+    acc_ref,  # [W*Hq, D] f32
+    m_ref,  # [W*Hq, 128] f32
+    l_ref,  # [W*Hq, 128] f32
+    *,
+    scale,
+    ps,
+    W,
+    grp,
+    sliding_window,
+    logit_softcap,
+):
+    """paged decode kernel generalized to a W-token query window per slot
+    (speculative verify). Query w sits at absolute position lens[b]+w and
+    attends kv rows <= that position — which includes the window's own
+    freshly written rows, so page steps run up to ceil((len+W)/ps)."""
+    b = pl.program_id(0)
+    p = pl.program_id(1)
+    seq_len = lens_ref[b]
+    active = p * ps < seq_len + W
+
+    @pl.when(p == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    @pl.when(active)
+    def _step():
+        Hq, D = q_ref.shape[2], q_ref.shape[3]
+        Hkv = k_ref.shape[2]
+        R = W * Hq
+        pos = p * ps + jax.lax.broadcasted_iota(jnp.int32, (R, ps), 1)
+        # row r = (w, h): query position = seq_len + w
+        q_pos = seq_len + jax.lax.div(
+            jax.lax.broadcasted_iota(jnp.int32, (R, ps), 0), Hq
+        )
+        valid = pos <= q_pos
+        if sliding_window is not None:
+            valid &= pos > q_pos - sliding_window
+
+        # scores [W*Hq, ps] via static per-KV-head dots (GQA); row layout
+        # (w, h) means each head's q rows stride Hq apart — gather per head
+        score_rows = []
+        for h in range(Hkv):
+            qh = q_ref[0, :, h * grp : (h + 1) * grp, :].astype(jnp.float32)
+            qh = qh.reshape(W * grp, D)  # rows (w, g)
+            kh = k_ref[0, :, h, :].astype(jnp.float32)  # [ps, D]
+            score_rows.append(
+                jax.lax.dot_general(
+                    qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )  # [W*grp, ps]
+        # rebuild (w, h) row order from the per-head (w, g) blocks
+        scores = jnp.concatenate(
+            [s.reshape(W, grp, ps) for s in score_rows], axis=1
+        ).reshape(R, ps) * scale
+        if logit_softcap:
+            scores = jnp.tanh(scores / logit_softcap) * logit_softcap
+        scores = jnp.where(valid, scores, NEG_INF)
+
+        m_prev = m_ref[:, :1]
+        l_prev = l_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        probs = jnp.where(valid, jnp.exp(scores - m_new), 0.0)
+        l_new = alpha * l_prev + jnp.sum(probs, axis=1, keepdims=True)
+
+        probs_whg = probs.reshape(W, Hkv, grp, ps)
+        pv_rows = []
+        for h in range(Hkv):
+            ph = probs_whg[:, h].reshape(W * grp, ps)
+            vh = v_ref[0, :, h, :].astype(jnp.float32)  # [ps, D]
+            pv_rows.append(
+                jnp.dot(ph, vh, preferred_element_type=jnp.float32)
+            )  # [W*grp, D]
+        pv = jnp.concatenate(
+            [r.reshape(W, grp, D) for r in pv_rows], axis=1
+        ).reshape(R, D)
+
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+        o_ref[0] = (
+            (acc_ref[:] / jnp.maximum(l_new, 1e-30)).reshape(W, Hq, D)
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "sliding_window", "logit_softcap", "interpret"),
+)
+def paged_window_attention_kernel(
+    q: jax.Array,  # [B, W, Hq, D]
+    k_pages: jax.Array,  # [P, ps, Hkv, D] (one layer's pool, window rows written)
+    v_pages: jax.Array,
+    page_table: jax.Array,  # [B, maxP] int32
+    seq_lens: jax.Array,  # [B] int32 lengths BEFORE the window
+    *,
+    scale: float,
+    sliding_window: int | None = None,
+    logit_softcap: float | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Pallas speculative-verify attention: like paged_decode_attention but
+    with W queries per slot; reads ONLY the pages covering seq_len+W rows
+    (index-map clamping skips the DMA past the last live page)."""
+    B, W, Hq, D = q.shape
+    P, ps, Hkv, _ = k_pages.shape
+    maxP = page_table.shape[1]
+    grp = Hq // Hkv
+
+    def q_map(b, p, table_ref, lens_ref):
+        return (b, 0, 0, 0)
+
+    def kv_map(b, p, table_ref, lens_ref):
+        n_pages = jax.lax.div(lens_ref[b] + W + ps - 1, ps)
+        last = jnp.maximum(jnp.minimum(n_pages, maxP) - 1, 0)
+        p_eff = jnp.minimum(p, last)
+        return (table_ref[b, p_eff], 0, 0, 0)
+
+    def o_map(b, p, table_ref, lens_ref):
+        return (b, 0, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, maxP),
+        in_specs=[
+            pl.BlockSpec((1, W, Hq, D), q_map),
+            pl.BlockSpec((1, ps, Hkv, D), kv_map),
+            pl.BlockSpec((1, ps, Hkv, D), kv_map),
+        ],
+        out_specs=pl.BlockSpec((1, W, Hq, D), o_map),
+        scratch_shapes=[
+            pltpu.VMEM((W * Hq, D), jnp.float32),
+            pltpu.VMEM((W * Hq, 128), jnp.float32),
+            pltpu.VMEM((W * Hq, 128), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _paged_window_kernel,
+        scale=scale,
+        ps=ps,
+        W=W,
+        grp=grp,
+        sliding_window=sliding_window,
+        logit_softcap=logit_softcap,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, W, Hq, D), q.dtype),
+        interpret=interpret,
+    )(page_table, seq_lens, q, k_pages, v_pages)
+
+
+# ---------------------------------------------------------------------------
 # Flash prefill attention
 # ---------------------------------------------------------------------------
 

@@ -420,6 +420,7 @@ def _paged_verify_step_impl(
     trash_page: jax.Array,  # () int32: overrun-write redirect target
     *,
     quant_mode: str = "xla",
+    attn_mode: str = "einsum",
 ) -> tuple[jax.Array, jax.Array, PagedKVCache]:
     """Speculative verify: W tokens per slot through one paged forward —
     the engine counterpart of the Generator's _verify_window (vLLM
@@ -465,14 +466,26 @@ def _paged_verify_step_impl(
         new_k = new_k.at[kv_li, page_idx, offset].set(k.astype(new_k.dtype))
         new_v = new_v.at[kv_li, page_idx, offset].set(v.astype(new_v.dtype))
 
-        k_pages = new_k[kv_li][page_table]
-        v_pages = new_v[kv_li][page_table]
-        attn = paged_window_attention(
-            q, k_pages, v_pages, positions,
-            scale=config.attn_scale,
-            sliding_window=config.layer_sliding_window(li),
-            logit_softcap=config.attn_logit_softcap,
-        )
+        if attn_mode == "kernel":
+            # Pallas window kernel: reads only the pages covering
+            # seq_len+W rows (same asymptotics as the paged decode kernel)
+            from ..kernels.attention import paged_window_attention_kernel
+
+            attn = paged_window_attention_kernel(
+                q, new_k[kv_li], new_v[kv_li], page_table, seq_lens,
+                scale=config.attn_scale,
+                sliding_window=config.layer_sliding_window(li),
+                logit_softcap=config.attn_logit_softcap,
+            )
+        else:
+            k_pages = new_k[kv_li][page_table]
+            v_pages = new_v[kv_li][page_table]
+            attn = paged_window_attention(
+                q, k_pages, v_pages, positions,
+                scale=config.attn_scale,
+                sliding_window=config.layer_sliding_window(li),
+                logit_softcap=config.attn_logit_softcap,
+            )
         attn = attn.reshape(B, W, Hq * D)
         if attn_gate is not None:
             attn = (
@@ -516,19 +529,23 @@ def _paged_verify_step_impl(
 
 
 _paged_verify_donate = partial(
-    jax.jit, static_argnames=("config", "quant_mode"), donate_argnames=("cache",)
+    jax.jit, static_argnames=("config", "quant_mode", "attn_mode"),
+    donate_argnames=("cache",),
 )(_paged_verify_step_impl)
 _paged_verify_nodonate = partial(
-    jax.jit, static_argnames=("config", "quant_mode")
+    jax.jit, static_argnames=("config", "quant_mode", "attn_mode")
 )(_paged_verify_step_impl)
 
 
 def paged_verify_step(params, config, windows, seq_lens, page_table, cache,
-                      trash_page, *, quant_mode="xla"):
+                      trash_page, *, quant_mode="xla", attn_mode=None):
     on_cpu = jax.devices()[0].platform in ("cpu",)
+    if attn_mode is None:
+        attn_mode = "einsum" if on_cpu else "kernel"
     fn = _paged_verify_nodonate if on_cpu else _paged_verify_donate
     return fn(params, config, windows, seq_lens, page_table, cache,
-              jnp.asarray(trash_page, jnp.int32), quant_mode=quant_mode)
+              jnp.asarray(trash_page, jnp.int32), quant_mode=quant_mode,
+              attn_mode=attn_mode)
 
 
 def _scatter_prefill_impl(

@@ -122,3 +122,63 @@ def test_flash_prefill_partial_kv_len():
     np.testing.assert_allclose(
         np.asarray(got)[:, :n], np.asarray(want)[:, :n], rtol=3e-5, atol=3e-5
     )
+
+
+@pytest.mark.parametrize("window,softcap", [(None, None), (12, None), (None, 30.0)])
+def test_paged_window_kernel_matches_einsum(window, softcap):
+    """Speculative-verify window kernel == the einsum full-gather reference
+    (paged_window_attention) across GQA, page boundaries, sliding window,
+    and softcap."""
+    from paroquant_tpu.kernels.attention import paged_window_attention_kernel
+    from paroquant_tpu.serve.paged import paged_window_attention
+
+    rng = np.random.default_rng(4)
+    B, W, Hq, Hkv, D, ps, P, maxP = 3, 4, 8, 2, 128, 8, 16, 5
+    q = jnp.asarray(rng.standard_normal((B, W, Hq, D)).astype(np.float32))
+    k_pages, v_pages = _mk_pages(rng, P, ps, Hkv, D)
+    # window straddles a page boundary for slot 1 (21+4 crosses page 3)
+    seq_lens = jnp.asarray([5, 21, 16], jnp.int32)
+    table = np.zeros((B, maxP), np.int32)
+    table[0, :2] = [7, 14]
+    table[1, :4] = [3, 11, 2, 6]
+    table[2, :3] = [9, 1, 12]
+    table = jnp.asarray(table)
+
+    got = paged_window_attention_kernel(
+        q, k_pages, v_pages, table, seq_lens,
+        scale=0.1, sliding_window=window, logit_softcap=softcap,
+        interpret=True,
+    )
+    positions = seq_lens[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
+    want = paged_window_attention(
+        q, k_pages[table], v_pages[table], positions,
+        scale=0.1, sliding_window=window, logit_softcap=softcap,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_paged_window_kernel_ignores_unallocated_pages():
+    """Pages past ceil((len+W)/ps) are never read: poison them with NaN and
+    the output must stay finite and equal to the clean-pool result."""
+    from paroquant_tpu.kernels.attention import paged_window_attention_kernel
+
+    rng = np.random.default_rng(5)
+    B, W, Hq, Hkv, D, ps, P, maxP = 1, 3, 4, 2, 128, 8, 8, 6
+    q = jnp.asarray(rng.standard_normal((B, W, Hq, D)).astype(np.float32))
+    k_pages, v_pages = _mk_pages(rng, P, ps, Hkv, D)
+    seq_lens = jnp.asarray([9], jnp.int32)  # 9+3=12 rows -> 2 pages of 8
+    table = np.zeros((B, maxP), np.int32)
+    table[0] = [2, 3, 4, 5, 6, 7]  # pages 4.. are beyond the live range
+    table = jnp.asarray(table)
+
+    clean = paged_window_attention_kernel(
+        q, k_pages, v_pages, table, seq_lens, scale=0.2, interpret=True)
+    kp = np.array(k_pages)
+    vp = np.array(v_pages)
+    kp[4:] = np.nan
+    vp[4:] = np.nan
+    poisoned = paged_window_attention_kernel(
+        q, jnp.asarray(kp), jnp.asarray(vp), table, seq_lens,
+        scale=0.2, interpret=True)
+    assert np.isfinite(np.asarray(poisoned)).all()
+    np.testing.assert_array_equal(np.asarray(poisoned), np.asarray(clean))
