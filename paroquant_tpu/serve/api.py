@@ -146,10 +146,17 @@ class Server:
             import numpy as np
 
             pixel_values = np.asarray(body["pixel_values"], np.float32)
-        if body.get("echo") and not int(body.get("max_tokens") or 0):
+        if body.get("echo"):
             # prompt scoring (echo + logprobs + max_tokens=0): the lm_eval /
             # OpenAI loglikelihood protocol — no generation, return per-token
-            # logprobs of the prompt itself
+            # logprobs of the prompt itself. Echo WITH generation (OpenAI
+            # defaults max_tokens to 16) is not supported; require an
+            # explicit max_tokens: 0 rather than silently scoring-only.
+            if body.get("max_tokens") is None or int(body["max_tokens"]) != 0:
+                raise web.HTTPBadRequest(
+                    reason="echo requires explicit max_tokens: 0 "
+                    "(prompt scoring); echo with generation is unsupported"
+                )
             lps = await asyncio.get_event_loop().run_in_executor(
                 None, self.engine.score_sync, prompt
             )
@@ -189,9 +196,9 @@ class Server:
         n = max(int(body.get("n") or 1), 1)
         if n > 1 and body.get("stream"):
             raise web.HTTPBadRequest(reason="n>1 with stream is not supported")
+        reqs = []
         try:
-            req = self.engine.submit(prompt, sp, pixel_values=pixel_values)
-            reqs = [req]
+            reqs.append(self.engine.submit(prompt, sp, pixel_values=pixel_values))
             for i in range(1, n):
                 # distinct sampling streams per choice: shift an explicit
                 # seed, otherwise each request id hashes its own base key
@@ -200,7 +207,10 @@ class Server:
                 )
                 reqs.append(self.engine.submit(prompt, sp_i, pixel_values=pixel_values))
         except ValueError as e:
+            for r in reqs:  # don't orphan already-submitted choices
+                self.engine.cancel(r)
             raise web.HTTPBadRequest(reason=str(e))
+        req = reqs[0]
         created = int(time.time())
         rid = f"chatcmpl-{uuid.uuid4().hex[:12]}" if chat else f"cmpl-{uuid.uuid4().hex[:12]}"
         tok = self.engine.tokenizer
@@ -236,41 +246,52 @@ class Server:
                     chunk["choices"][0]["token_ids"] = [t]
                 await resp.write(f"data: {json.dumps(chunk)}\n\n".encode())
 
-            pending: list[int] = []  # token-buffered path (no stop strings)
-            all_toks: list[int] = []  # full re-decode path (stop strings)
-            emitted = 0  # chars already streamed (stop-string path)
+            # incremental decode: `pending` buffers tokens until they decode
+            # cleanly (no trailing replacement char); with stop strings the
+            # decoded chunks flow into `buf`, which always retains the last
+            # `holdback` chars un-emitted so stops straddling chunk (and
+            # token) boundaries are caught without re-decoding history
+            pending: list[int] = []
+            buf = ""  # decoded-but-unemitted text (stop-string path)
+            n_recv = 0
             finish_reason = "stop"
+            stopped = False
             while True:
                 kind, t = await asyncio.get_event_loop().run_in_executor(
                     None, req.out_queue.get
                 )
                 if kind == "done":
-                    if len(all_toks) + len(pending) >= sp.max_tokens:
+                    if n_recv >= sp.max_tokens:
                         finish_reason = "length"
                     break
-                if stops:
-                    # stop sequences can straddle token boundaries: re-decode
-                    # the full text, stream only past the longest-stop window
-                    all_toks.append(t)
-                    full = tok.decode(all_toks, skip_special_tokens=True)
-                    hit = _find_stop(full, stops)
-                    if hit >= 0:
-                        if hit > emitted:
-                            await send_chunk(full[emitted:hit], t, None)
-                        self.engine.cancel(req)
-                        break
-                    safe = len(full) - holdback
-                    if safe > emitted and not full.endswith("�"):
-                        await send_chunk(full[emitted:safe], t, None)
-                        emitted = safe
-                    continue
+                n_recv += 1
                 pending.append(t)
                 text = tok.decode(pending, skip_special_tokens=True) if tok else ""
-                if tok and text and not text.endswith("�"):
-                    pending.clear()
-                elif tok:
+                if tok and not (text and not text.endswith("�")):
+                    continue  # token fragment; wait for a clean boundary
+                pending.clear()
+                if not stops:
+                    await send_chunk(text, t, None)
                     continue
-                await send_chunk(text, t, None)
+                buf += text
+                hit = _find_stop(buf, stops)
+                if hit >= 0:
+                    if hit > 0:
+                        await send_chunk(buf[:hit], t, None)
+                    buf = ""
+                    stopped = True
+                    self.engine.cancel(req)
+                    break
+                if len(buf) > holdback:
+                    await send_chunk(buf[:-holdback] if holdback else buf, t, None)
+                    buf = buf[-holdback:] if holdback else ""
+            if not stopped and (buf or pending):
+                # flush the held-back tail + any trailing token fragment
+                tail = buf + (
+                    tok.decode(pending, skip_special_tokens=True) if tok and pending else ""
+                )
+                if tail:
+                    await send_chunk(tail, None, None)
             await send_chunk("", None, finish_reason)
             await resp.write(b"data: [DONE]\n\n")
             await resp.write_eof()
@@ -279,6 +300,11 @@ class Server:
         # n>1 (non-streaming): the extra choices were submitted upfront in
         # _run's caller-visible batch, so they decode CONCURRENTLY in the
         # engine's continuous batch rather than sequentially
+        # stop detection decodes only a tail window (a token decodes to >= 1
+        # char, so `max_stop_chars` tokens always cover a straddling stop) —
+        # O(n) host work instead of re-decoding the whole history per token
+        max_stop_chars = max((len(s) for s in stops), default=0)
+
         async def collect(r):
             out: list[int] = []
             finish_reason = None
@@ -290,8 +316,10 @@ class Server:
                     break
                 out.append(t)
                 if stops:
-                    hit = _find_stop(tok.decode(out, skip_special_tokens=True), stops)
-                    if hit >= 0:
+                    tail = tok.decode(
+                        out[-(max_stop_chars + 4):], skip_special_tokens=True
+                    )
+                    if _find_stop(tail, stops) >= 0:
                         finish_reason = "stop"
                         self.engine.cancel(r)
                         break

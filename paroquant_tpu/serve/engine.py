@@ -883,20 +883,28 @@ class Engine:
     def _reap_cancelled(self):
         """Finish any slot / queued request whose id was cancel()ed. Slots
         mid-prefill finish on a later tick (the chunked prefill must land
-        its KV before the pages can be reclaimed safely)."""
+        its KV before the pages can be reclaimed safely). Ids matching no
+        live request (cancel raced a natural finish) are dropped so the set
+        never grows unboundedly."""
         if not self._cancelled:
             return
+        snapshot = set(self._cancelled)  # ids added mid-tick wait a tick
+        live: set[str] = set()
         for i, slot in enumerate(self.slots):
             r = slot.request
-            if r is not None and not slot.prefilling and r.request_id in self._cancelled:
+            if r is None:
+                continue
+            if not slot.prefilling and r.request_id in self._cancelled:
                 self._cancelled.discard(r.request_id)
                 self._finish_slot(i, r)
+            else:
+                live.add(r.request_id)  # incl. mid-prefill: reap next tick
         for r in list(self._pending):
             if r.request_id in self._cancelled:
                 self._pending.remove(r)
                 self._cancelled.discard(r.request_id)
                 r.out_queue.put(("done", None))
-        if self._cancelled and not self.waiting.empty():
+        if self._cancelled:
             kept = []
             while True:
                 try:
@@ -910,6 +918,12 @@ class Engine:
                     kept.append(r)
             for r in kept:
                 self.waiting.put(r)
+            # everything live has now been scanned: snapshot ids matching no
+            # live request are finished requests whose cancel raced the
+            # natural completion — drop them so the set stays bounded
+            self._cancelled -= {
+                i for i in (snapshot & self._cancelled) if i not in live
+            }
 
     def score_sync(self, prompt_tokens: list[int]) -> list[float | None]:
         """Per-token prompt logprobs (log p(tok_i | tok_<i)) under the model —

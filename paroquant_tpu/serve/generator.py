@@ -196,8 +196,17 @@ class Generator:
         spec = (
             self.lookup_spec_k > 0
             and sp.temperature == 0.0
+            # penalty applies even at temp 0 (sampling.py greedy-after-penalty
+            # semantics) — pure-argmax speculation would change the output
+            and sp.repetition_penalty == 1.0
             and self.config.num_linear_layers == 0
             and not self.config.is_gemma3n
+            # the last verify window writes up to k rows past the final
+            # token; if max_len can't hold that slack, dynamic_update_slice
+            # would CLAMP the write start and corrupt valid KV rows — fall
+            # back to plain greedy instead
+            and len(prompt_tokens) + sp.max_tokens + self.lookup_spec_k
+            <= self.max_len
         )
         toks = np.asarray(prompt_tokens, np.int32)[None, :]
         cache = KVCache.create(

@@ -430,7 +430,15 @@ def _paged_verify_step_impl(
     exactly those rows before they ever enter the attended range (attention
     masks by absolute position). Positions past the page table's range
     redirect to the trash page. Standard-attention families only (hybrids'
-    recurrent state can't roll back; the engine guards)."""
+    recurrent state can't roll back; the engine guards).
+
+    NOTE: this layer loop deliberately mirrors _paged_decode_step_impl's
+    full-attention branch (the W=1 case) rather than sharing code — the
+    decode loop is the latency-critical hot path and keeps its own kernel.
+    Divergence between the two is pinned by the engine-vs-plain token
+    equality tests (test_engine_speculative_matches_plain and the TP
+    variant), which run the same configs through BOTH stacks; a change to
+    one loop but not the other fails them."""
     B, W = windows.shape
     ps = cache.page_size
     maxP = page_table.shape[1]

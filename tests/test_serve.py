@@ -711,3 +711,32 @@ def test_engine_speculative_matches_plain(model):
     with pytest.raises(ValueError):
         Engine(hp, hy, max_batch=1, max_len=32, page_size=8,
                quant_mode="xla", cache_dtype=jnp.float32, spec_k=2)
+
+
+def test_speculative_guards_penalty_and_slack(model):
+    """Two exactness guards: greedy with repetition penalty must bypass
+    speculation (penalty shapes even argmax), and a max_len with no room for
+    the verify-window slack must fall back to plain greedy rather than let
+    clamped KV writes corrupt the tail."""
+    from paroquant_tpu.serve import Generator
+
+    prompt = [7, 3, 9, 4] * 5
+    # penalty: spec and base must agree BECAUSE spec is bypassed
+    sp_pen = SamplingParams(max_tokens=10, temperature=0.0, repetition_penalty=1.4)
+    base = Generator(model, CFG, max_len=128, quant_mode="xla",
+                     cache_dtype=jnp.float32)
+    spec = Generator(model, CFG, max_len=128, quant_mode="xla",
+                     cache_dtype=jnp.float32, lookup_spec_k=4)
+    assert (list(spec.stream_generate(prompt, sp_pen))
+            == list(base.stream_generate(prompt, sp_pen)))
+    assert spec.spec_metrics["windows"] == 0
+
+    # no slack: prompt+max_tokens fills max_len exactly -> plain greedy
+    sp_full = SamplingParams(max_tokens=44, temperature=0.0)
+    tight_b = Generator(model, CFG, max_len=64, quant_mode="xla",
+                        cache_dtype=jnp.float32)
+    tight_s = Generator(model, CFG, max_len=64, quant_mode="xla",
+                        cache_dtype=jnp.float32, lookup_spec_k=4)
+    assert (list(tight_s.stream_generate(prompt, sp_full))
+            == list(tight_b.stream_generate(prompt, sp_full)))
+    assert tight_s.spec_metrics["windows"] == 0
