@@ -24,6 +24,12 @@ def main(argv=None):
                          "greedy request batches (exact outputs)")
     ap.add_argument("--prefix-caching", action="store_true",
                     help="share full prompt-prefix pages across requests (vLLM-style APC)")
+    ap.add_argument("--dp", type=int, default=1,
+                    help="request-level data parallelism: N engine replicas "
+                         "over disjoint device groups, least-loaded routing")
+    ap.add_argument("--tp", type=int, default=None,
+                    help="tensor-parallel size per replica (default: all of "
+                         "the replica's devices)")
     ap.add_argument("--served-model-name", default=None)
     ap.add_argument("--device", default="auto", choices=["cpu", "tpu", "auto"])
     args = ap.parse_args(argv)
@@ -42,12 +48,39 @@ def main(argv=None):
     on_tpu = detect_backend() == "tpu"
     qmode = args.quant_mode or ("auto" if on_tpu else "xla")
     burst = args.decode_burst if args.decode_burst is not None else (8 if on_tpu else 1)
-    engine = Engine(
-        params, config, tokenizer,
-        max_batch=args.max_batch, max_len=args.max_len, page_size=args.page_size,
-        quant_mode=qmode, decode_burst=burst,
-        prefix_caching=args.prefix_caching, spec_k=args.spec_k,
-    )
+
+    def make_engine(mesh=None):
+        return Engine(
+            params, config, tokenizer,
+            max_batch=args.max_batch, max_len=args.max_len, page_size=args.page_size,
+            quant_mode=qmode, decode_burst=burst,
+            prefix_caching=args.prefix_caching, spec_k=args.spec_k, mesh=mesh,
+        )
+
+    if args.dp > 1:
+        # request-level DP: each replica gets a disjoint device group and
+        # (if >1 device per group) TP inside it — the 2-D serving layout
+        # (TP over ICI within a replica, DP between replicas)
+        import jax
+        import numpy as np
+        from jax.sharding import Mesh
+
+        from ..serve.router import EngineRouter
+
+        devs = np.array(jax.devices())
+        per = args.tp or max(len(devs) // args.dp, 1)
+        if args.dp * per > len(devs):
+            raise SystemExit(
+                f"--dp {args.dp} x tp {per} needs {args.dp * per} devices, "
+                f"have {len(devs)}"
+            )
+        engine = EngineRouter([
+            make_engine(Mesh(devs[i * per:(i + 1) * per].reshape(1, per),
+                             ("data", "model")))
+            for i in range(args.dp)
+        ])
+    else:
+        engine = make_engine()
     processor = None
     if config.is_vlm:  # image templating + pixel preprocessing for chat images
         try:

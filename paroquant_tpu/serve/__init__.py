@@ -1,4 +1,5 @@
 from .engine import Engine, Request
+from .router import EngineRouter
 from .generator import (
     GenerationResult,
     GenerationStats,

@@ -740,3 +740,54 @@ def test_speculative_guards_penalty_and_slack(model):
     assert (list(tight_s.stream_generate(prompt, sp_full))
             == list(tight_b.stream_generate(prompt, sp_full)))
     assert tight_s.spec_metrics["windows"] == 0
+
+
+def test_engine_router_dp(model):
+    """EngineRouter (request-level DP over replicas): outputs equal the
+    single-engine reference, load spreads across replicas, and the
+    Engine-compatible surface (metrics/cancel/score) works through it."""
+    from paroquant_tpu.serve import EngineRouter
+
+    def mk():
+        return Engine(model, CFG, max_batch=2, max_len=64, page_size=8,
+                      quant_mode="xla", cache_dtype=jnp.float32)
+
+    rng = np.random.default_rng(23)
+    prompts = [list(rng.integers(0, CFG.vocab_size, n)) for n in (5, 9, 7, 11)]
+    sp = SamplingParams(max_tokens=6, temperature=0.0)
+    ref_eng = mk()
+    want = [ref_eng.generate_sync(p, sp) for p in prompts]
+
+    router = EngineRouter([mk(), mk()])
+    reqs = [router.submit(p, sp) for p in prompts]
+    for _ in range(400):
+        if not router.step():
+            break
+    got = []
+    for r in reqs:
+        out = []
+        while not r.out_queue.empty():
+            kind, t = r.out_queue.get_nowait()
+            if kind != "done":
+                out.append(t)
+        got.append(out)
+    assert got == want
+    # both replicas took work (4 requests, 2-slot engines, least-loaded)
+    assert all(e.metrics["requests"] > 0 for e in router.engines)
+    assert router.metrics["requests"] == len(prompts)
+    assert router.metrics["replicas"] == 2
+
+    # cancel routes to the owning replica
+    long_req = router.submit(prompts[0], SamplingParams(max_tokens=40, temperature=0.0))
+    router.step()
+    router.cancel(long_req)
+    for _ in range(4):
+        router.step()
+    kinds = []
+    while not long_req.out_queue.empty():
+        kinds.append(long_req.out_queue.get_nowait()[0])
+    assert kinds and kinds[-1] == "done" and len(kinds) - 1 < 40
+
+    # scoring works through the router
+    lp = router.score_sync(prompts[0])
+    assert lp[0] is None and len(lp) == len(prompts[0])
