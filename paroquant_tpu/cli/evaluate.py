@@ -40,8 +40,12 @@ def load_eval_tokens(name: str, tokenizer, n_tokens: int, seed: int = 0) -> np.n
 
 
 def perplexity(params, config, tokens: np.ndarray, seqlen: int, quant_mode: str,
-               batch: int = 1) -> float:
-    """exp(mean CE) over non-overlapping seqlen windows (evaluate.py:61-74)."""
+               batch: int = 1, mesh=None) -> float:
+    """exp(mean CE) over non-overlapping seqlen windows (evaluate.py:61-74).
+
+    mesh: optional jax.sharding.Mesh with a "data" axis — windows shard
+    batch-wise (GSPMD data parallelism for eval sweeps, SURVEY §2.6 DP row);
+    a tail batch that doesn't divide the axis runs replicated."""
     import jax
     import jax.numpy as jnp
 
@@ -49,6 +53,13 @@ def perplexity(params, config, tokens: np.ndarray, seqlen: int, quant_mode: str,
 
     n_win = len(tokens) // seqlen
     assert n_win > 0, "not enough tokens for one window"
+
+    data_sh = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        params = jax.device_put(params, NamedSharding(mesh, P()))
+        data_sh = NamedSharding(mesh, P("data"))
 
     @jax.jit
     def window_ce(tok):
@@ -62,7 +73,10 @@ def perplexity(params, config, tokens: np.ndarray, seqlen: int, quant_mode: str,
     for w in range(0, n_win, batch):
         nb = min(batch, n_win - w)
         win = tokens[w * seqlen : (w + nb) * seqlen].reshape(nb, seqlen)
-        s, c = window_ce(jnp.asarray(win, jnp.int32))
+        arr = jnp.asarray(win, jnp.int32)
+        if data_sh is not None and nb % mesh.shape["data"] == 0:
+            arr = jax.device_put(arr, data_sh)
+        s, c = window_ce(arr)
         total += float(s)
         count += int(c)
     return float(np.exp(total / count))
@@ -78,6 +92,10 @@ def main(argv=None):
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--quant-mode", default=None, choices=["xla", "fused", "auto"])
     ap.add_argument("--device", default="auto", choices=["cpu", "tpu", "auto"])
+    ap.add_argument("--batch", type=int, default=1, help="windows per forward")
+    ap.add_argument("--dp", type=int, default=1,
+                    help="data-parallel eval: shard window batches over a "
+                         "--dp-device mesh (batch must divide dp)")
     args = ap.parse_args(argv)
 
     from ..utils import force_platform
@@ -89,17 +107,26 @@ def main(argv=None):
 
     params, config = load_checkpoint(args.model)
     qmode = args.quant_mode or ("auto" if detect_backend() == "tpu" else "xla")
+    mesh = None
+    if args.dp > 1:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh(n_data=args.dp, n_model=1)
+        if args.batch % args.dp:
+            args.batch = args.dp * max(args.batch // args.dp, 1)
+
+    def run_ppl(toks):
+        return perplexity(params, config, toks, args.seqlen, qmode,
+                          batch=args.batch, mesh=mesh)
 
     if args.synthetic:
         rng = np.random.default_rng(0)
         toks = rng.integers(0, config.vocab_size, args.num_tokens).astype(np.int32)
-        ppl = perplexity(params, config, toks, args.seqlen, qmode)
-        print(f"synthetic ppl: {ppl:.4f}")
+        print(f"synthetic ppl: {run_ppl(toks):.4f}")
         return
     if args.token_file:
         toks = np.load(args.token_file).astype(np.int32)
-        ppl = perplexity(params, config, toks, args.seqlen, qmode)
-        print(f"{args.token_file} ppl: {ppl:.4f}")
+        print(f"{args.token_file} ppl: {run_ppl(toks):.4f}")
         return
 
     tokenizer = load_tokenizer(args.model)
@@ -108,8 +135,7 @@ def main(argv=None):
         sys.exit(2)
     for name in args.datasets:
         toks = load_eval_tokens(name, tokenizer, args.num_tokens)
-        ppl = perplexity(params, config, toks, args.seqlen, qmode)
-        print(f"{name} ppl: {ppl:.4f}")
+        print(f"{name} ppl: {run_ppl(toks):.4f}")
 
 
 if __name__ == "__main__":

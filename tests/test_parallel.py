@@ -235,3 +235,18 @@ def test_engine_speculative_tp_matches_single_device():
     got = eng.generate_sync(prompt, sp)
     assert got == ref
     assert eng.metrics["spec_windows"] > 0
+
+
+def test_dp_perplexity_matches_single_device():
+    """evaluate's DP-sharded PPL equals the single-device value (same math,
+    different device layout; only reduction order can differ)."""
+    from paroquant_tpu.cli.evaluate import perplexity
+
+    config = PRESETS["tiny"]
+    params = init_params(config, jax.random.PRNGKey(5), dtype=jnp.float32)
+    rng = np.random.default_rng(6)
+    toks = rng.integers(0, config.vocab_size, 16 * 12).astype(np.int32)
+    single = perplexity(params, config, toks, 16, "xla", batch=4)
+    mesh = make_mesh(n_data=4, n_model=1)
+    dp = perplexity(params, config, toks, 16, "xla", batch=4, mesh=mesh)
+    np.testing.assert_allclose(dp, single, rtol=1e-5)
