@@ -95,7 +95,8 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=1, help="windows per forward")
     ap.add_argument("--dp", type=int, default=1,
                     help="data-parallel eval: shard window batches over a "
-                         "--dp-device mesh (batch must divide dp)")
+                         "--dp-device mesh (dp must divide batch; batch is "
+                         "rounded up to a multiple of dp if needed)")
     args = ap.parse_args(argv)
 
     from ..utils import force_platform
@@ -113,7 +114,10 @@ def main(argv=None):
 
         mesh = make_mesh(n_data=args.dp, n_model=1)
         if args.batch % args.dp:
-            args.batch = args.dp * max(args.batch // args.dp, 1)
+            new_b = args.dp * max(args.batch // args.dp, 1)
+            print(f"note: --batch {args.batch} rounded to {new_b} "
+                  f"(must be a multiple of --dp {args.dp})")
+            args.batch = new_b
 
     def run_ppl(toks):
         return perplexity(params, config, toks, args.seqlen, qmode,

@@ -57,10 +57,9 @@ def main(argv=None):
             prefix_caching=args.prefix_caching, spec_k=args.spec_k, mesh=mesh,
         )
 
-    if args.dp > 1:
-        # request-level DP: each replica gets a disjoint device group and
-        # (if >1 device per group) TP inside it — the 2-D serving layout
-        # (TP over ICI within a replica, DP between replicas)
+    if args.dp > 1 or args.tp:
+        # 2-D serving layout: TP over ICI inside each replica, request-level
+        # DP between replicas (dp=1 with --tp is plain tensor parallelism)
         import jax
         import numpy as np
         from jax.sharding import Mesh
@@ -74,11 +73,12 @@ def main(argv=None):
                 f"--dp {args.dp} x tp {per} needs {args.dp * per} devices, "
                 f"have {len(devs)}"
             )
-        engine = EngineRouter([
+        replicas = [
             make_engine(Mesh(devs[i * per:(i + 1) * per].reshape(1, per),
                              ("data", "model")))
             for i in range(args.dp)
-        ])
+        ]
+        engine = replicas[0] if len(replicas) == 1 else EngineRouter(replicas)
     else:
         engine = make_engine()
     processor = None

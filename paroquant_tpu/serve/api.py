@@ -246,16 +246,32 @@ class Server:
                     chunk["choices"][0]["token_ids"] = [t]
                 await resp.write(f"data: {json.dumps(chunk)}\n\n".encode())
 
-            # incremental decode: `pending` buffers tokens until they decode
-            # cleanly (no trailing replacement char); with stop strings the
-            # decoded chunks flow into `buf`, which always retains the last
-            # `holdback` chars un-emitted so stops straddling chunk (and
-            # token) boundaries are caught without re-decoding history
-            pending: list[int] = []
+            # vLLM-style incremental detokenization: deltas come from a
+            # decode window that always includes the previous tokens'
+            # context, so tokenizers whose detokenization is not
+            # concatenation-stable (SentencePiece Metaspace: a standalone
+            # token drops its leading space) still stream exact substrings
+            # of the full decode — at O(1) amortized decode work per token.
+            # With stop strings, deltas flow into `buf`, which retains the
+            # last `holdback` chars un-emitted so straddling stops are caught.
+            all_toks: list[int] = []
+            prefix_off = 0  # decode-window start (lags one clean boundary)
+            read_off = 0  # tokens already converted to emitted text
             buf = ""  # decoded-but-unemitted text (stop-string path)
             n_recv = 0
             finish_reason = "stop"
             stopped = False
+
+            def _delta() -> str | None:
+                """Text produced by tokens read_off.. (None = mid-fragment)."""
+                new_text = tok.decode(all_toks[prefix_off:], skip_special_tokens=True)
+                if new_text.endswith("�"):
+                    return None  # incomplete byte sequence; wait for more
+                prev_text = tok.decode(
+                    all_toks[prefix_off:read_off], skip_special_tokens=True
+                )
+                return new_text[len(prev_text):]
+
             while True:
                 kind, t = await asyncio.get_event_loop().run_in_executor(
                     None, req.out_queue.get
@@ -265,15 +281,20 @@ class Server:
                         finish_reason = "length"
                     break
                 n_recv += 1
-                pending.append(t)
-                text = tok.decode(pending, skip_special_tokens=True) if tok else ""
-                if tok and not (text and not text.endswith("�")):
-                    continue  # token fragment; wait for a clean boundary
-                pending.clear()
-                if not stops:
-                    await send_chunk(text, t, None)
+                if not tok:
+                    await send_chunk("", t, None)  # token-ids-only protocol
                     continue
-                buf += text
+                all_toks.append(t)
+                delta = _delta()
+                if delta is None:
+                    continue
+                prefix_off, read_off = read_off, len(all_toks)
+                if not delta:
+                    continue
+                if not stops:
+                    await send_chunk(delta, t, None)
+                    continue
+                buf += delta
                 hit = _find_stop(buf, stops)
                 if hit >= 0:
                     if hit > 0:
@@ -285,11 +306,13 @@ class Server:
                 if len(buf) > holdback:
                     await send_chunk(buf[:-holdback] if holdback else buf, t, None)
                     buf = buf[-holdback:] if holdback else ""
-            if not stopped and (buf or pending):
+            if not stopped and tok:
                 # flush the held-back tail + any trailing token fragment
-                tail = buf + (
-                    tok.decode(pending, skip_special_tokens=True) if tok and pending else ""
+                new_text = tok.decode(all_toks[prefix_off:], skip_special_tokens=True)
+                prev_text = tok.decode(
+                    all_toks[prefix_off:read_off], skip_special_tokens=True
                 )
+                tail = buf + new_text[len(prev_text):]
                 if tail:
                     await send_chunk(tail, None, None)
             await send_chunk("", None, finish_reason)
@@ -300,10 +323,14 @@ class Server:
         # n>1 (non-streaming): the extra choices were submitted upfront in
         # _run's caller-visible batch, so they decode CONCURRENTLY in the
         # engine's continuous batch rather than sequentially
-        # stop detection decodes only a tail window (a token decodes to >= 1
-        # char, so `max_stop_chars` tokens always cover a straddling stop) —
-        # O(n) host work instead of re-decoding the whole history per token
+        # stop detection decodes only a tail window — O(n) host work instead
+        # of re-decoding the whole history per token. Window size: a char
+        # can arrive as up to 4 byte-fallback tokens (and some tokens decode
+        # to 0 chars under skip_special_tokens), so cover 4x the stop length
+        # plus boundary slack; the authoritative full decode below still
+        # truncates exactly even if the window heuristic ever misses.
         max_stop_chars = max((len(s) for s in stops), default=0)
+        stop_win = 4 * max_stop_chars + 8
 
         async def collect(r):
             out: list[int] = []
@@ -316,9 +343,7 @@ class Server:
                     break
                 out.append(t)
                 if stops:
-                    tail = tok.decode(
-                        out[-(max_stop_chars + 4):], skip_special_tokens=True
-                    )
+                    tail = tok.decode(out[-stop_win:], skip_special_tokens=True)
                     if _find_stop(tail, stops) >= 0:
                         finish_reason = "stop"
                         self.engine.cancel(r)

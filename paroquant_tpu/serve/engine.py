@@ -50,6 +50,8 @@ class Request:
     # per generated token: logprob under the raw model distribution, appended
     # before the token lands on out_queue (OpenAI `logprobs` surface)
     logprobs: list[float] = dataclasses.field(default_factory=list)
+    # owning engine when routed through a DP EngineRouter (cancel-routing)
+    owner: Any = None
 
     @property
     def ttft(self) -> float | None:
@@ -238,6 +240,9 @@ def _set_linear_slot(cache, slot_id, conv, rec):
     )
 
 
+_GLOBAL_ID_COUNTER = itertools.count()
+
+
 class Engine:
     """Continuous-batching inference engine."""
 
@@ -344,7 +349,10 @@ class Engine:
         # regardless of batch composition
         self.slot_keys = np.zeros((max_batch, 2), np.uint32)
         self.slot_steps = np.zeros(max_batch, np.int64)
-        self._id_counter = itertools.count()
+        # ids must be unique ACROSS engines: DP replicas (serve/router.py)
+        # key cancel-routing by request id, so per-instance counters would
+        # cross-wire requests between replicas
+        self._id_counter = _GLOBAL_ID_COUNTER
         self._lock = threading.Lock()
         self._cancelled: set[str] = set()
         self._stop_flag = False

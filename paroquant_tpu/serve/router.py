@@ -25,13 +25,15 @@ from .sampling import SamplingParams
 
 
 class EngineRouter:
-    """Least-loaded dispatch over Engine replicas (request-level DP)."""
+    """Least-loaded dispatch over Engine replicas (request-level DP).
+
+    Cancel-routing rides on the Request object itself (Request.owner), so
+    the router holds no per-request state and nothing grows with traffic."""
 
     def __init__(self, engines: list[Engine]):
         if not engines:
             raise ValueError("EngineRouter needs at least one Engine")
         self.engines = list(engines)
-        self._owner: dict[str, Engine] = {}
         self._lock = threading.Lock()
 
     # -- Engine-compatible surface ------------------------------------
@@ -70,11 +72,11 @@ class EngineRouter:
         with self._lock:
             eng = min(self.engines, key=self._load)
             req = eng.submit(prompt_tokens, sampling, pixel_values=pixel_values)
-            self._owner[req.request_id] = eng
+            req.owner = eng
         return req
 
     def cancel(self, req: Request) -> None:
-        eng = self._owner.get(req.request_id)
+        eng = req.owner
         if eng is not None:
             eng.cancel(req)
 
@@ -88,9 +90,7 @@ class EngineRouter:
     ) -> list[int]:
         with self._lock:
             eng = min(self.engines, key=self._load)
-            # route through the owner map so cancel() keeps working
-        req_eng = eng
-        return req_eng.generate_sync(prompt_tokens, sampling, **kw)
+        return eng.generate_sync(prompt_tokens, sampling, **kw)
 
     def step(self) -> bool:
         busy = False
