@@ -69,6 +69,9 @@ class ModelConfig:
     moe_intermediate_size: int = 0
     norm_topk_prob: bool = True
     decoder_sparse_step: int = 1
+    # layers forced to a dense MLP regardless of the sparse step
+    # (HF Qwen2MoE/Qwen3MoE `mlp_only_layers`)
+    mlp_only_layers: tuple = ()
     shared_expert_intermediate_size: int = 0
     # VLM (image-text): frozen vision_config items + merge parameters
     vision_items: tuple | None = None
@@ -131,7 +134,7 @@ class ModelConfig:
         return float(self.activation_sparsity[layer_idx])
 
     def layer_is_sparse(self, layer_idx: int) -> bool:
-        if not self.is_moe:
+        if not self.is_moe or layer_idx in self.mlp_only_layers:
             return False
         step = max(self.decoder_sparse_step, 1)
         return (layer_idx + 1) % step == 0
@@ -288,6 +291,7 @@ def from_hf_dict(cfg: dict[str, Any]) -> ModelConfig:
             moe_intermediate_size=cfg.get("moe_intermediate_size", 0),
             norm_topk_prob=cfg.get("norm_topk_prob", True),
             decoder_sparse_step=cfg.get("decoder_sparse_step", 1),
+            mlp_only_layers=tuple(cfg.get("mlp_only_layers", ()) or ()),
             shared_expert_intermediate_size=cfg.get("shared_expert_intermediate_size", 0),
         )
     layer_types = cfg.get("layer_types")

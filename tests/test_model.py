@@ -181,3 +181,25 @@ def test_moe_ragged_exact_under_imbalance():
     yb_gather = moe_ops._moe_gather(experts, x, idx_b, gates)
     np.testing.assert_allclose(np.asarray(yb_exact), np.asarray(yb_gather),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_mlp_only_layers_force_dense():
+    """HF Qwen2/3-MoE `mlp_only_layers`: listed layers run a dense MLP even
+    in an otherwise-sparse model (init + forward respect it)."""
+    import dataclasses
+
+    from paroquant_tpu.models import from_hf_dict
+
+    cfg = from_hf_dict(dict(
+        model_type="qwen3_moe", vocab_size=64, hidden_size=64,
+        intermediate_size=96, num_hidden_layers=3, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=16, rope_theta=10000.0,
+        num_experts=4, num_experts_per_tok=2, moe_intermediate_size=32,
+        mlp_only_layers=[1], tie_word_embeddings=True,
+    ))
+    assert cfg.layer_is_sparse(0) and not cfg.layer_is_sparse(1) and cfg.layer_is_sparse(2)
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    assert "experts" in params["layers"][0]["mlp"]
+    assert "experts" not in params["layers"][1]["mlp"]
+    logits, _ = model_forward(params, cfg, jnp.asarray([[1, 2, 3]], jnp.int32))
+    assert np.isfinite(np.asarray(logits)).all()
