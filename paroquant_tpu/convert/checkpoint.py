@@ -666,7 +666,27 @@ def load_checkpoint(
                 tensors[f"{lbase}.post_per_layer_input_norm.weight"], dtype
             )
         mlp: dict[str, Any] = {}
-        if f"{lbase}.mlp.gate.weight" in tensors:  # MoE router
+        if f"{lbase}.block_sparse_moe.gate.weight" in tensors:
+            # HF Mixtral layout: block_sparse_moe.gate + experts.E.{w1,w3,w2}
+            # (gate/up/down) -> our canonical stacked-expert form
+            mlp["router"] = DenseLinear(
+                jnp.asarray(
+                    tensors[f"{lbase}.block_sparse_moe.gate.weight"].T.copy(), dtype
+                ),
+                None,
+            )
+            experts_mx: dict[str, list] = {"gate_proj": [], "up_proj": [], "down_proj": []}
+            e = 0
+            while f"{lbase}.block_sparse_moe.experts.{e}.w1.weight" in tensors:
+                eb = f"{lbase}.block_sparse_moe.experts.{e}"
+                experts_mx["gate_proj"].append(tensors[f"{eb}.w1.weight"].T.copy())
+                experts_mx["up_proj"].append(tensors[f"{eb}.w3.weight"].T.copy())
+                experts_mx["down_proj"].append(tensors[f"{eb}.w2.weight"].T.copy())
+                e += 1
+            mlp["experts"] = {
+                pn: jnp.asarray(np.stack(ws), dtype) for pn, ws in experts_mx.items()
+            }
+        elif f"{lbase}.mlp.gate.weight" in tensors:  # MoE router
             mlp["router"] = DenseLinear(
                 jnp.asarray(tensors[f"{lbase}.mlp.gate.weight"].T.copy(), dtype), None
             )

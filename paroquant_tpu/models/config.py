@@ -294,6 +294,16 @@ def from_hf_dict(cfg: dict[str, Any]) -> ModelConfig:
             mlp_only_layers=tuple(cfg.get("mlp_only_layers", ()) or ()),
             shared_expert_intermediate_size=cfg.get("shared_expert_intermediate_size", 0),
         )
+    if mt == "mixtral":
+        # HF Mixtral: experts are full-width GLUs (w1/w3/w2), router logits
+        # softmaxed over ALL experts then top-k renormalized — exactly our
+        # norm_topk_prob semantics (decoder.moe_forward)
+        kwargs.update(
+            num_experts=cfg.get("num_local_experts", 0),
+            num_experts_per_tok=cfg.get("num_experts_per_tok", 2),
+            moe_intermediate_size=cfg.get("intermediate_size", 0),
+            norm_topk_prob=True,
+        )
     layer_types = cfg.get("layer_types")
     if mt == "qwen3_next":
         # hybrid gated-delta-net family (HF modeling_qwen3_next.py): 3 of
