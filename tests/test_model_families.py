@@ -4,6 +4,8 @@ mapping from HF dicts, and the driver entry points."""
 
 import dataclasses
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -189,3 +191,57 @@ def test_mixtral_hf_parity(tmp_path):
         hf_out = hf.generate(torch.from_numpy(toks).long(), max_new_tokens=8,
                              do_sample=False)
     assert list(np.asarray(ours)[0]) == list(hf_out[0, 12:].numpy())
+
+
+@pytest.mark.parametrize("family", ["llama", "qwen3", "qwen3_moe", "qwen2"])
+def test_core_family_hf_parity(tmp_path, family):
+    """Flagship families vs the HF torch implementations, through the real
+    checkpoint loader: logits close, greedy tokens exact. (qwen3_next,
+    gemma3, gemma3n, VLM, mixtral have their own parity tests.)"""
+    import torch
+
+    torch.manual_seed(0)
+    common = dict(
+        vocab_size=64, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        rope_theta=10000.0, tie_word_embeddings=False,
+    )
+    if family == "llama":
+        from transformers import LlamaConfig, LlamaForCausalLM as M
+
+        hf_cfg = LlamaConfig(**common)
+    elif family == "qwen3":
+        from transformers import Qwen3Config, Qwen3ForCausalLM as M
+
+        hf_cfg = Qwen3Config(**common, head_dim=16)
+    elif family == "qwen2":
+        from transformers import Qwen2Config, Qwen2ForCausalLM as M
+
+        hf_cfg = Qwen2Config(**common)
+    else:
+        from transformers import Qwen3MoeConfig, Qwen3MoeForCausalLM as M
+
+        hf_cfg = Qwen3MoeConfig(
+            **common, head_dim=16, num_experts=4, num_experts_per_tok=2,
+            moe_intermediate_size=32, decoder_sparse_step=1,
+            norm_topk_prob=True,
+        )
+    hf = M(hf_cfg).eval().float()
+    hf.save_pretrained(tmp_path, safe_serialization=True)
+
+    from paroquant_tpu.convert import load_checkpoint
+    from paroquant_tpu.models.decoder import greedy_generate
+
+    params, config = load_checkpoint(tmp_path, dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    toks = rng.integers(0, 64, (1, 11)).astype(np.int32)
+    with torch.no_grad():
+        want = hf(torch.from_numpy(toks).long()).logits.numpy()
+    got, _ = model_forward(params, config, jnp.asarray(toks))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-3)
+
+    ours = greedy_generate(params, config, jnp.asarray(toks), 8)
+    with torch.no_grad():
+        hf_out = hf.generate(torch.from_numpy(toks).long(), max_new_tokens=8,
+                             do_sample=False)
+    assert list(np.asarray(ours)[0]) == list(hf_out[0, 11:].numpy()), family
