@@ -263,6 +263,7 @@ class Engine:
         decode_burst: int = 1,
         prefix_caching: bool = False,
         spec_k: int = 0,
+        max_inflight_prefills: int = 2,
     ):
         # Tensor-parallel serving (reference counterpart: the vLLM plugin's
         # TP, plugin.py:167-311): pass a jax.sharding.Mesh and the engine
@@ -301,7 +302,12 @@ class Engine:
         # prompts longer than this prefill one chunk per tick (interleaved
         # with decode) instead of stalling the whole scheduler
         self.prefill_chunk = prefill_chunk
-        self._prefill_state: _PrefillState | None = None
+        self._prefill_states: list[_PrefillState] = []
+        # concurrent chunked prefills: a new admission's prefill starts
+        # without waiting for the previous one to finish (p99 TTFT under
+        # bursty load); one chunk still dispatches per tick, round-robin
+        # FIFO, so decode stall stays bounded by one chunk
+        self.max_inflight_prefills = max_inflight_prefills
         # multi-step decode: when >1 and no admission work is pending, run
         # this many decode+sample steps in ONE dispatch (tokens feed back
         # on-device) — amortizes the host->device round-trip per token
@@ -431,7 +437,7 @@ class Engine:
         ]
         if active:
             self._decode(active)
-        return bool(active) or self._prefill_state is not None
+        return bool(active) or bool(self._prefill_states)
 
     # ------------------------------------------------------------------
 
@@ -485,13 +491,15 @@ class Engine:
             self.page_refs[pid] = self.page_refs.get(pid, 0) + 1
 
     def _admit(self):
-        # an in-progress chunked prefill advances ONE chunk per tick so the
-        # decode loop below never stalls longer than one chunk's latency
-        # (round-1 VERDICT weak item 6: synchronous whole-prompt admission)
-        if self._prefill_state is not None:
-            self._advance_prefill()
-            return
+        # in-progress chunked prefills advance ONE chunk per tick (oldest
+        # first) so the decode loop below never stalls longer than one
+        # chunk's latency (round-1 VERDICT weak item 6: synchronous
+        # whole-prompt admission)
+        if self._prefill_states:
+            self._advance_prefill(self._prefill_states[0])
         while True:
+            if len(self._prefill_states) >= self.max_inflight_prefills:
+                return
             free_slots = [i for i, s in enumerate(self.slots) if s.request is None]
             if not free_slots:
                 return
@@ -528,12 +536,12 @@ class Engine:
             # and any prompt with a cached prefix — stream chunk-per-tick so
             # active decodes keep flowing
             if (T > self.prefill_chunk or matched) and req.pixel_values is None:
-                self._start_chunked_prefill(slot_id, req, matched, reg_keys)
+                st = self._start_chunked_prefill(slot_id, req, matched, reg_keys)
                 if matched and T - len(matched) * self.page_size <= self.prefill_chunk:
                     # prefix hit with a one-chunk suffix: cheaper than a full
                     # direct prefill, so finish it this tick like one
-                    self._advance_prefill()
-                return  # (otherwise) first chunk next tick; decode keeps flowing
+                    self._advance_prefill(st)
+                continue  # starting costs no dispatch; admit more if room
             self._prefill_into_slot(slot_id, req, reg_keys)
 
     def _alloc_pages(self, req: Request, n_matched: int = 0) -> list[int]:
@@ -544,7 +552,7 @@ class Engine:
     def _start_chunked_prefill(
         self, slot_id: int, req: Request, matched: list[int] | None = None,
         reg_keys: tuple = (),
-    ):
+    ) -> _PrefillState:
         matched = matched or []
         T = len(req.prompt_tokens)
         bucket = self._bucket(T)
@@ -577,14 +585,15 @@ class Engine:
         slot = self.slots[slot_id]
         slot.request = req
         slot.prefilling = True
-        self._prefill_state = _PrefillState(
+        st = _PrefillState(
             request=req, slot_id=slot_id, pages=pages,
             toks=toks, cache=cache, offset=len(matched) * self.page_size,
             n_matched=len(matched), reg_keys=reg_keys,
         )
+        self._prefill_states.append(st)
+        return st
 
-    def _advance_prefill(self):
-        st = self._prefill_state
+    def _advance_prefill(self, st: _PrefillState):
         C = self.prefill_chunk
         T = len(st.request.prompt_tokens)
         chunk_np = st.toks[:, st.offset : st.offset + C]
@@ -609,7 +618,7 @@ class Engine:
                 reg_keys=st.reg_keys, n_matched=st.n_matched,
             )
             self.slots[st.slot_id].prefilling = False
-            self._prefill_state = None
+            self._prefill_states.remove(st)
 
     def _bucket(self, T: int) -> int:
         b = 16
@@ -809,7 +818,7 @@ class Engine:
         discarded and its overrun KV writes hit the trash page)."""
         if self.decode_burst <= 1:
             return 1
-        if self._prefill_state is not None or self._pending or not self.waiting.empty():
+        if self._prefill_states or self._pending or not self.waiting.empty():
             return 1
         remaining = min(
             self.slots[i].request.sampling.max_tokens - self.slots[i].n_generated

@@ -791,3 +791,36 @@ def test_engine_router_dp(model):
     # scoring works through the router
     lp = router.score_sync(prompts[0])
     assert lp[0] is None and len(lp) == len(prompts[0])
+
+
+def test_concurrent_chunked_prefills(model):
+    """Two long prompts admitted back-to-back prefill CONCURRENTLY (the
+    second no longer waits for the first to finish), and outputs equal the
+    one-at-a-time engine exactly."""
+    rng = np.random.default_rng(29)
+    prompts = [list(rng.integers(0, CFG.vocab_size, 40)) for _ in range(2)]
+    sp = SamplingParams(max_tokens=5, temperature=0.0)
+
+    ref_eng = Engine(model, CFG, max_batch=2, max_len=128, page_size=8,
+                     quant_mode="xla", cache_dtype=jnp.float32,
+                     prefill_chunk=16, max_inflight_prefills=1)
+    want = [ref_eng.generate_sync(p, sp) for p in prompts]
+
+    eng = Engine(model, CFG, max_batch=2, max_len=128, page_size=8,
+                 quant_mode="xla", cache_dtype=jnp.float32, prefill_chunk=16)
+    reqs = [eng.submit(p, sp) for p in prompts]
+    eng.step()  # admission tick: both chunked prefills must be in flight
+    assert len(eng._prefill_states) == 2
+    assert sum(1 for s in eng.slots if s.prefilling) == 2
+    for _ in range(200):
+        if not eng.step():
+            break
+    got = []
+    for r in reqs:
+        out = []
+        while not r.out_queue.empty():
+            kind, t = r.out_queue.get_nowait()
+            if kind != "done":
+                out.append(t)
+        got.append(out)
+    assert got == want
