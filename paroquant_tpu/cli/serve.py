@@ -31,6 +31,9 @@ def main(argv=None):
                     help="tensor-parallel size per replica (default: all of "
                          "the replica's devices)")
     ap.add_argument("--served-model-name", default=None)
+    ap.add_argument("--warmup", action="store_true",
+                    help="precompile the prefill buckets + decode variants "
+                         "before accepting traffic (first-request latency)")
     ap.add_argument("--device", default="auto", choices=["cpu", "tpu", "auto"])
     args = ap.parse_args(argv)
 
@@ -91,6 +94,23 @@ def main(argv=None):
             print("VLM checkpoint without loadable processor; chat image "
                   "content disabled (raw pixel_values still accepted)")
     name = args.served_model_name or str(args.model).rstrip("/").split("/")[-1]
+    if args.warmup:
+        import numpy as _np
+
+        from ..serve.sampling import SamplingParams as _SP
+
+        rng = _np.random.default_rng(0)
+        replicas = engine.engines if hasattr(engine, "engines") else [engine]
+        L = 16
+        warm_toks = (burst + 1) if burst > 1 else 2
+        while L < min(args.max_len, 2048):
+            print(f"warmup: bucket {L}", flush=True)
+            for e in replicas:
+                e.generate_sync(
+                    list(rng.integers(0, config.vocab_size, L - 1)),
+                    _SP(max_tokens=warm_toks, temperature=0.0),
+                )
+            L *= 2
     print(f"serving {name} on {args.host}:{args.port} (quant_mode={qmode})")
     Server(engine, name, processor=processor).run(args.host, args.port)
 
