@@ -824,3 +824,22 @@ def test_concurrent_chunked_prefills(model):
                 out.append(t)
         got.append(out)
     assert got == want
+
+
+def test_speculative_with_prefix_caching(model):
+    """spec_k and prefix_caching compose: a repeated repetitive prompt takes
+    the prefix-hit admission path AND speculative decode, with tokens equal
+    to the plain engine's."""
+    prompt = [7, 3, 9, 4] * 6  # 24 tokens = 3 full pages at page_size 8
+    sp = SamplingParams(max_tokens=10, temperature=0.0)
+    plain = Engine(model, CFG, max_batch=2, max_len=128, page_size=8,
+                   quant_mode="xla", cache_dtype=jnp.float32)
+    want = plain.generate_sync(prompt, sp)
+
+    eng = Engine(model, CFG, max_batch=2, max_len=128, page_size=8,
+                 quant_mode="xla", cache_dtype=jnp.float32,
+                 prefix_caching=True, spec_k=4)
+    assert eng.generate_sync(prompt, sp) == want
+    assert eng.generate_sync(prompt, sp) == want  # second run hits the cache
+    assert eng.metrics["prefix_hit_tokens"] > 0
+    assert eng.metrics["spec_accepted"] > 0, eng.metrics
