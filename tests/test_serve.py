@@ -843,3 +843,53 @@ def test_speculative_with_prefix_caching(model):
     assert eng.generate_sync(prompt, sp) == want  # second run hits the cache
     assert eng.metrics["prefix_hit_tokens"] > 0
     assert eng.metrics["spec_accepted"] > 0, eng.metrics
+
+
+def test_engine_scheduler_fuzz_batch_independence(model):
+    """Scheduler invariant: each request's output is independent of batch
+    composition. A mixed load (random lengths, max_tokens, greedy/seeded
+    sampling, penalties) through an engine with burst + prefix caching +
+    speculation enabled must reproduce, request for request, what a fresh
+    single-request engine produces."""
+    rng = np.random.default_rng(31)
+    cases = []
+    for i in range(8):
+        L = int(rng.integers(3, 40))
+        prompt = list(rng.integers(0, CFG.vocab_size, L))
+        if rng.random() < 0.25:
+            prompt = [7, 3, 9, 4] * (L // 4 + 1)  # repetitive (spec/APC food)
+        sp = SamplingParams(
+            max_tokens=int(rng.integers(2, 12)),
+            temperature=float(rng.choice([0.0, 0.0, 0.8])),
+            top_p=float(rng.choice([1.0, 0.9])),
+            top_k=int(rng.choice([0, 5])),
+            repetition_penalty=float(rng.choice([1.0, 1.0, 1.3])),
+            seed=int(rng.integers(0, 1 << 30)),
+        )
+        cases.append((prompt, sp))
+
+    def solo(prompt, sp):
+        eng = Engine(model, CFG, max_batch=1, max_len=128, page_size=8,
+                     quant_mode="xla", cache_dtype=jnp.float32)
+        return eng.generate_sync(prompt, sp)
+
+    want = [solo(p, sp) for p, sp in cases]
+
+    eng = Engine(model, CFG, max_batch=3, max_len=128, page_size=8,
+                 quant_mode="xla", cache_dtype=jnp.float32,
+                 decode_burst=3, prefix_caching=True, spec_k=3,
+                 prefill_chunk=16)
+    reqs = [eng.submit(p, sp) for p, sp in cases]
+    for _ in range(2000):
+        if not eng.step():
+            break
+    got = []
+    for r in reqs:
+        out = []
+        while not r.out_queue.empty():
+            kind, t = r.out_queue.get_nowait()
+            if kind != "done":
+                out.append(t)
+        got.append(out)
+    for i, (g, w) in enumerate(zip(got, want)):
+        assert g == w, (i, cases[i][1], g, w)
