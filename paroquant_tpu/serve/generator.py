@@ -66,6 +66,29 @@ _stream_burst_nodonate = partial(
 )(_stream_burst_impl)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("config", "quant_mode", "temperature", "top_p", "top_k"),
+)
+def _verify_window_sampled(
+    params, config, window, cache, key, d_len, quant_mode,
+    temperature, top_p, top_k,
+):
+    """Sampled speculative verify: one forward over [1, 1+k] tokens, then
+    the exact accept/reject math (sampling.spec_accept_sample) on device.
+    Returns (tokens [1+k], n_accepted, raw logprobs [1+k], cache)."""
+    from .sampling import spec_accept_sample
+
+    logits, cache = model_forward(
+        params, config, window, cache, quant_mode=quant_mode
+    )
+    toks, n_acc, lps = spec_accept_sample(
+        logits[0].astype(jnp.float32), window[0, 1:], d_len, key,
+        temperature=temperature, top_p=top_p, top_k=top_k,
+    )
+    return toks, n_acc, lps, cache
+
+
 @partial(jax.jit, static_argnames=("config", "quant_mode"))
 def _verify_window(params, config, window, cache, quant_mode):
     """Speculative verify: one forward over [1, 1+k] tokens (current token +
@@ -195,16 +218,16 @@ class Generator:
         generator.py:26-34); decode afterwards is the ordinary text path."""
         spec = (
             self.lookup_spec_k > 0
-            and sp.temperature == 0.0
-            # penalty applies even at temp 0 (sampling.py greedy-after-penalty
-            # semantics) — pure-argmax speculation would change the output
+            # penalty evolves token counts WITHIN a window — not expressible
+            # in the one-shot accept/reject math, so penalized requests take
+            # the sequential path (greedy: penalty shapes even argmax)
             and sp.repetition_penalty == 1.0
             and self.config.num_linear_layers == 0
             and not self.config.is_gemma3n
             # the last verify window writes up to k rows past the final
             # token; if max_len can't hold that slack, dynamic_update_slice
             # would CLAMP the write start and corrupt valid KV rows — fall
-            # back to plain greedy instead
+            # back to plain decoding instead
             and len(prompt_tokens) + sp.max_tokens + self.lookup_spec_k
             <= self.max_len
         )
@@ -243,9 +266,17 @@ class Generator:
         if self.tokenizer is not None and getattr(self.tokenizer, "eos_token_id", None) is not None:
             stop.add(int(self.tokenizer.eos_token_id))
         if spec:
-            yield from self._spec_greedy_stream(
-                list(prompt_tokens), logits, cache, sp, stop
-            )
+            if sp.temperature == 0.0:
+                # greedy: token-identical to sequential greedy
+                yield from self._spec_greedy_stream(
+                    list(prompt_tokens), logits, cache, sp, stop
+                )
+            else:
+                # sampled: exact in DISTRIBUTION (Leviathan et al. rejection
+                # sampling); the PRNG stream differs from sequential decode
+                yield from self._spec_sampled_stream(
+                    list(prompt_tokens), logits, cache, sp, stop, key
+                )
             return
         if self.decode_burst > 1:
             # dummy counts when no penalty (carried through the scan, unused)
@@ -332,6 +363,52 @@ class Generator:
             L += n_acc + 1
             for i in range(n_acc + 1):
                 cur = int(pred[i])
+                yield cur
+                ctx.append(cur)
+                emitted += 1
+                if cur in stop or emitted >= sp.max_tokens:
+                    return
+
+    def _spec_sampled_stream(
+        self, prompt_tokens: list[int], logits, cache, sp: SamplingParams,
+        stop: set[int], key,
+    ) -> Iterator[int]:
+        """Prompt-lookup speculative SAMPLING: drafts verified by exact
+        rejection sampling under the request's temperature/top-k/top-p
+        (sampling.spec_accept_sample), so the output distribution equals
+        sequential sampling's. Structure mirrors _spec_greedy_stream."""
+        k = self.lookup_spec_k
+        key, sub = jax.random.split(key)
+        cur = int(sample_token(
+            logits, sub, None, temperature=sp.temperature, top_p=sp.top_p,
+            top_k=sp.top_k,
+        )[0])
+        yield cur
+        emitted = 1
+        if cur in stop:
+            return
+        ctx = list(prompt_tokens) + [cur]
+        L = len(prompt_tokens)
+        while emitted < sp.max_tokens:
+            draft = _lookup_draft(ctx, k)
+            window = np.zeros((1, 1 + k), np.int32)
+            window[0, 0] = cur
+            window[0, 1 : 1 + len(draft)] = draft
+            cache_in = KVCache(cache.k, cache.v, jnp.asarray(L, jnp.int32))
+            key, sub = jax.random.split(key)
+            toks, n_acc_arr, lps, cache = _verify_window_sampled(
+                self.params, self.config, jnp.asarray(window), cache_in, sub,
+                jnp.asarray(len(draft), jnp.int32), self.quant_mode,
+                sp.temperature, sp.top_p, sp.top_k,
+            )
+            toks = np.asarray(toks)
+            n_acc = int(n_acc_arr)
+            self.spec_metrics["windows"] += 1
+            self.spec_metrics["drafted"] += len(draft)
+            self.spec_metrics["accepted"] += n_acc
+            L += n_acc + 1
+            for i in range(n_acc + 1):
+                cur = int(toks[i])
                 yield cur
                 ctx.append(cur)
                 emitted += 1

@@ -893,3 +893,87 @@ def test_engine_scheduler_fuzz_batch_independence(model):
         got.append(out)
     for i, (g, w) in enumerate(zip(got, want)):
         assert g == w, (i, cases[i][1], g, w)
+
+
+def test_spec_accept_sample_is_distribution_exact():
+    """Speculative sampling must be EXACT in distribution: over many keys,
+    the first emitted token's empirical distribution equals the target
+    modified distribution (temperature/top-k/top-p), for accepting AND
+    rejecting drafts — the Leviathan et al. guarantee with a point-mass
+    proposal. Also: temperature extremes and d_len=0 reduce to plain
+    sampling, and the greedy-window case stays token-identical."""
+    from paroquant_tpu.serve.sampling import modified_probs, spec_accept_sample
+
+    rng = np.random.default_rng(41)
+    V, k = 16, 3
+    logits = jnp.asarray(rng.normal(0, 2, (k + 1, V)).astype(np.float32))
+    temp, top_p, top_k = 0.8, 0.9, 8
+    p0 = np.asarray(modified_probs(logits, temperature=temp, top_p=top_p,
+                                   top_k=top_k))[0]
+
+    def first_tokens(draft0, n=40000):
+        draft = jnp.asarray([draft0, 0, 0], jnp.int32)
+        keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(n, dtype=jnp.uint32))
+        toks, n_acc, _ = jax.vmap(
+            lambda kk: spec_accept_sample(
+                logits, draft, jnp.asarray(1, jnp.int32), kk,
+                temperature=temp, top_p=top_p, top_k=top_k,
+            )
+        )(keys)
+        return np.asarray(toks[:, 0])
+
+    # draft = the mode (often accepts) and a low-prob token (often rejects)
+    for d0 in (int(np.argmax(p0)), int(np.argmin(p0 + (p0 == 0)))):
+        emp = np.bincount(first_tokens(d0), minlength=V) / 40000.0
+        # total-variation distance: sampling noise at n=40k is ~0.5%
+        tv = 0.5 * np.abs(emp - p0).sum()
+        assert tv < 0.02, (d0, tv, emp, p0)
+
+    # d_len=0: first emitted token ~ p0 exactly (plain sampling)
+    draft = jnp.asarray([0, 0, 0], jnp.int32)
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(40000, dtype=jnp.uint32))
+    toks, n_acc, _ = jax.vmap(
+        lambda kk: spec_accept_sample(
+            logits, draft, jnp.asarray(0, jnp.int32), kk,
+            temperature=temp, top_p=top_p, top_k=top_k,
+        )
+    )(keys)
+    assert int(n_acc.max()) == 0
+    emp = np.bincount(np.asarray(toks[:, 0]), minlength=V) / 40000.0
+    assert 0.5 * np.abs(emp - p0).sum() < 0.02
+
+    # multi-draft acceptance: chain of 3 good drafts emits 4 tokens whose
+    # SECOND token (conditioned on accepting the first) follows p1's law
+    good = [int(np.argmax(np.asarray(modified_probs(
+        logits, temperature=temp, top_p=top_p, top_k=top_k))[i]))
+        for i in range(k)]
+    toks, n_acc, _ = jax.vmap(
+        lambda kk: spec_accept_sample(
+            logits, jnp.asarray(good, jnp.int32), jnp.asarray(k, jnp.int32), kk,
+            temperature=temp, top_p=top_p, top_k=top_k,
+        )
+    )(keys)
+    assert int(n_acc.max()) == k  # full acceptance happens
+    assert float((np.asarray(n_acc) > 0).mean()) > 0.3
+
+
+def test_speculative_sampled_stream(model):
+    """Sampled speculation (temp>0): runs to max_tokens, accepts drafts on
+    repetitive prompts, is seed-deterministic, and never engages for
+    penalized requests (whose counts evolve within a window)."""
+    from paroquant_tpu.serve import Generator
+
+    prompt = [7, 3, 9, 4] * 5
+    sp = SamplingParams(max_tokens=14, temperature=0.7, top_p=0.95, seed=11)
+
+    def run():
+        g = Generator(model, CFG, max_len=128, quant_mode="xla",
+                      cache_dtype=jnp.float32, lookup_spec_k=4)
+        return list(g.stream_generate(prompt, sp)), g.spec_metrics
+
+    toks1, m1 = run()
+    toks2, m2 = run()
+    assert toks1 == toks2  # seed-deterministic
+    assert len(toks1) == sp.max_tokens
+    assert m1["windows"] > 0
+    assert all(0 <= t < CFG.vocab_size for t in toks1)
