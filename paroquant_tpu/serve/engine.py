@@ -765,7 +765,14 @@ class Engine:
         repetition penalty and at least one slot has a prompt-lookup draft,
         verify [current + k drafts] per slot in ONE paged forward and emit
         each slot's accepted prefix + correction (exact greedy tokens).
-        Returns False (caller falls through to the normal path) otherwise."""
+        Returns False (caller falls through to the normal path) otherwise.
+
+        Deliberately greedy-only: sampled speculation (exact rejection
+        sampling, Generator._spec_sampled_stream) would make a request's
+        window boundaries — and therefore its PRNG stream — depend on the
+        other slots' drafts, breaking the engine's batch-composition
+        independence invariant (test_engine_per_request_seeds, the
+        scheduler fuzz test)."""
         if any(
             self.temps[i] != 0.0 or self.rep_pens[i] != 1.0 for i in active
         ):
