@@ -79,7 +79,10 @@ class Server:
         return web.json_response({"status": "ok"})
 
     async def metrics(self, request: web.Request) -> web.Response:
-        return web.json_response(dict(self.engine.metrics))
+        out = dict(self.engine.metrics)
+        if hasattr(self.engine, "ttft_stats"):
+            out.update(self.engine.ttft_stats())
+        return web.json_response(out)
 
     async def models(self, request: web.Request) -> web.Response:
         return web.json_response(

@@ -371,6 +371,10 @@ class Engine:
             "prefix_hit_tokens": 0,
             "spec_windows": 0, "spec_drafted": 0, "spec_accepted": 0,
         }
+        # rolling TTFT samples for /metrics percentiles (seconds)
+        from collections import deque as _deque
+
+        self._ttfts: "_deque[float]" = _deque(maxlen=512)
         # Pallas flash prefill on real TPUs; einsum reference path on CPU
         self.prefill_attn = (
             "einsum" if jax.devices()[0].platform == "cpu" else "flash"
@@ -414,6 +418,18 @@ class Engine:
         self._stop_flag = True
         if self._thread is not None:
             self._thread.join(timeout=5)
+
+    def ttft_stats(self) -> dict:
+        """Rolling TTFT percentiles (ms) over the last <=512 requests —
+        the north-star serving metric, served live on /metrics."""
+        if not self._ttfts:
+            return {}
+        a = np.asarray(self._ttfts) * 1e3
+        return {
+            "ttft_p50_ms": round(float(np.percentile(a, 50)), 1),
+            "ttft_p99_ms": round(float(np.percentile(a, 99)), 1),
+            "ttft_samples": int(a.size),
+        }
 
     def cancel(self, req: Request) -> None:
         """Request-level abort: the scheduler finishes the request on its
@@ -717,6 +733,7 @@ class Engine:
         self.slot_keys[slot_id] = np.asarray(base_key, np.uint32)
         self.slot_steps[slot_id] = 1
         req.first_token_time = time.perf_counter()
+        self._ttfts.append(req.ttft)
         self._emit(slot_id, tok, lp)
 
     def _decode(self, active: list[int]):

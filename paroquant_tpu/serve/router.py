@@ -59,6 +59,19 @@ class EngineRouter:
         agg["replicas"] = len(self.engines)
         return agg
 
+    def ttft_stats(self) -> dict:
+        import numpy as _np
+
+        pooled = [t for e in self.engines for t in e._ttfts]
+        if not pooled:
+            return {}
+        a = _np.asarray(pooled) * 1e3
+        return {
+            "ttft_p50_ms": round(float(_np.percentile(a, 50)), 1),
+            "ttft_p99_ms": round(float(_np.percentile(a, 99)), 1),
+            "ttft_samples": int(a.size),
+        }
+
     def _load(self, e: Engine) -> tuple[int, int]:
         active = sum(1 for s in e.slots if s.request is not None)
         return (active + len(e._pending) + e.waiting.qsize(), active)
