@@ -38,6 +38,15 @@ def _sampling_from_body(
         top_k=int(body.get("top_k", 0)),
         repetition_penalty=float(body.get("repetition_penalty", 1.0)),
         seed=body.get("seed"),
+        # completions: integer `logprobs` = N alternatives; chat: boolean
+        # `logprobs` + integer `top_logprobs`
+        top_logprobs=min(
+            int(body.get("top_logprobs")
+                or (body.get("logprobs") if isinstance(body.get("logprobs"), int)
+                    and not isinstance(body.get("logprobs"), bool) else 0)
+                or 0),
+            8,
+        ),
         stop=tuple(stop),
     )
 
@@ -372,11 +381,22 @@ class Server:
                 tok_texts = (
                     [tok.decode([t]) for t in out] if tok else [str(t) for t in out]
                 )
+                n_top = sp.top_logprobs
+                tops = r.top_logprobs[: len(out)] if n_top else []
+
+                def _top_entries(pos):
+                    return [
+                        {"token": tok.decode([tid]) if tok else str(tid),
+                         "logprob": tlp}
+                        for tid, tlp in tops[pos][:n_top]
+                    ] if n_top and pos < len(tops) else None
+
                 if chat:  # OpenAI chat logprobs shape
                     logprobs_obj = {
                         "content": [
-                            {"token": s, "logprob": l}
-                            for s, l in zip(tok_texts, lps)
+                            {"token": s, "logprob": l,
+                             **({"top_logprobs": _top_entries(j)} if n_top else {})}
+                            for j, (s, l) in enumerate(zip(tok_texts, lps))
                         ]
                     }
                 else:  # completions logprobs shape
@@ -384,7 +404,10 @@ class Server:
                         "tokens": tok_texts,
                         "token_logprobs": lps,
                         "text_offset": [],
-                        "top_logprobs": None,
+                        "top_logprobs": [
+                            {e["token"]: e["logprob"] for e in (_top_entries(j) or [])}
+                            for j in range(len(out))
+                        ] if n_top else None,
                     }
             choices.append(
                 {

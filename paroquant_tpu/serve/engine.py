@@ -52,6 +52,11 @@ class Request:
     logprobs: list[float] = dataclasses.field(default_factory=list)
     # owning engine when routed through a DP EngineRouter (cancel-routing)
     owner: Any = None
+    # per generated token: [(token_id, logprob)] x TOPN alternatives, kept
+    # only when sampling.top_logprobs > 0
+    top_logprobs: list[list[tuple[int, float]]] = dataclasses.field(
+        default_factory=list
+    )
 
     @property
     def ttft(self) -> float | None:
@@ -101,6 +106,9 @@ def _sample_batch_impl(logits, keys, temps, top_ps, top_ks, rep_pens, token_coun
     B, V = logits.shape
     logits = logits.astype(jnp.float32)
     raw_lp = jax.nn.log_softmax(logits, axis=-1)
+    # top-TOPN alternatives per slot (OpenAI top_logprobs; fixed width keeps
+    # one compiled shape — requests slice what they asked for host-side)
+    top_lps, top_ids = jax.lax.top_k(raw_lp, TOPN)
     # HF-style repetition penalty on slots with penalty != 1
     seen = token_counts > 0
     penalized = jnp.where(
@@ -132,8 +140,10 @@ def _sample_batch_impl(logits, keys, temps, top_ps, top_ks, rep_pens, token_coun
     toks = jnp.where(temps == 0, greedy_tok, sampled)
     new_counts = token_counts.at[jnp.arange(B), toks].add(1)
     lps = jnp.take_along_axis(raw_lp, toks[:, None], axis=1)[:, 0]
-    return toks, new_counts, lps
+    return toks, new_counts, lps, top_ids.astype(jnp.int32), top_lps
 
+
+TOPN = 8  # top-logprob alternatives carried per step (OpenAI caps at 20)
 
 _sample_batch = jax.jit(_sample_batch_impl)
 
@@ -162,16 +172,16 @@ def _decode_burst_impl(
         step_keys = jax.vmap(jax.random.fold_in)(
             base_keys, (steps0 + step_i).astype(jnp.uint32)
         )
-        toks, token_counts, lps = _sample_batch_impl(
+        toks, token_counts, lps, tids, tlps = _sample_batch_impl(
             logits, step_keys, temps, top_ps, top_ks, rep_pens, token_counts
         )
-        return (toks, seq_lens + 1, cache, token_counts), (toks, lps)
+        return (toks, seq_lens + 1, cache, token_counts), (toks, lps, tids, tlps)
 
-    (_, _, cache, token_counts), (toks_seq, lps_seq) = jax.lax.scan(
+    (_, _, cache, token_counts), (toks_seq, lps_seq, tids_seq, tlps_seq) = jax.lax.scan(
         body, (tokens, seq_lens, cache, token_counts),
         jnp.arange(n_steps, dtype=jnp.int32),
     )
-    return toks_seq, lps_seq, cache, token_counts
+    return toks_seq, lps_seq, tids_seq, tlps_seq, cache, token_counts
 
 
 from functools import partial as _partial  # noqa: E402
@@ -208,12 +218,12 @@ def _finish_prefill_impl(
     pos_mask = (jnp.arange(bucket, dtype=jnp.int32) < T).astype(jnp.int32)
     prompt_counts = jnp.zeros((config.vocab_size,), jnp.int32).at[toks_row].add(pos_mask)
     key0 = jax.random.fold_in(base_key, jnp.uint32(0))
-    tok, row, lp = _sample_batch_impl(
+    tok, row, lp, tids, tlps = _sample_batch_impl(
         final_logits, key0[None], temp[None], top_p[None], top_k[None],
         rep_pen[None], prompt_counts[None],
     )
     token_counts = token_counts.at[slot_id].set(row[0])
-    return tok[0], lp[0], token_counts, pool
+    return tok[0], lp[0], tids[0], tlps[0], token_counts, pool
 
 
 _finish_prefill_donate = _partial(
@@ -707,7 +717,7 @@ class Engine:
             if jax.devices()[0].platform == "cpu"
             else _finish_prefill_donate
         )
-        tok_arr, lp_arr, self.token_counts, self.cache = fn(
+        tok_arr, lp_arr, tids_arr, tlps_arr, self.token_counts, self.cache = fn(
             self.config, self.cache, self.token_counts, layer_k, layer_v,
             jnp.asarray(scat_vec), final_logits, base_key,
             jnp.asarray(sp.temperature, jnp.float32),
@@ -718,6 +728,9 @@ class Engine:
             jnp.asarray(slot_id, jnp.int32), **hybrid,
         )
         tok, lp = int(tok_arr), float(lp_arr)
+        tops = (list(zip(np.asarray(tids_arr).tolist(),
+                         np.asarray(tlps_arr).tolist()))
+                if req.sampling.top_logprobs else None)
         slot = self.slots[slot_id]
         slot.request = req
         slot.n_generated = 1
@@ -734,7 +747,7 @@ class Engine:
         self.slot_steps[slot_id] = 1
         req.first_token_time = time.perf_counter()
         self._ttfts.append(req.ttft)
-        self._emit(slot_id, tok, lp)
+        self._emit(slot_id, tok, lp, tops)
 
     def _decode(self, active: list[int]):
         if self.spec_k and self._try_decode_spec(active):
@@ -761,7 +774,7 @@ class Engine:
             np.uint32,
         )
         self.slot_steps += 1
-        toks_arr, self.token_counts, lps_arr = _sample_batch(
+        toks_arr, self.token_counts, lps_arr, tids_arr, tlps_arr = _sample_batch(
             logits, jnp.asarray(step_keys), jnp.asarray(np.array(self.temps)),
             jnp.asarray(np.array(self.top_ps)),
             jnp.asarray(np.array(self.top_ks)),
@@ -770,12 +783,16 @@ class Engine:
         )
         toks = np.asarray(toks_arr)
         lps = np.asarray(lps_arr)
+        tids = np.asarray(tids_arr)
+        tlps = np.asarray(tlps_arr)
         self.metrics["steps"] += 1
         for i in active:
             tok = int(toks[i])
             self.tokens[i] = tok
             self.slots[i].n_generated += 1
-            self._emit(i, tok, float(lps[i]))
+            tops = (list(zip(tids[i].tolist(), tlps[i].tolist()))
+                    if self.slots[i].request.sampling.top_logprobs else None)
+            self._emit(i, tok, float(lps[i]), tops)
 
     def _try_decode_spec(self, active: list[int]) -> bool:
         """Speculative tick: when every active slot is greedy with no
@@ -791,9 +808,12 @@ class Engine:
         independence invariant (test_engine_per_request_seeds, the
         scheduler fuzz test)."""
         if any(
-            self.temps[i] != 0.0 or self.rep_pens[i] != 1.0 for i in active
+            self.temps[i] != 0.0
+            or self.rep_pens[i] != 1.0
+            or self.slots[i].request.sampling.top_logprobs
+            for i in active
         ):
-            return False
+            return False  # spec verify carries no top-N alternatives
         from .generator import _lookup_draft
         from .paged import paged_verify_step
 
@@ -857,7 +877,7 @@ class Engine:
         on_cpu = jax.devices()[0].platform == "cpu"
         fn = _decode_burst_nodonate if on_cpu else _decode_burst_donate
         attn_mode = "einsum" if on_cpu else "kernel"
-        toks_seq, lps_seq, self.cache, self.token_counts = fn(
+        toks_seq, lps_seq, tids_seq, tlps_seq, self.cache, self.token_counts = fn(
             self.params, self.config,
             jnp.asarray(np.array(self.tokens)), jnp.asarray(np.array(self.seq_lens)),
             jnp.asarray(np.array(self.page_table)), self.cache,
@@ -870,6 +890,8 @@ class Engine:
         )
         toks_host = np.asarray(toks_seq)  # [n_steps, B]
         lps_host = np.asarray(lps_seq)
+        tids_host = np.asarray(tids_seq)
+        tlps_host = np.asarray(tlps_seq)
         self.metrics["steps"] += n_steps
         self.seq_lens[active] += n_steps
         self.slot_steps += n_steps
@@ -880,9 +902,13 @@ class Engine:
                 tok = int(toks_host[step, i])
                 self.tokens[i] = tok
                 self.slots[i].n_generated += 1
-                self._emit(i, tok, float(lps_host[step, i]))
+                tops = (list(zip(tids_host[step, i].tolist(),
+                                 tlps_host[step, i].tolist()))
+                        if self.slots[i].request.sampling.top_logprobs else None)
+                self._emit(i, tok, float(lps_host[step, i]), tops)
 
-    def _emit(self, slot_id: int, tok: int, lp: float | None = None):
+    def _emit(self, slot_id: int, tok: int, lp: float | None = None,
+              tops: list | None = None):
         slot = self.slots[slot_id]
         req = slot.request
         self.metrics["tokens_generated"] += 1
@@ -892,6 +918,8 @@ class Engine:
         )
         if lp is not None:
             req.logprobs.append(lp)
+        if tops is not None:
+            req.top_logprobs.append(tops)
         slot.ctx.append(tok)
         req.out_queue.put(("token", tok))
         if finished:

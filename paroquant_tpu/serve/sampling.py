@@ -24,6 +24,9 @@ class SamplingParams:
     top_k: int = 0  # 0 = disabled
     repetition_penalty: float = 1.0
     seed: int | None = None
+    # OpenAI top_logprobs: N alternative tokens per position (engine carries
+    # up to engine.TOPN=8); 0 disables the host-side bookkeeping
+    top_logprobs: int = 0
     stop_token_ids: tuple[int, ...] = ()
     # string stop sequences (OpenAI `stop`): matched against decoded text by
     # the HTTP layer (serve/api.py), which truncates at the match and

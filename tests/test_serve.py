@@ -386,7 +386,7 @@ def test_engine_sampler_matches_single_stream():
             repetition_penalty=pen,
         )
         raw_key = jnp.asarray(np.asarray(key, np.uint32)[None, :])
-        got, new_counts, _lp = _sample_batch(
+        got, new_counts, _lp, _tid, _tlp = _sample_batch(
             logits, raw_key,
             jnp.asarray([temp], jnp.float32), jnp.asarray([top_p], jnp.float32),
             jnp.asarray([top_k], jnp.int32), jnp.asarray([pen], jnp.float32),
