@@ -87,4 +87,27 @@ void unpack_awq(const int32_t *packed, int32_t *out, int64_t R, int64_t Cp) {
   }
 }
 
+// Prompt-lookup drafting (serve/generator.py _lookup_draft): find the most
+// recent earlier occurrence of the longest suffix n-gram of ctx and copy the
+// k tokens that follow it. Returns the number of drafted tokens (0 = no
+// match). Host hot path of speculative decoding: called per slot per
+// scheduler tick on contexts up to max_len tokens.
+int64_t lookup_draft(const int32_t *ctx, int64_t len, int64_t max_ngram,
+                     int64_t k, int32_t *out) {
+  if (len < 2) return 0;
+  int64_t n0 = max_ngram < len - 1 ? max_ngram : len - 1;
+  for (int64_t n = n0; n >= 1; --n) {
+    const int32_t *pat = ctx + (len - n);
+    for (int64_t i = len - n - 1; i >= 0; --i) {
+      if (std::memcmp(ctx + i, pat, n * sizeof(int32_t)) == 0) {
+        int64_t avail = len - (i + n);
+        int64_t take = avail < k ? avail : k;
+        std::memcpy(out, ctx + i + n, take * sizeof(int32_t));
+        return take;
+      }
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -44,6 +44,8 @@ def _load() -> ctypes.CDLL | None:
         lib.unpack_w4_tpu.argtypes = [p_u8, p_i32, i64, i64, i64]
         lib.pack_awq.argtypes = [p_i32, p_i32, i64, i64]
         lib.unpack_awq.argtypes = [p_i32, p_i32, i64, i64]
+        lib.lookup_draft.argtypes = [p_i32, i64, i64, i64, p_i32]
+        lib.lookup_draft.restype = i64
         _LIB = lib
     except OSError as e:
         logger.info("could not load libparopack.so (%s); using numpy", e)
@@ -100,3 +102,21 @@ def unpack_awq_native(packed: np.ndarray) -> np.ndarray | None:
     out = np.empty((R, Cp * 8), np.int32)
     lib.unpack_awq(_i32p(packed), _i32p(out), R, Cp)
     return out
+
+
+def native_lookup_draft(ctx: np.ndarray, max_ngram: int, k: int) -> list[int] | None:
+    """C++ prompt-lookup drafting (native/paropack.cpp lookup_draft); None
+    when the library is unavailable (caller falls back to the Python scan).
+    ctx: int32 [len] token ids."""
+    lib = _load()
+    if lib is None:
+        return None
+    ctx = np.ascontiguousarray(ctx, np.int32)
+    out = np.empty(k, np.int32)
+    n = lib.lookup_draft(
+        ctx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(len(ctx)), ctypes.c_int64(max_ngram),
+        ctypes.c_int64(k),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out[:n].tolist()

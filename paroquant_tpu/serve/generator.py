@@ -106,8 +106,17 @@ def _lookup_draft(ctx: list[int], k: int, max_ngram: int = 3) -> list[int]:
     """Prompt-lookup drafting (the draft-model-free speculative scheme, cf.
     vLLM's ngram speculator): find the most recent earlier occurrence of the
     longest suffix n-gram of the context and propose the k tokens that
-    followed it. O(len(ctx)) host work per step, zero extra device memory."""
+    followed it. O(len(ctx)) host work per step, zero extra device memory.
+    Long contexts route through the C++ scan (native/paropack.cpp) — this
+    runs per slot per scheduler tick, so at 32k contexts the Python loop
+    would become a real scheduler cost."""
     L = len(ctx)
+    if L > 512:
+        from ..ops.native_packing import native_lookup_draft
+
+        d = native_lookup_draft(np.asarray(ctx, np.int32), max_ngram, k)
+        if d is not None:
+            return d
     for n in range(min(max_ngram, L - 1), 0, -1):
         pat = ctx[L - n:]
         for i in range(L - n - 1, -1, -1):
