@@ -48,6 +48,9 @@ def _sampling_from_body(
             8,
         ),
         stop=tuple(stop),
+        logit_bias=tuple(
+            (int(t), float(b)) for t, b in (body.get("logit_bias") or {}).items()
+        ),
     )
 
 

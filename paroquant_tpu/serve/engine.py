@@ -91,7 +91,8 @@ class _PrefillState:
     reg_keys: tuple = ()  # cumulative hashes of the full prompt pages
 
 
-def _sample_batch_impl(logits, keys, temps, top_ps, top_ks, rep_pens, token_counts):
+def _sample_batch_impl(logits, keys, temps, top_ps, top_ks, rep_pens, token_counts,
+                       logit_biases=None):
     """Vectorized per-slot sampling: repetition penalty -> temperature ->
     top-k -> top-p, the same operation order as the single-stream
     `sampling.sample_token` so Engine output matches Generator output for
@@ -105,6 +106,8 @@ def _sample_batch_impl(logits, keys, temps, top_ps, top_ks, rep_pens, token_coun
     OpenAI `logprobs` semantics, before penalty/temperature shaping)."""
     B, V = logits.shape
     logits = logits.astype(jnp.float32)
+    if logit_biases is not None:  # OpenAI logit_bias, added pre-everything
+        logits = logits + logit_biases
     raw_lp = jax.nn.log_softmax(logits, axis=-1)
     # top-TOPN alternatives per slot (OpenAI top_logprobs; fixed width keeps
     # one compiled shape — requests slice what they asked for host-side)
@@ -151,6 +154,7 @@ _sample_batch = jax.jit(_sample_batch_impl)
 def _decode_burst_impl(
     params, config, tokens, seq_lens, page_table, cache,
     base_keys, steps0, temps, top_ps, top_ks, rep_pens, token_counts,
+    logit_biases,
     *, quant_mode, attn_mode, n_steps,
 ):
     """n_steps fused decode+sample steps in ONE dispatch (lax.scan), the
@@ -173,7 +177,8 @@ def _decode_burst_impl(
             base_keys, (steps0 + step_i).astype(jnp.uint32)
         )
         toks, token_counts, lps, tids, tlps = _sample_batch_impl(
-            logits, step_keys, temps, top_ps, top_ks, rep_pens, token_counts
+            logits, step_keys, temps, top_ps, top_ks, rep_pens, token_counts,
+            logit_biases,
         )
         return (toks, seq_lens + 1, cache, token_counts), (toks, lps, tids, tlps)
 
@@ -197,7 +202,7 @@ _decode_burst_nodonate = _partial(
 
 def _finish_prefill_impl(
     config, pool, token_counts, layer_k, layer_v, scat_vec, final_logits,
-    base_key, temp, top_p, top_k, rep_pen, toks_row, T, slot_id,
+    base_key, temp, top_p, top_k, rep_pen, bias_row, toks_row, T, slot_id,
     conv=None, rec=None,
 ):
     """Fused prefill finish — ONE dispatch for: scatter the prefilled KV
@@ -220,7 +225,7 @@ def _finish_prefill_impl(
     key0 = jax.random.fold_in(base_key, jnp.uint32(0))
     tok, row, lp, tids, tlps = _sample_batch_impl(
         final_logits, key0[None], temp[None], top_p[None], top_k[None],
-        rep_pen[None], prompt_counts[None],
+        rep_pen[None], prompt_counts[None], bias_row[None],
     )
     token_counts = token_counts.at[slot_id].set(row[0])
     return tok[0], lp[0], tids[0], tlps[0], token_counts, pool
@@ -356,6 +361,11 @@ class Engine:
         self.top_ps = np.ones(max_batch, np.float32)
         self.top_ks = np.zeros(max_batch, np.int32)
         self.rep_pens = np.ones(max_batch, np.float32)
+        # per-slot logit-bias rows (OpenAI logit_bias), device-resident so
+        # no [B, V] host transfer happens per step; rewritten at admission
+        self.logit_biases = jnp.zeros((max_batch, config.vocab_size), jnp.float32)
+        self._zero_bias = jnp.zeros((config.vocab_size,), jnp.float32)
+        self._bias_dirty = np.zeros(max_batch, bool)
         # per-slot token occurrence counts [B, V] for repetition penalty;
         # lives on device (int32, ~0.6MB/slot at 151k vocab), rewritten from
         # the prompt at admission so stale rows never leak across requests
@@ -709,6 +719,16 @@ class Engine:
         )
         toks_row = np.zeros(layer_k.shape[1], np.int32)
         toks_row[:T] = req.prompt_tokens
+        if sp.logit_bias or self._bias_dirty[slot_id]:
+            bias_row = np.zeros(self.config.vocab_size, np.float32)
+            for tid, b in sp.logit_bias:
+                if 0 <= tid < self.config.vocab_size:
+                    bias_row[tid] = b
+            bias_dev = jnp.asarray(bias_row)
+            self.logit_biases = _set_count_row(self.logit_biases, slot_id, bias_dev)
+            self._bias_dirty[slot_id] = bool(sp.logit_bias)
+        else:
+            bias_dev = self._zero_bias  # row already zero: skip the transfer
         hybrid = {} if cache.linear is None else dict(
             conv=cache.linear.conv[:, 0], rec=cache.linear.rec[:, 0]
         )
@@ -724,7 +744,7 @@ class Engine:
             jnp.asarray(sp.top_p, jnp.float32),
             jnp.asarray(sp.top_k, jnp.int32),
             jnp.asarray(sp.repetition_penalty, jnp.float32),
-            jnp.asarray(toks_row), jnp.asarray(T, jnp.int32),
+            bias_dev, jnp.asarray(toks_row), jnp.asarray(T, jnp.int32),
             jnp.asarray(slot_id, jnp.int32), **hybrid,
         )
         tok, lp = int(tok_arr), float(lp_arr)
@@ -779,7 +799,7 @@ class Engine:
             jnp.asarray(np.array(self.top_ps)),
             jnp.asarray(np.array(self.top_ks)),
             jnp.asarray(np.array(self.rep_pens)),
-            self.token_counts,
+            self.token_counts, self.logit_biases,
         )
         toks = np.asarray(toks_arr)
         lps = np.asarray(lps_arr)
@@ -811,9 +831,10 @@ class Engine:
             self.temps[i] != 0.0
             or self.rep_pens[i] != 1.0
             or self.slots[i].request.sampling.top_logprobs
+            or self.slots[i].request.sampling.logit_bias
             for i in active
         ):
-            return False  # spec verify carries no top-N alternatives
+            return False  # spec verify carries no top-N / bias shaping
         from .generator import _lookup_draft
         from .paged import paged_verify_step
 
@@ -885,7 +906,7 @@ class Engine:
             jnp.asarray(np.array(self.slot_steps, np.uint32)),
             jnp.asarray(np.array(self.temps)), jnp.asarray(np.array(self.top_ps)),
             jnp.asarray(np.array(self.top_ks)), jnp.asarray(np.array(self.rep_pens)),
-            self.token_counts,
+            self.token_counts, self.logit_biases,
             quant_mode=self.quant_mode, attn_mode=attn_mode, n_steps=n_steps,
         )
         toks_host = np.asarray(toks_seq)  # [n_steps, B]

@@ -27,6 +27,8 @@ class SamplingParams:
     # OpenAI top_logprobs: N alternative tokens per position (engine carries
     # up to engine.TOPN=8); 0 disables the host-side bookkeeping
     top_logprobs: int = 0
+    # OpenAI logit_bias: ((token_id, bias), ...) added to logits pre-sampling
+    logit_bias: tuple[tuple[int, float], ...] = ()
     stop_token_ids: tuple[int, ...] = ()
     # string stop sequences (OpenAI `stop`): matched against decoded text by
     # the HTTP layer (serve/api.py), which truncates at the match and

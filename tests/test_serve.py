@@ -977,3 +977,32 @@ def test_speculative_sampled_stream(model):
     assert len(toks1) == sp.max_tokens
     assert m1["windows"] > 0
     assert all(0 <= t < CFG.vocab_size for t in toks1)
+
+
+def test_engine_logit_bias(model):
+    """OpenAI logit_bias: -100 on the greedy token forbids it; +100 forces
+    a token; bias rows reset between requests on the same slot; burst and
+    single-step engines agree."""
+    prompt = [3, 1, 4, 1, 5]
+    sp0 = SamplingParams(max_tokens=4, temperature=0.0)
+
+    def run(bias, burst=1):
+        eng = Engine(model, CFG, max_batch=1, max_len=64, page_size=8,
+                     quant_mode="xla", cache_dtype=jnp.float32,
+                     decode_burst=burst)
+        return eng.generate_sync(
+            prompt, dataclasses.replace(sp0, logit_bias=bias)), eng
+
+    base, _ = run(())
+    first = base[0]
+    # forbid the greedy token everywhere
+    banned, eng = run(((first, -1e9),))
+    assert first not in banned, (first, banned)
+    assert run(((first, -1e9),), burst=3)[0] == banned  # burst agrees
+    # force one token
+    forced, _ = run(((7, 1e9),))
+    assert forced == [7, 7, 7, 7]
+    # slot reuse: a following unbiased request on the same engine slot is
+    # NOT contaminated by the previous bias row
+    after = eng.generate_sync(prompt, sp0)
+    assert after == base, (after, base)
