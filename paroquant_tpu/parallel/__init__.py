@@ -1,3 +1,4 @@
+from .pipeline import make_pp_mesh, pipeline_logits
 from .shard import (
     cache_specs,
     make_mesh,

@@ -250,3 +250,44 @@ def test_dp_perplexity_matches_single_device():
     mesh = make_mesh(n_data=4, n_model=1)
     dp = perplexity(params, config, toks, 16, "xla", batch=4, mesh=mesh)
     np.testing.assert_allclose(dp, single, rtol=1e-5)
+
+
+def test_pipeline_parallel_matches_single_device():
+    """GPipe pipeline over a 4-stage mesh: logits equal model_forward's
+    (dense BF16-free f32 tiny model; exact same math, scan vs unrolled)."""
+    from paroquant_tpu.parallel.pipeline import make_pp_mesh, pipeline_logits
+
+    config = dataclasses.replace(PRESETS["tiny"], num_hidden_layers=4)
+    params = init_params(config, jax.random.PRNGKey(7), dtype=jnp.float32)
+    tokens = jnp.asarray(
+        np.random.default_rng(7).integers(0, config.vocab_size, (8, 8)), jnp.int32
+    )
+    ref, _ = model_forward(params, config, tokens)
+    mesh = make_pp_mesh(4)
+    got = pipeline_logits(params, config, tokens, mesh, n_microbatches=4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_pipeline_parallel_quantized():
+    """PP over W4 layers (quantized linears stack + scan like dense ones)."""
+    from paroquant_tpu.parallel.pipeline import make_pp_mesh, pipeline_logits
+
+    config = dataclasses.replace(PRESETS["tiny"], num_hidden_layers=4)
+    params = init_params(config, jax.random.PRNGKey(8), dtype=jnp.float32)
+    qparams = quantize_model_rtn(params, config, n_bits=4, group_size=64)
+    ref, _ = model_forward(qparams, config, tokens := jnp.asarray(
+        np.random.default_rng(8).integers(0, config.vocab_size, (8, 8)), jnp.int32
+    ))
+    mesh = make_pp_mesh(2)
+    got = pipeline_logits(qparams, config, tokens, mesh, n_microbatches=4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_pipeline_parallel_rejects_unsupported():
+    from paroquant_tpu.parallel.pipeline import make_pp_mesh, pipeline_logits
+
+    config = PRESETS["tiny-moe"]
+    params = init_params(config, jax.random.PRNGKey(9), dtype=jnp.float32)
+    tokens = jnp.zeros((4, 8), jnp.int32)
+    with pytest.raises(ValueError, match="MoE"):
+        pipeline_logits(params, config, tokens, make_pp_mesh(2))
