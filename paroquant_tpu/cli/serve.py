@@ -24,6 +24,10 @@ def main(argv=None):
                          "greedy request batches (exact outputs)")
     ap.add_argument("--prefix-caching", action="store_true",
                     help="share full prompt-prefix pages across requests (vLLM-style APC)")
+    ap.add_argument("--kv-quant", default=None, choices=["int8"],
+                    help="quantize the paged KV cache (vLLM --kv-cache-dtype "
+                         "counterpart): ~2x KV capacity and ~2x less "
+                         "attention HBM traffic at long context")
     ap.add_argument("--dp", type=int, default=1,
                     help="request-level data parallelism: N engine replicas "
                          "over disjoint device groups, least-loaded routing")
@@ -58,6 +62,7 @@ def main(argv=None):
             max_batch=args.max_batch, max_len=args.max_len, page_size=args.page_size,
             quant_mode=qmode, decode_burst=burst,
             prefix_caching=args.prefix_caching, spec_k=args.spec_k, mesh=mesh,
+            kv_quant=args.kv_quant,
         )
 
     if args.dp > 1 or args.tp:

@@ -50,22 +50,25 @@ def _paged_decode_kernel(
     # scalar prefetch
     table_ref,  # [B, maxP] int32 (SMEM)
     lens_ref,  # [B] int32 (SMEM)
-    # blocks
-    q_ref,  # [1, Hq, D]
-    k_ref,  # [1, ps, Hkv, D]
-    v_ref,  # [1, ps, Hkv, D]
-    o_ref,  # [1, Hq, D]
-    # scratch
-    acc_ref,  # [Hq, D] f32
-    m_ref,  # [Hq, 128] f32
-    l_ref,  # [Hq, 128] f32
-    *,
+    # blocks: q [1, Hq, D]; k/v [1, ps, Hkv, D]; when quantized (int8 KV)
+    # also ks/vs [1, Hkv, ps] f32 dequant scales, then o [1, Hq, D] and
+    # scratch acc [Hq, D] f32, m/l [Hq, 128] f32
+    q_ref,
+    k_ref,
+    v_ref,
+    *rest,
     scale,
     ps,
     grp,
     sliding_window,
     logit_softcap,
+    quantized,
 ):
+    if quantized:
+        ks_ref, vs_ref, o_ref, acc_ref, m_ref, l_ref = rest
+    else:
+        o_ref, acc_ref, m_ref, l_ref = rest
+        ks_ref = vs_ref = None
     b = pl.program_id(0)
     p = pl.program_id(1)
     seq_len = lens_ref[b]
@@ -86,7 +89,8 @@ def _paged_decode_kernel(
         if sliding_window is not None:
             valid &= pos > seq_len - 1 - sliding_window
 
-        # scores [Hq, ps] via static per-KV-head dots (GQA)
+        # scores [Hq, ps] via static per-KV-head dots (GQA). For int8 KV the
+        # per-row dequant scale commutes through the dot: (q . k_int8) * s_row
         score_rows = []
         for h in range(Hkv):
             qh = q_ref[0, h * grp : (h + 1) * grp, :].astype(jnp.float32)  # [grp, D]
@@ -95,6 +99,8 @@ def _paged_decode_kernel(
                 qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [grp, ps]
+            if quantized:
+                s_h = s_h * ks_ref[0, h : h + 1, :]  # [1, ps] row scales
             score_rows.append(s_h)
         scores = jnp.concatenate(score_rows, axis=0) * scale  # [Hq, ps]
         if logit_softcap:
@@ -113,6 +119,9 @@ def _paged_decode_kernel(
         pv_rows = []
         for h in range(Hkv):
             ph = probs[h * grp : (h + 1) * grp, :]  # [grp, ps]
+            if quantized:
+                # fold v's per-row dequant scale into the probabilities
+                ph = ph * vs_ref[0, h : h + 1, :]
             vh = v_ref[0, :, h, :].astype(jnp.float32)  # [ps, D]
             pv_rows.append(
                 jnp.dot(ph, vh, preferred_element_type=jnp.float32)
@@ -133,7 +142,7 @@ def _paged_decode_kernel(
 )
 def paged_decode_attention(
     q: jax.Array,  # [B, Hq, D]
-    k_pages: jax.Array,  # [P, ps, Hkv, D] (one layer's pool)
+    k_pages: jax.Array,  # [P, ps, Hkv, D] (one layer's pool; bf16 or int8)
     v_pages: jax.Array,
     page_table: jax.Array,  # [B, maxP] int32
     seq_lens: jax.Array,  # [B] int32, INCLUDING the current token
@@ -141,12 +150,15 @@ def paged_decode_attention(
     scale: float,
     sliding_window: int | None = None,
     logit_softcap: float | None = None,
+    k_scales: jax.Array | None = None,  # [P, Hkv, ps] f32 (int8-KV dequant)
+    v_scales: jax.Array | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     B, Hq, D = q.shape
     P, ps, Hkv, _ = k_pages.shape
     maxP = page_table.shape[1]
     grp = Hq // Hkv
+    quantized = k_scales is not None
 
     def q_map(b, p, table_ref, lens_ref):
         return (b, 0, 0)
@@ -156,20 +168,33 @@ def paged_decode_attention(
         p_eff = jnp.minimum(p, last)
         return (table_ref[b, p_eff], 0, 0, 0)
 
+    def scale_map(b, p, table_ref, lens_ref):
+        last = jnp.maximum(seq_len_pages(lens_ref[b]) - 1, 0)
+        p_eff = jnp.minimum(p, last)
+        return (table_ref[b, p_eff], 0, 0)
+
     def seq_len_pages(n):
         return jax.lax.div(n + ps - 1, ps)
 
     def o_map(b, p, table_ref, lens_ref):
         return (b, 0, 0)
 
+    in_specs = [
+        pl.BlockSpec((1, Hq, D), q_map),
+        pl.BlockSpec((1, ps, Hkv, D), kv_map),
+        pl.BlockSpec((1, ps, Hkv, D), kv_map),
+    ]
+    operands = [q, k_pages, v_pages]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec((1, Hkv, ps), scale_map),
+            pl.BlockSpec((1, Hkv, ps), scale_map),
+        ]
+        operands += [k_scales, v_scales]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, maxP),
-        in_specs=[
-            pl.BlockSpec((1, Hq, D), q_map),
-            pl.BlockSpec((1, ps, Hkv, D), kv_map),
-            pl.BlockSpec((1, ps, Hkv, D), kv_map),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, Hq, D), o_map),
         scratch_shapes=[
             pltpu.VMEM((Hq, D), jnp.float32),
@@ -184,13 +209,15 @@ def paged_decode_attention(
         grp=grp,
         sliding_window=sliding_window,
         logit_softcap=logit_softcap,
+        quantized=quantized,
     )
+    out_dtype = q.dtype
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Hq, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Hq, D), out_dtype),
         interpret=interpret,
-    )(page_table, seq_lens, q, k_pages, v_pages)
+    )(page_table, seq_lens, *operands)
     return out
 
 
@@ -207,23 +234,26 @@ def _paged_window_kernel(
     q_ref,  # [1, W, Hq, D]
     k_ref,  # [1, ps, Hkv, D]
     v_ref,  # [1, ps, Hkv, D]
-    o_ref,  # [1, W, Hq, D]
-    # scratch (rows flattened as (w, h))
-    acc_ref,  # [W*Hq, D] f32
-    m_ref,  # [W*Hq, 128] f32
-    l_ref,  # [W*Hq, 128] f32
-    *,
+    # when quantized: ks/vs [1, Hkv, ps] f32, then o [1, W, Hq, D] and
+    # scratch (rows flattened as (w, h)) acc [W*Hq, D], m/l [W*Hq, 128] f32
+    *rest,
     scale,
     ps,
     W,
     grp,
     sliding_window,
     logit_softcap,
+    quantized,
 ):
     """paged decode kernel generalized to a W-token query window per slot
     (speculative verify). Query w sits at absolute position lens[b]+w and
     attends kv rows <= that position — which includes the window's own
     freshly written rows, so page steps run up to ceil((len+W)/ps)."""
+    if quantized:
+        ks_ref, vs_ref, o_ref, acc_ref, m_ref, l_ref = rest
+    else:
+        o_ref, acc_ref, m_ref, l_ref = rest
+        ks_ref = vs_ref = None
     b = pl.program_id(0)
     p = pl.program_id(1)
     seq_len = lens_ref[b]
@@ -256,12 +286,13 @@ def _paged_window_kernel(
             qh = q_ref[0, :, h * grp : (h + 1) * grp, :].astype(jnp.float32)
             qh = qh.reshape(W * grp, D)  # rows (w, g)
             kh = k_ref[0, :, h, :].astype(jnp.float32)  # [ps, D]
-            score_rows.append(
-                jax.lax.dot_general(
-                    qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+            s_h = jax.lax.dot_general(
+                qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )  # [W*grp, ps]
+            if quantized:
+                s_h = s_h * ks_ref[0, h : h + 1, :]  # [1, ps] row scales
+            score_rows.append(s_h)
         # rebuild (w, h) row order from the per-head (w, g) blocks
         scores = jnp.concatenate(
             [s.reshape(W, grp, ps) for s in score_rows], axis=1
@@ -281,6 +312,8 @@ def _paged_window_kernel(
         pv_rows = []
         for h in range(Hkv):
             ph = probs_whg[:, h].reshape(W * grp, ps)
+            if quantized:
+                ph = ph * vs_ref[0, h : h + 1, :]
             vh = v_ref[0, :, h, :].astype(jnp.float32)  # [ps, D]
             pv_rows.append(
                 jnp.dot(ph, vh, preferred_element_type=jnp.float32)
@@ -311,6 +344,8 @@ def paged_window_attention_kernel(
     scale: float,
     sliding_window: int | None = None,
     logit_softcap: float | None = None,
+    k_scales: jax.Array | None = None,  # [P, Hkv, ps] f32 (int8-KV dequant)
+    v_scales: jax.Array | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Pallas speculative-verify attention: like paged_decode_attention but
@@ -320,6 +355,7 @@ def paged_window_attention_kernel(
     P, ps, Hkv, _ = k_pages.shape
     maxP = page_table.shape[1]
     grp = Hq // Hkv
+    quantized = k_scales is not None
 
     def q_map(b, p, table_ref, lens_ref):
         return (b, 0, 0, 0)
@@ -330,17 +366,31 @@ def paged_window_attention_kernel(
         p_eff = jnp.minimum(p, last)
         return (table_ref[b, p_eff], 0, 0, 0)
 
+    def scale_map(b, p, table_ref, lens_ref):
+        n_pages = jax.lax.div(lens_ref[b] + W + ps - 1, ps)
+        last = jnp.maximum(jnp.minimum(n_pages, maxP) - 1, 0)
+        p_eff = jnp.minimum(p, last)
+        return (table_ref[b, p_eff], 0, 0)
+
     def o_map(b, p, table_ref, lens_ref):
         return (b, 0, 0, 0)
 
+    in_specs = [
+        pl.BlockSpec((1, W, Hq, D), q_map),
+        pl.BlockSpec((1, ps, Hkv, D), kv_map),
+        pl.BlockSpec((1, ps, Hkv, D), kv_map),
+    ]
+    operands = [q, k_pages, v_pages]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec((1, Hkv, ps), scale_map),
+            pl.BlockSpec((1, Hkv, ps), scale_map),
+        ]
+        operands += [k_scales, v_scales]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, maxP),
-        in_specs=[
-            pl.BlockSpec((1, W, Hq, D), q_map),
-            pl.BlockSpec((1, ps, Hkv, D), kv_map),
-            pl.BlockSpec((1, ps, Hkv, D), kv_map),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, W, Hq, D), o_map),
         scratch_shapes=[
             pltpu.VMEM((W * Hq, D), jnp.float32),
@@ -356,13 +406,14 @@ def paged_window_attention_kernel(
         grp=grp,
         sliding_window=sliding_window,
         logit_softcap=logit_softcap,
+        quantized=quantized,
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, W, Hq, D), q.dtype),
         interpret=interpret,
-    )(page_table, seq_lens, q, k_pages, v_pages)
+    )(page_table, seq_lens, *operands)
 
 
 # ---------------------------------------------------------------------------

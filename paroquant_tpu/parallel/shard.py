@@ -176,11 +176,17 @@ def shard_paged_cache(cache: Any, mesh: Mesh) -> Any:
     kv heads split on "model" like the contiguous cache.
     """
     spec = NamedSharding(mesh, P(None, None, None, "model", None))
+    # int8-KV dequant scales [L, P, Hkv, ps] shard on the same kv-head axis
+    sspec = NamedSharding(mesh, P(None, None, "model", None))
     rep = NamedSharding(mesh, P())
     return type(cache)(
         k=jax.device_put(cache.k, spec), v=jax.device_put(cache.v, spec),
         conv=None if cache.conv is None else jax.device_put(cache.conv, rep),
         rec=None if cache.rec is None else jax.device_put(cache.rec, rep),
+        k_scale=None if cache.k_scale is None
+        else jax.device_put(cache.k_scale, sspec),
+        v_scale=None if cache.v_scale is None
+        else jax.device_put(cache.v_scale, sspec),
     )
 
 

@@ -273,6 +273,7 @@ class Engine:
         num_pages: int | None = None,
         quant_mode: str = "xla",
         cache_dtype=jnp.bfloat16,
+        kv_quant: str | None = None,
         mesh=None,
         prefill_chunk: int = 256,
         decode_burst: int = 1,
@@ -299,12 +300,24 @@ class Engine:
         if num_pages is None:
             num_pages = max_batch * self.max_pages_per_seq
         self.quant_mode = quant_mode
+        # int8 KV quantization (vLLM --kv-cache-dtype counterpart): int8
+        # page pools + per-(token, head) f32 scales. The contiguous prefill
+        # cache stays float (cache_dtype); quantization happens at page
+        # scatter/decode-write time.
+        if kv_quant is not None and config.is_gemma3n:
+            raise ValueError(
+                "kv_quant is not supported for gemma3n (shared-KV tail reads"
+                " the source layer's pages directly)"
+            )
+        self.kv_quant = kv_quant
+        self.prefill_dtype = cache_dtype
         # one extra "trash" page absorbs the KV writes of inactive slots
         # (every slot writes each decode step; without this, idle slots would
         # clobber page 0 of an active request)
         self.trash_page = num_pages
         self.cache = PagedKVCache.create(
-            config, num_pages + 1, page_size, cache_dtype, batch=max_batch
+            config, num_pages + 1, page_size, cache_dtype, batch=max_batch,
+            kv_quant=kv_quant,
         )
         if mesh is not None:
             from ..parallel.shard import shard_paged_cache
@@ -612,12 +625,13 @@ class Engine:
             page_vec = np.full(n_gather, self.trash_page, np.int32)
             page_vec[: min(len(pages), n_gather)] = pages[:n_gather]
             k0, v0 = gather_prefix_rows(
-                self.cache, jnp.asarray(page_vec), bucket + C
+                self.cache, jnp.asarray(page_vec), bucket + C,
+                out_dtype=self.prefill_dtype,
             )
             cache = KVCache(k0, v0, jnp.zeros((), jnp.int32))
             self.metrics["prefix_hit_tokens"] += len(matched) * self.page_size
         else:
-            cache = KVCache.create(self.config, 1, bucket + C, self.cache.k.dtype)
+            cache = KVCache.create(self.config, 1, bucket + C, self.prefill_dtype)
         slot = self.slots[slot_id]
         slot.request = req
         slot.prefilling = True
@@ -667,7 +681,7 @@ class Engine:
         bucket = self._bucket(T)
         toks = np.zeros((1, bucket), np.int32)
         toks[0, :T] = req.prompt_tokens
-        cache = KVCache.create(self.config, 1, bucket, self.cache.k.dtype)
+        cache = KVCache.create(self.config, 1, bucket, self.prefill_dtype)
         if req.pixel_values is not None:
             # image+text prefill: vision tower + soft-token merge + decoder
             # with bidirectional image blocks; decode afterwards is the
@@ -1029,7 +1043,7 @@ class Engine:
         bucket = self._bucket(T)
         toks = np.zeros((1, bucket), np.int32)
         toks[0, :T] = prompt_tokens
-        cache = KVCache.create(self.config, 1, bucket, self.cache.k.dtype)
+        cache = KVCache.create(self.config, 1, bucket, self.prefill_dtype)
         logits, _ = _prefill_jit(
             self.params, self.config, jnp.asarray(toks), cache, self.quant_mode,
             self.prefill_attn, jnp.asarray(T, jnp.int32),
