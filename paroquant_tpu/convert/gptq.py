@@ -1,0 +1,295 @@
+"""GPTQ baseline: Hessian-compensated round-to-nearest W4 quantization.
+
+The reference's baseline family (EfficientQAT / OmniQuant / QTIP / AWQ,
+/root/reference/experiments/baselines/*) are clone-and-run wrappers around
+external repos, unusable on a zero-egress box. This module is the in-framework
+second-order anchor: classic GPTQ (Frantar et al., arXiv 2210.17323) — per
+output row, quantize input channels in order, compensating each column's
+rounding error into the not-yet-quantized columns via the inverse-Hessian
+Cholesky factor. It emits the SAME runtime/interchange format as the RTN
+baseline (identity rotation, theta=0, unit channel scales — convert/rtn.py),
+so GPTQ checkpoints flow through the standard PARO-TPU loaders, kernels,
+sharding and serving stack unchanged.
+
+TPU-first design notes:
+- the whole per-weight GPTQ pass is ONE jitted function (`gptq_quantize_weight`)
+  built from `lax.fori_loop`s with static shapes: an inner loop over the 128
+  columns of a quantization group (rank-1 masked updates) and an outer loop
+  over groups whose cross-group error propagation is a single [O,128]x[128,I]
+  MXU matmul per group — the O(I^2·O) work lands on the systolic array instead
+  of a Python loop.
+- Hessians are accumulated on device (X^T X per tap, f32,
+  preferred_element_type) from per-layer input taps captured by
+  `models.decoder.layer_forward(..., return_taps=True)` — the SAME layer math
+  the runtime executes, not a re-implementation.
+- quantizer semantics are bit-identical to ops/quant.py (reference
+  quantizer.py:10-24): per-group asymmetric min/max, scale clamp [1e-5,1e5],
+  zero point = clip(-round(min/scale), 0, qmax) — computed when the group is
+  *reached* (i.e. from the error-compensated weights), the standard
+  group-size-128 GPTQ recipe.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import ModelConfig
+from ..models.decoder import DenseLinear, layer_forward, rms_norm, rope_tables_per_layer
+from ..ops import quant
+from ..ops.qlinear import QuantizedLinear, make_quantized_linear
+from .rtn import _cached_rotation_params
+
+__all__ = ["gptq_quantize_weight", "gptq_quantize_model"]
+
+
+@functools.partial(jax.jit, static_argnames=("n_bits", "group_size"))
+def gptq_quantize_weight(
+    w: jax.Array,
+    hessian: jax.Array,
+    n_bits: int = 4,
+    group_size: int = 128,
+    percdamp: float = 0.01,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """GPTQ-quantize one weight. w [O, I] (reference orientation: y = x @ w.T),
+    hessian [I, I] = sum of X^T X over calibration inputs X.
+
+    Returns (q int32 [O, I], scales f32 [O, G], zeros int32 [O, G]) with the
+    quantize_to_int convention: dequant(q) = (q - zeros) * scales per group.
+    """
+    O, I = w.shape
+    G = I // group_size
+    qmax = 2**n_bits - 1
+    wf = w.astype(jnp.float32)
+    H = hessian.astype(jnp.float32)
+
+    # dead input channels (never activated): pin the weight to 0, H diag to 1
+    diag = jnp.diagonal(H)
+    dead = diag <= 0.0
+    H = H + jnp.diag(jnp.where(dead, 1.0, 0.0))
+    wf = jnp.where(dead[None, :], 0.0, wf)
+
+    # dampened inverse Hessian, upper Cholesky factor (GPTQ's U: Hinv = U^T U)
+    damp = percdamp * jnp.mean(jnp.diagonal(H))
+    Hd = H + damp * jnp.eye(I, dtype=jnp.float32)
+    L = jnp.linalg.cholesky(Hd)
+    Hinv = jax.scipy.linalg.cho_solve((L, True), jnp.eye(I, dtype=jnp.float32))
+    Hinv = (Hinv + Hinv.T) * 0.5
+    U = jnp.linalg.cholesky(Hinv).T  # upper-triangular, U[j, j] > 0
+
+    col_ids = jnp.arange(I, dtype=jnp.int32)
+    grp_ids = jnp.arange(group_size, dtype=jnp.int32)
+
+    def group_body(g, carry):
+        wbuf, qbuf, sbuf, zbuf = carry
+        start = g * group_size
+        wg = jax.lax.dynamic_slice(wbuf, (0, start), (O, group_size))
+        # group quantizer params from the compensated weights at arrival
+        qp = quant.calc_scales_and_zero_points(wg, group_size, n_bits)
+        scale = jnp.clip(qp.scale.reshape(O), 1e-5, 1e5)
+        zeros = jnp.clip(-jnp.round(qp.zero_point_float.reshape(O)), 0, qmax)
+        ug = jax.lax.dynamic_slice(U, (start, start), (group_size, group_size))
+
+        def col_body(j, inner):
+            wg, qg, err = inner
+            wj = jax.lax.dynamic_slice(wg, (0, j), (O, 1))[:, 0]
+            qj = jnp.clip(jnp.round(wj / scale) + zeros, 0, qmax)
+            dq = (qj - zeros) * scale
+            urow = jax.lax.dynamic_slice(ug, (j, 0), (1, group_size))[0]
+            d = jax.lax.dynamic_index_in_dim(jnp.diagonal(ug), j, keepdims=False)
+            e = (wj - dq) / d
+            # compensate into the not-yet-quantized columns of this group
+            wg = wg - e[:, None] * jnp.where(grp_ids > j, urow, 0.0)[None, :]
+            qg = jax.lax.dynamic_update_slice(
+                qg, qj[:, None].astype(jnp.int32), (0, j)
+            )
+            err = jax.lax.dynamic_update_slice(err, e[:, None], (0, j))
+            return wg, qg, err
+
+        qg0 = jnp.zeros((O, group_size), jnp.int32)
+        err0 = jnp.zeros((O, group_size), jnp.float32)
+        _, qg, err = jax.lax.fori_loop(0, group_size, col_body, (wg, qg0, err0))
+
+        # propagate the group's error block into all later groups (one MXU
+        # matmul: err [O, gs] @ masked U rows [gs, I])
+        urows = jax.lax.dynamic_slice(U, (start, 0), (group_size, I))
+        later = (col_ids >= start + group_size).astype(jnp.float32)
+        wbuf = wbuf - jnp.dot(
+            err, urows * later[None, :], preferred_element_type=jnp.float32
+        )
+        qbuf = jax.lax.dynamic_update_slice(qbuf, qg, (0, start))
+        sbuf = jax.lax.dynamic_update_slice(sbuf, scale[:, None], (0, g))
+        zbuf = jax.lax.dynamic_update_slice(
+            zbuf, zeros[:, None].astype(jnp.int32), (0, g)
+        )
+        return wbuf, qbuf, sbuf, zbuf
+
+    init = (
+        wf,
+        jnp.zeros((O, I), jnp.int32),
+        jnp.zeros((O, G), jnp.float32),
+        jnp.zeros((O, G), jnp.int32),
+    )
+    _, q, s, z = jax.lax.fori_loop(0, G, group_body, init)
+    return q, s, z
+
+
+# ---------------------------------------------------------------------------
+# Model-level driver
+# ---------------------------------------------------------------------------
+
+# tap name -> linear params fed by that activation
+_TAP_LINEARS = {
+    "qkv": ("q_proj", "k_proj", "v_proj"),
+    "o": ("o_proj",),
+    "mlp": ("gate_proj", "up_proj"),
+    "down": ("down_proj",),
+}
+
+
+@functools.partial(jax.jit, static_argnames=("config", "layer_idx"))
+def _tap_hessians(lp, x, config, layer_idx, cos, sin, positions):
+    """One layer forward (dense weights) returning per-tap X^T X contributions
+    and the layer output."""
+    out, _, taps = layer_forward(
+        lp, x, config, layer_idx, cos, sin, positions, None,
+        jnp.zeros((), jnp.int32), "xla", return_taps=True,
+    )
+    hs = {}
+    for name, tap in taps.items():
+        xt = tap.reshape(-1, tap.shape[-1]).astype(jnp.float32)
+        hs[name] = jnp.dot(xt.T, xt, preferred_element_type=jnp.float32)
+    return out, hs
+
+
+@functools.partial(jax.jit, static_argnames=("config", "layer_idx"))
+def _layer_apply(lp, x, config, layer_idx, cos, sin, positions):
+    out, _ = layer_forward(
+        lp, x, config, layer_idx, cos, sin, positions, None,
+        jnp.zeros((), jnp.int32), "xla",
+    )
+    return out
+
+
+def _gptq_linear(
+    lin: DenseLinear, hessian, *, n_bits, group_size, percdamp, rot_dtype,
+) -> tuple[QuantizedLinear, dict[str, Any]]:
+    """Quantize one dense linear; returns (runtime layer, export dict)."""
+    w = jnp.asarray(lin.w, jnp.float32).T  # [O, I]
+    I = w.shape[1]
+    q, s, z = gptq_quantize_weight(
+        w, hessian, n_bits=n_bits, group_size=group_size, percdamp=percdamp
+    )
+    q, s, z = np.asarray(q), np.asarray(s), np.asarray(z)
+    params = _cached_rotation_params(I, group_size, 8, 0)
+    theta = np.zeros(params.theta.shape, np.float32)
+    bias = None if lin.b is None else np.asarray(lin.b, np.float32)
+    runtime = make_quantized_linear(
+        q, s, z, np.asarray(params.pairs), theta, np.ones(I, np.float32),
+        group_size, bias=bias, rot_dtype=rot_dtype, n_bits=n_bits,
+    )
+    export = {
+        "q": q, "scales": s, "zeros": z,
+        "pairs": np.asarray(params.pairs), "theta": theta,
+        "inv_channel_scales": np.ones(I, np.float32),
+        "bias": bias, "n_bits": n_bits, "group_size": group_size,
+    }
+    return runtime, export
+
+
+def gptq_quantize_model(
+    params: dict[str, Any],
+    config: ModelConfig,
+    tokens: np.ndarray,  # int32 [N, T] calibration token blocks
+    *,
+    n_bits: int = 4,
+    group_size: int = 128,
+    percdamp: float = 0.01,
+    batch_size: int = 4,
+    rot_dtype=jnp.bfloat16,
+    log_fn=None,
+) -> tuple[dict[str, Any], list[dict[str, Any]]]:
+    """Sequential GPTQ over the decoder stack.
+
+    Layer l's Hessians are collected from inputs produced by the already-
+    quantized layers 0..l-1 (the reference optimize pipeline's student-feeds-
+    next-layer structure, cli/optimize.py:524-537), then every eligible linear
+    is GPTQ-quantized and swapped in before moving on.
+
+    Covers the standard attention+GLU decoder families. MoE expert stacks and
+    hybrid (delta-net) layers are outside this baseline's scope: MoE layers
+    keep their experts dense (attention still quantized); hybrid configs are
+    rejected loudly.
+
+    Returns (quantized runtime params, per-layer export dicts for
+    save_paro_checkpoint — same schema as convert/rtn.py rtn_export_model).
+    """
+    if config.is_gemma3n:
+        raise NotImplementedError("GPTQ baseline does not support gemma3n")
+    if any(config.layer_is_linear(i) for i in range(config.num_hidden_layers)):
+        raise NotImplementedError(
+            "GPTQ baseline does not support hybrid linear-attention layers"
+        )
+    tokens = np.asarray(tokens, np.int32)
+    N, T = tokens.shape
+    bs = min(batch_size, N)
+    n_batches = N // bs
+
+    embed = jnp.asarray(params["embed_tokens"])
+    positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :], (bs, T))
+    rope_by_layer = rope_tables_per_layer(positions, config)
+
+    @jax.jit
+    def _embed(toks):
+        x = jnp.take(embed, toks, axis=0)
+        if config.gemma_norm:
+            x = x * jnp.asarray(np.sqrt(config.hidden_size), x.dtype)
+        return x
+
+    xs = [
+        _embed(jnp.asarray(tokens[i * bs : (i + 1) * bs])) for i in range(n_batches)
+    ]
+
+    out_layers: list[dict[str, Any]] = []
+    exports: list[dict[str, Any]] = []
+    for li, lp in enumerate(params["layers"]):
+        cos, sin = rope_by_layer[li]
+        # 1) accumulate per-tap Hessians with the dense layer
+        hs_acc: dict[str, jax.Array] | None = None
+        for x in xs:
+            _, hs = _tap_hessians(lp, x, config, li, cos, sin, positions)
+            hs_acc = hs if hs_acc is None else jax.tree.map(jnp.add, hs_acc, hs)
+
+        # 2) GPTQ every eligible linear of this layer
+        nlp = dict(lp)
+        mlp = dict(lp["mlp"])
+        exp: dict[str, Any] = {}
+        for tap, names in _TAP_LINEARS.items():
+            for name in names:
+                holder = nlp if tap in ("qkv", "o") else mlp
+                key = name if tap in ("qkv", "o") else f"mlp.{name}"
+                lin = holder.get(name)
+                if not isinstance(lin, DenseLinear):
+                    continue
+                if lin.w.shape[0] % group_size or tap not in hs_acc:
+                    continue
+                holder[name], exp[key] = _gptq_linear(
+                    lin, hs_acc[tap], n_bits=n_bits, group_size=group_size,
+                    percdamp=percdamp, rot_dtype=rot_dtype,
+                )
+        nlp["mlp"] = mlp
+        out_layers.append(nlp)
+        exports.append(exp)
+
+        # 3) feed the next layer quantized-student outputs
+        xs = [_layer_apply(nlp, x, config, li, cos, sin, positions) for x in xs]
+        if log_fn is not None:
+            log_fn(f"gptq layer {li}: quantized {sorted(exp)}")
+
+    out = dict(params)
+    out["layers"] = out_layers
+    return out, exports

@@ -215,7 +215,7 @@ def _act(x: jax.Array, name: str) -> jax.Array:
 
 
 def mlp_forward(p: dict[str, Any], x: jax.Array, quant_mode: str,
-                act: str = "silu") -> jax.Array:
+                act: str = "silu", return_act: bool = False):
     if "gate_up_proj" in p:  # merged projections (one kernel launch)
         gu = merged_linear_forward(p["gate_up_proj"], x, mode=quant_mode)
         gate, up = jnp.split(gu, p["gate_up_proj"].split_points, axis=-1)
@@ -223,7 +223,10 @@ def mlp_forward(p: dict[str, Any], x: jax.Array, quant_mode: str,
         gate = apply_linear(p["gate_proj"], x, quant_mode=quant_mode)
         up = apply_linear(p["up_proj"], x, quant_mode=quant_mode)
     act_v = _act(gate, act) * up
-    return apply_linear(p["down_proj"], act_v, quant_mode=quant_mode)
+    out = apply_linear(p["down_proj"], act_v, quant_mode=quant_mode)
+    if return_act:  # down_proj's input tap (GPTQ Hessian collection)
+        return out, act_v
+    return out
 
 
 def qkv_forward(
@@ -338,11 +341,15 @@ def layer_forward(
     quant_mode: str,
     attn_mode: str = "einsum",
     bidir_groups: jax.Array | None = None,  # [B, T] image-block ids (VLM)
-) -> tuple[jax.Array, tuple[jax.Array, jax.Array] | None]:
+    return_taps: bool = False,  # also return per-linear input activations
+):
     B, T, _ = x.shape
     Hq, Hkv, D = config.num_attention_heads, config.num_key_value_heads, config.head_dim
+    taps: dict[str, jax.Array] = {}
 
     h = rms_norm(x, p["input_layernorm"], config.rms_norm_eps, config.zero_centered_norm)
+    if return_taps:
+        taps["qkv"] = h  # input to q/k/v projections
     q, k, v, attn_gate = qkv_forward(p, h, config, quant_mode)
     if config.qk_norm:
         q = rms_norm(q, p["q_norm"], config.rms_norm_eps, config.zero_centered_norm)
@@ -406,6 +413,8 @@ def layer_forward(
         attn_out = (
             attn_out.astype(jnp.float32) * jax.nn.sigmoid(attn_gate.astype(jnp.float32))
         ).astype(attn_out.dtype)
+    if return_taps:
+        taps["o"] = attn_out  # input to o_proj
     attn_out = apply_linear(p["o_proj"], attn_out, quant_mode=quant_mode)
     if config.post_norms:
         attn_out = rms_norm(
@@ -417,14 +426,23 @@ def layer_forward(
         x = x + attn_out
         h2 = rms_norm(x, p["post_attention_layernorm"], config.rms_norm_eps, config.zero_centered_norm)
 
+    if return_taps:
+        taps["mlp"] = h2  # input to gate/up projections (dense mlp)
     if config.layer_is_sparse(layer_idx):
         mlp_out = moe_forward(p["mlp"], h2, config, quant_mode)
+    elif return_taps:
+        mlp_out, act_v = mlp_forward(
+            p["mlp"], h2, quant_mode, config.hidden_act, return_act=True
+        )
+        taps["down"] = act_v
     else:
         mlp_out = mlp_forward(p["mlp"], h2, quant_mode, config.hidden_act)
     if config.post_norms:
         mlp_out = rms_norm(
             mlp_out, p["post_feedforward_layernorm"], config.rms_norm_eps, config.zero_centered_norm
         )
+    if return_taps:
+        return x + mlp_out, new_cache, taps
     return x + mlp_out, new_cache
 
 

@@ -281,9 +281,14 @@ def merged_linear_forward(
 
 # Fused Pallas wins for token counts at or below this; above it the one-off
 # XLA dequant amortizes over the big MXU GEMM. Measured on v5e with
-# scripts/kernel_dispatch.py (4096x4096 g128, interleaved min-of-reps):
-# fused 31.5/15.1/34.4us at M=1/16/128 vs xla 133.7/34.0/41.9; xla wins
-# 49.0 vs 101.6 at M=256 and ~2x beyond. See STATUS.md.
+# scripts/kernel_dispatch.py (4096x4096 g128, interleaved min-of-reps),
+# THREE campaigns: the robust signals are M<=16 -> fused (e.g. 8.0 vs 95.8us
+# at M=1) and M>=256 -> xla (92.9 vs 19.5us at M=256, ~2x beyond); in the
+# 32..128 band the winner flips run-to-run (relay drift > path difference:
+# campaign A fused 34.4 vs 41.9 @128, campaign B xla 9.8 vs 34.8 @128,
+# campaign C fused 18.6 vs 37.1 @128) — an indifference band, so the cut
+# stays at 128 where decode bursts and small spec-verify windows all take
+# the fused path. See STATUS.md round-2 kernel campaign.
 AUTO_FUSED_MAX_M = 128
 
 

@@ -29,9 +29,13 @@ import numpy as np
 
 from paroquant_tpu.ops.qlinear import QuantizedLinear, quantized_linear_forward
 
+import os
+
 NS = (8, 40)
-REPS = 9
-MS = (1, 16, 64, 128, 256, 512, 1024, 2048)
+REPS = int(os.environ.get("DISPATCH_REPS", "9"))
+MS = tuple(
+    int(m) for m in os.environ.get("DISPATCH_MS", "1,16,64,128,256,512,1024,2048").split(",")
+)
 
 
 def make_layer(I=4096, O=4096, GS=128):

@@ -1,0 +1,135 @@
+"""GPTQ baseline tests: algorithmic properties + model-level pipeline.
+
+Key invariants:
+- with an identity Hessian there is no cross-column error to propagate, so
+  GPTQ must reduce exactly to RTN (bit-identical q/scales/zeros);
+- with a real (correlated-input) Hessian, GPTQ's proxy loss ||X W^T - X Wq^T||
+  must beat RTN's — the whole point of the second-order compensation;
+- the model driver swaps every eligible linear, beats RTN on calibration-data
+  logits, and its exports round-trip through the PARO checkpoint.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from paroquant_tpu.convert.gptq import gptq_quantize_model, gptq_quantize_weight
+from paroquant_tpu.models import PRESETS, init_params, model_forward
+from paroquant_tpu.models.decoder import DenseLinear
+from paroquant_tpu.ops import quant
+from paroquant_tpu.ops.qlinear import QuantizedLinear
+
+
+def _dequant(q, s, z, group_size):
+    return np.asarray(
+        quant.dequantize_int(jnp.asarray(q), jnp.asarray(s), jnp.asarray(z), group_size)
+    )
+
+
+def test_identity_hessian_reduces_to_rtn():
+    rng = np.random.default_rng(0)
+    O, I, GS = 48, 256, 128
+    w = jnp.asarray(rng.normal(size=(O, I)), jnp.float32)
+    q, s, z = gptq_quantize_weight(w, jnp.eye(I), n_bits=4, group_size=GS)
+    qp = quant.calc_scales_and_zero_points(w, GS, 4)
+    q_ref, s_ref, z_ref = quant.quantize_to_int(w, qp, 4, GS)
+    np.testing.assert_array_equal(np.asarray(q), np.asarray(q_ref))
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(z), np.asarray(z_ref))
+
+
+def test_gptq_beats_rtn_on_proxy_loss():
+    rng = np.random.default_rng(1)
+    O, I, GS, N = 64, 256, 128, 512
+    # correlated calibration inputs (the regime where GPTQ's compensation wins)
+    mix = rng.normal(size=(I, I)) / np.sqrt(I) + 0.5 * np.eye(I)
+    x = rng.normal(size=(N, I)) @ mix
+    w = rng.normal(size=(O, I)).astype(np.float32)
+    H = jnp.asarray(x.T @ x, jnp.float32)
+
+    q, s, z = gptq_quantize_weight(jnp.asarray(w), H, n_bits=4, group_size=GS)
+    w_gptq = _dequant(q, s, z, GS)
+
+    qp = quant.calc_scales_and_zero_points(jnp.asarray(w), GS, 4)
+    q2, s2, z2 = quant.quantize_to_int(jnp.asarray(w), qp, 4, GS)
+    w_rtn = _dequant(q2, s2, z2, GS)
+
+    loss_gptq = np.linalg.norm(x @ (w - w_gptq).T)
+    loss_rtn = np.linalg.norm(x @ (w - w_rtn).T)
+    assert loss_gptq < loss_rtn * 0.9, (loss_gptq, loss_rtn)
+
+
+def test_gptq_dead_columns():
+    """Input channels with zero Hessian diagonal must not produce NaNs."""
+    rng = np.random.default_rng(2)
+    O, I, GS = 16, 256, 128
+    w = jnp.asarray(rng.normal(size=(O, I)), jnp.float32)
+    x = rng.normal(size=(64, I))
+    x[:, 5] = 0.0  # dead channel
+    x[:, 200] = 0.0
+    H = jnp.asarray(x.T @ x, jnp.float32)
+    q, s, z = gptq_quantize_weight(w, H, n_bits=4, group_size=GS)
+    assert np.isfinite(np.asarray(s)).all()
+    assert (np.asarray(q) >= 0).all() and (np.asarray(q) <= 15).all()
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    config = PRESETS["tiny"]
+    params = init_params(config, jax.random.PRNGKey(0), dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    tokens = rng.integers(0, config.vocab_size, size=(4, 32)).astype(np.int32)
+    return config, params, tokens
+
+
+def test_gptq_model_swaps_and_beats_rtn(tiny_setup):
+    from paroquant_tpu.convert import quantize_model_rtn
+
+    config, params, tokens = tiny_setup
+    qparams, exports = gptq_quantize_model(
+        params, config, tokens, n_bits=4, group_size=128, batch_size=4,
+        rot_dtype=jnp.float32,
+    )
+    for li, lp in enumerate(qparams["layers"]):
+        for name in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            assert isinstance(lp[name], QuantizedLinear), (li, name)
+        for name in ("gate_proj", "up_proj", "down_proj"):
+            if isinstance(params["layers"][li]["mlp"].get(name), DenseLinear):
+                if params["layers"][li]["mlp"][name].w.shape[0] % 128 == 0:
+                    assert isinstance(lp["mlp"][name], QuantizedLinear), (li, name)
+        assert exports[li], li
+
+    toks = jnp.asarray(tokens)
+    ref, _ = model_forward(params, config, toks)
+    out_gptq, _ = model_forward(qparams, config, toks)
+    assert np.isfinite(np.asarray(out_gptq)).all()
+
+    rtn = quantize_model_rtn(params, config, n_bits=4, group_size=128,
+                             rot_dtype=jnp.float32)
+    out_rtn, _ = model_forward(rtn, config, toks)
+    err_gptq = float(jnp.mean((out_gptq - ref) ** 2))
+    err_rtn = float(jnp.mean((out_rtn - ref) ** 2))
+    # GPTQ optimizes exactly this calibration set; it must not be worse
+    assert err_gptq < err_rtn, (err_gptq, err_rtn)
+
+
+def test_gptq_checkpoint_roundtrip(tiny_setup, tmp_path):
+    from paroquant_tpu.convert import load_checkpoint, save_paro_checkpoint
+
+    config, params, tokens = tiny_setup
+    qparams, exports = gptq_quantize_model(
+        params, config, tokens, n_bits=4, group_size=128, batch_size=4,
+        rot_dtype=jnp.float32,
+    )
+    save_paro_checkpoint(tmp_path / "ckpt", params, config, exports)
+    loaded, lcfg = load_checkpoint(
+        tmp_path / "ckpt", rot_dtype=jnp.float32, dtype=jnp.float32
+    )
+
+    toks = jnp.asarray(tokens)
+    out_mem, _ = model_forward(qparams, config, toks)
+    out_load, _ = model_forward(loaded, lcfg, toks)
+    np.testing.assert_allclose(
+        np.asarray(out_mem), np.asarray(out_load), rtol=5e-2, atol=5e-2
+    )
