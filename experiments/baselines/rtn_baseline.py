@@ -18,6 +18,9 @@ def main(argv=None):
     ap.add_argument("--n-bits", type=int, default=4)
     ap.add_argument("--group-size", type=int, default=128)
     ap.add_argument("--quantize-lm-head", action="store_true")
+    ap.add_argument("--hadamard", action="store_true",
+                    help="rotate each group by the Hadamard-equivalent "
+                         "butterfly before quantizing (QuaRot/SpinQuant-style)")
     args = ap.parse_args(argv)
 
     import jax
@@ -36,10 +39,12 @@ def main(argv=None):
     else:
         params, config = load_checkpoint(args.model, dtype=jnp.float32)
     exports = rtn_export_model(
-        params, config, n_bits=args.n_bits, group_size=args.group_size
+        params, config, n_bits=args.n_bits, group_size=args.group_size,
+        hadamard=args.hadamard,
     )
     save_paro_checkpoint(args.output, params, config, exports)
-    print(f"RTN W4 checkpoint written to {args.output}")
+    kind = "Hadamard-RTN" if args.hadamard else "RTN"
+    print(f"{kind} W4 checkpoint written to {args.output}")
 
 
 if __name__ == "__main__":

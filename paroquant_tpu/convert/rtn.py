@@ -53,6 +53,27 @@ def _cached_rotation_params(in_features, group_size, num_rotations, seed):
     return _ROT_CACHE[key]
 
 
+def _hadamard_rotation_params(in_features: int, group_size: int):
+    """Hadamard-equivalent rotation in the pairs/theta interchange format.
+
+    log2(group_size) butterfly stages at theta = pi/4 compose to a dense
+    orthogonal per-group mixer with entries +-1/sqrt(group_size) — the
+    QuaRot/SpinQuant-style no-training rotation, exactly representable in
+    the PARO checkpoint schema (so it flows through every loader/kernel).
+    """
+    from ..ops.butterfly import make_butterfly_params
+
+    key = ("hadamard", in_features, group_size)
+    if key not in _ROT_CACHE:
+        k = int(np.log2(group_size))
+        params = make_butterfly_params(in_features, group_size, k)
+        theta = np.where(
+            np.asarray(params.mask), 0.0, np.pi / 4
+        ).astype(np.float32)
+        _ROT_CACHE[key] = (params, theta)
+    return _ROT_CACHE[key]
+
+
 def quantize_linear_rtn(
     lin: DenseLinear,
     *,
@@ -61,17 +82,24 @@ def quantize_linear_rtn(
     num_rotations: int = 8,
     seed: int = 0,
     random_rotation: bool = False,
+    hadamard: bool = False,
     rot_dtype=jnp.bfloat16,
 ) -> QuantizedLinear:
     """Quantize one dense linear (w [I, O]) to the PARO runtime format."""
     w = np.asarray(lin.w, np.float32).T  # [O, I] reference orientation
     O, I = w.shape
-    params = _cached_rotation_params(I, group_size, num_rotations, seed if random_rotation else 0)
-    if random_rotation:
+    if hadamard:
+        params, theta = _hadamard_rotation_params(I, group_size)
+    else:
+        params = _cached_rotation_params(
+            I, group_size, num_rotations, seed if random_rotation else 0
+        )
+    if random_rotation and not hadamard:
         rng = np.random.default_rng(seed)
         theta = np.where(
             np.asarray(params.mask), 0.0, rng.normal(0, 0.1, params.theta.shape)
         ).astype(np.float32)
+    if random_rotation or hadamard:
         form_np = rot_ops.pairs_to_permutation(np.asarray(params.pairs), group_size)
         form = rot_ops.PermutationForm(*(jnp.asarray(a) for a in form_np))
         w_rot = rot_ops.apply_rotation_stages(jnp.asarray(w), jnp.asarray(theta), form)
@@ -213,19 +241,29 @@ def quantize_model_rtn(
 
 def rtn_export_linear(
     lin: DenseLinear, *, n_bits: int = 4, group_size: int = 128,
-    num_rotations: int = 8,
+    num_rotations: int = 8, hadamard: bool = False,
 ) -> dict[str, Any]:
     """Export dict (checkpoint interchange form) for an RTN-quantized linear:
-    identity rotation (theta=0), unit channel scales."""
+    identity rotation (theta=0) or Hadamard-equivalent butterfly stages
+    (hadamard=True, the QuaRot/SpinQuant-style baseline); unit channel
+    scales."""
     w = np.asarray(lin.w, np.float32).T  # [O, I]
-    params = _cached_rotation_params(w.shape[1], group_size, num_rotations, 0)
-    q, s, z = _rtn_quantize_jit(jnp.asarray(w), n_bits, group_size)
+    if hadamard:
+        params, theta = _hadamard_rotation_params(w.shape[1], group_size)
+        form_np = rot_ops.pairs_to_permutation(np.asarray(params.pairs), group_size)
+        form = rot_ops.PermutationForm(*(jnp.asarray(a) for a in form_np))
+        w_rot = rot_ops.apply_rotation_stages(jnp.asarray(w), jnp.asarray(theta), form)
+    else:
+        params = _cached_rotation_params(w.shape[1], group_size, num_rotations, 0)
+        theta = np.zeros(params.theta.shape, np.float32)
+        w_rot = jnp.asarray(w)
+    q, s, z = _rtn_quantize_jit(w_rot, n_bits, group_size)
     return {
         "q": np.asarray(q),
         "scales": np.asarray(s),
         "zeros": np.asarray(z),
         "pairs": np.asarray(params.pairs),
-        "theta": np.zeros(params.theta.shape, np.float32),
+        "theta": np.asarray(theta, np.float32),
         "inv_channel_scales": np.ones(w.shape[1], np.float32),
         "bias": None if lin.b is None else np.asarray(lin.b, np.float32),
         "n_bits": n_bits,
@@ -235,10 +273,12 @@ def rtn_export_linear(
 
 def rtn_export_model(
     params: dict[str, Any], config: ModelConfig, *,
-    n_bits: int = 4, group_size: int = 128,
+    n_bits: int = 4, group_size: int = 128, hadamard: bool = False,
 ) -> list[dict[str, Any]]:
     """Per-layer export dicts for save_paro_checkpoint / save_awq_checkpoint
-    (the RTN baseline path; MoE experts stay dense in this baseline)."""
+    (the RTN baseline path; MoE experts stay dense in this baseline).
+    hadamard=True rotates each 128-group by the Hadamard-equivalent butterfly
+    before quantizing (QuaRot/SpinQuant-style no-training baseline)."""
     exports: list[dict[str, Any]] = []
     for lp in params["layers"]:
         e: dict[str, Any] = {}
@@ -246,14 +286,16 @@ def rtn_export_model(
             if isinstance(lp.get(name), DenseLinear):
                 if lp[name].w.shape[0] % group_size == 0:
                     e[name] = rtn_export_linear(
-                        lp[name], n_bits=n_bits, group_size=group_size
+                        lp[name], n_bits=n_bits, group_size=group_size,
+                        hadamard=hadamard,
                     )
         mlp = lp.get("mlp", {})
         for name in ("gate_proj", "up_proj", "down_proj"):
             if isinstance(mlp.get(name), DenseLinear):
                 if mlp[name].w.shape[0] % group_size == 0:
                     e[f"mlp.{name}"] = rtn_export_linear(
-                        mlp[name], n_bits=n_bits, group_size=group_size
+                        mlp[name], n_bits=n_bits, group_size=group_size,
+                        hadamard=hadamard,
                     )
         exports.append(e)
     return exports
