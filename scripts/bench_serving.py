@@ -45,6 +45,10 @@ def main():
     ap.add_argument("--distinct-prompts", type=int, default=None,
                     help="draw requests from a pool of N distinct prompts "
                          "(chat-like reuse; pairs with --prefix-caching)")
+    ap.add_argument("--arrival-mean", type=float, default=0.03,
+                    help="mean inter-arrival seconds (exponential). The "
+                         "0.03 default is a saturating burst; ~0.3+ probes "
+                         "steady-state TTFT below capacity")
     args = ap.parse_args()
 
     import dataclasses
@@ -129,7 +133,7 @@ def main():
                  else list(rng.integers(0, config.vocab_size, lengths[i])))
             reqs.append(eng.submit(p, sp))
             i += 1
-            next_submit = now + float(rng.exponential(0.03))
+            next_submit = now + float(rng.exponential(args.arrival_mean))
         if not eng.step():
             time.sleep(0.001)
         if time.perf_counter() - t_start > 600:
