@@ -167,8 +167,13 @@ def quantize_model_rtn(
     seed: int = 0,
     rot_dtype=jnp.bfloat16,
     quantize_lm_head: bool = False,
+    hadamard: bool = False,
 ) -> dict[str, Any]:
     """Swap every eligible DenseLinear for a QuantizedLinear (functional copy).
+
+    hadamard=True applies the Hadamard-equivalent butterfly rotation per
+    group before quantizing (QuaRot/SpinQuant-style baseline; MoE expert
+    stacks keep identity rotations).
 
     quantize_lm_head extends past the reference (which keeps the lm_head
     dense): at small model scale the vocab projection dominates per-token
@@ -188,6 +193,7 @@ def quantize_model_rtn(
         out["lm_head"] = quantize_linear_rtn(
             head, n_bits=n_bits, group_size=group_size,
             num_rotations=num_rotations, seed=seed + 10_000, rot_dtype=rot_dtype,
+            hadamard=hadamard,
         )
     layers = []
     for i, lp in enumerate(params["layers"]):
@@ -199,6 +205,7 @@ def quantize_model_rtn(
             return quantize_linear_rtn(
                 lin, n_bits=n_bits, group_size=group_size,
                 num_rotations=num_rotations, seed=seed + i, rot_dtype=rot_dtype,
+                hadamard=hadamard,
             )
 
         for name in ("q_proj", "k_proj", "v_proj", "o_proj"):
@@ -226,6 +233,7 @@ def quantize_model_rtn(
                     mlp[name] = quantize_linear_rtn(
                         mlp[name], n_bits=n_bits, group_size=group_size,
                         num_rotations=num_rotations, seed=seed + i, rot_dtype=rot_dtype,
+                        hadamard=hadamard,
                     )
         if "shared_expert" in mlp:
             # quantized like any GLU; its sigmoid gate stays dense (the
