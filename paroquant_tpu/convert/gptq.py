@@ -227,6 +227,11 @@ def gptq_quantize_model(
 
     Returns (quantized runtime params, per-layer export dicts for
     save_paro_checkpoint — same schema as convert/rtn.py rtn_export_model).
+
+    Activation batches stay device-resident between layers (one [N, T, H]
+    set), which fits a 16GB chip up to ~8B geometry at 128x2048 f32 tokens;
+    for larger sweeps drop batch count or reuse optim/calibrate.py's
+    budget-gated host paging pattern (resident_act_bytes).
     """
     if config.is_gemma3n:
         raise NotImplementedError("GPTQ baseline does not support gemma3n")

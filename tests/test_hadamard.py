@@ -71,3 +71,24 @@ def test_hadamard_export_matches_runtime():
         np.asarray(quantized_linear_forward(direct, x, mode="xla")),
         atol=1e-4, rtol=1e-4,
     )
+
+
+def test_hadamard_model_level():
+    import jax
+
+    from paroquant_tpu.convert import quantize_model_rtn
+    from paroquant_tpu.models import PRESETS, init_params, model_forward
+
+    config = PRESETS["tiny"]
+    params = init_params(config, jax.random.PRNGKey(0), dtype=jnp.float32)
+    qh = quantize_model_rtn(params, config, rot_dtype=jnp.float32, hadamard=True)
+    # rotation actually present on a quantized projection
+    lp = qh["layers"][0]
+    rot = np.asarray(lp["mlp"]["gate_proj"].rot)
+    assert np.abs(np.abs(rot) - 1.0 / np.sqrt(rot.shape[-1])).max() < 1e-4
+    toks = jnp.asarray(np.random.default_rng(0).integers(0, config.vocab_size, (2, 16)), jnp.int32)
+    ref, _ = model_forward(params, config, toks)
+    out, _ = model_forward(qh, config, toks)
+    assert np.isfinite(np.asarray(out)).all()
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.5, rel
