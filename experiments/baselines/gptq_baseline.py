@@ -33,6 +33,9 @@ def main(argv=None):
     ap.add_argument("--n-bits", type=int, default=4)
     ap.add_argument("--group-size", type=int, default=128)
     ap.add_argument("--percdamp", type=float, default=0.01)
+    ap.add_argument("--hadamard", action="store_true",
+                    help="compose the Hadamard group mixer with GPTQ "
+                         "(the QuaRot recipe)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
@@ -65,10 +68,12 @@ def main(argv=None):
         params, config, tokens,
         n_bits=args.n_bits, group_size=args.group_size,
         percdamp=args.percdamp, batch_size=args.batch_size,
+        hadamard=args.hadamard,
         log_fn=lambda m: print(m, flush=True),
     )
     save_paro_checkpoint(args.output, params, config, exports)
-    print(f"GPTQ W4 checkpoint written to {args.output}")
+    kind = "QuaRot (Hadamard+GPTQ)" if args.hadamard else "GPTQ"
+    print(f"{kind} W4 checkpoint written to {args.output}")
 
 
 if __name__ == "__main__":

@@ -1,4 +1,4 @@
-"""Quality ladder: dense -> RTN -> Hadamard -> GPTQ -> ParoQuant (learned).
+"""Quality ladder: dense -> RTN -> Hadamard -> GPTQ -> QuaRot -> ParoQuant.
 
 Runs every in-framework quantizer on the SAME model + calibration data and
 reports logits-MSE vs the dense model on held-out tokens — the in-repo proof
@@ -90,6 +90,8 @@ def main(argv=None):
     )
     gq, _ = gptq_quantize_model(params, config, calib, group_size=gs)
     results["gptq"] = mse(gq)
+    qr, _ = gptq_quantize_model(params, config, calib, group_size=gs, hadamard=True)
+    results["quarot"] = mse(qr)
 
     # learned rotations+scales (trimmed canonical recipe)
     ccfg = CalibConfig(

@@ -40,9 +40,9 @@ import numpy as np
 
 from ..models.config import ModelConfig
 from ..models.decoder import DenseLinear, layer_forward, rms_norm, rope_tables_per_layer
-from ..ops import quant
+from ..ops import quant, rotation as rot_ops
 from ..ops.qlinear import QuantizedLinear, make_quantized_linear
-from .rtn import _cached_rotation_params
+from .rtn import _cached_rotation_params, _hadamard_rotation_params
 
 __all__ = ["gptq_quantize_weight", "gptq_quantize_model"]
 
@@ -175,18 +175,64 @@ def _layer_apply(lp, x, config, layer_idx, cos, sin, positions):
     return out
 
 
+_HAD_M_CACHE: dict[tuple, Any] = {}
+
+
+def _hadamard_matrices(in_features: int, group_size: int) -> jax.Array:
+    """Composed per-group Hadamard-equivalent mixers M [G, S, S] f32."""
+    key = (in_features, group_size)
+    if key not in _HAD_M_CACHE:
+        params, theta = _hadamard_rotation_params(in_features, group_size)
+        form_np = rot_ops.pairs_to_permutation(np.asarray(params.pairs), group_size)
+        form = rot_ops.PermutationForm(*(jnp.asarray(a) for a in form_np))
+        _HAD_M_CACHE[key] = rot_ops.build_rotation_matrices(
+            jnp.asarray(theta, jnp.float32), form, group_size, dtype=jnp.float32
+        )
+    return _HAD_M_CACHE[key]
+
+
+@jax.jit
+def _rotate_weight_and_hessian(w, H, M):
+    """Move (w [O, I], H [I, I]) into the rotated coordinate system of the
+    per-group mixers M [G, S, S]: the runtime computes y = (Mx) @ Wd, so GPTQ
+    must see Wd's coordinates — w_rot = w @ Mb^T and H_rot = Mb H Mb^T
+    (block-diagonal Mb)."""
+    O, I = w.shape
+    G, S, _ = M.shape
+    wg = w.astype(jnp.float32).reshape(O, G, S)
+    w_rot = jnp.einsum("ogj,gij->ogi", wg, M).reshape(O, I)
+    # rows: H' = Mb @ H
+    h = H.astype(jnp.float32).reshape(G, S, I)
+    h = jnp.einsum("gij,gjX->giX", M, h).reshape(I, I)
+    # cols: H_rot = H' @ Mb^T
+    h = h.reshape(I, G, S)
+    h_rot = jnp.einsum("Xgj,gij->Xgi", h, M).reshape(I, I)
+    return w_rot, h_rot
+
+
 def _gptq_linear(
     lin: DenseLinear, hessian, *, n_bits, group_size, percdamp, rot_dtype,
+    hadamard: bool = False,
 ) -> tuple[QuantizedLinear, dict[str, Any]]:
-    """Quantize one dense linear; returns (runtime layer, export dict)."""
+    """Quantize one dense linear; returns (runtime layer, export dict).
+
+    hadamard=True composes the Hadamard-equivalent group mixer with GPTQ —
+    the QuaRot recipe (rotate to kill outliers, then Hessian-compensated
+    rounding) expressed in the PARO pairs/theta checkpoint schema.
+    """
     w = jnp.asarray(lin.w, jnp.float32).T  # [O, I]
     I = w.shape[1]
+    if hadamard:
+        params, theta = _hadamard_rotation_params(I, group_size)
+        M = _hadamard_matrices(I, group_size)
+        w, hessian = _rotate_weight_and_hessian(w, hessian, M)
+    else:
+        params = _cached_rotation_params(I, group_size, 8, 0)
+        theta = np.zeros(params.theta.shape, np.float32)
     q, s, z = gptq_quantize_weight(
         w, hessian, n_bits=n_bits, group_size=group_size, percdamp=percdamp
     )
     q, s, z = np.asarray(q), np.asarray(s), np.asarray(z)
-    params = _cached_rotation_params(I, group_size, 8, 0)
-    theta = np.zeros(params.theta.shape, np.float32)
     bias = None if lin.b is None else np.asarray(lin.b, np.float32)
     runtime = make_quantized_linear(
         q, s, z, np.asarray(params.pairs), theta, np.ones(I, np.float32),
@@ -211,6 +257,7 @@ def gptq_quantize_model(
     percdamp: float = 0.01,
     batch_size: int = 4,
     rot_dtype=jnp.bfloat16,
+    hadamard: bool = False,
     log_fn=None,
 ) -> tuple[dict[str, Any], list[dict[str, Any]]]:
     """Sequential GPTQ over the decoder stack.
@@ -284,7 +331,7 @@ def gptq_quantize_model(
                     continue
                 holder[name], exp[key] = _gptq_linear(
                     lin, hs_acc[tap], n_bits=n_bits, group_size=group_size,
-                    percdamp=percdamp, rot_dtype=rot_dtype,
+                    percdamp=percdamp, rot_dtype=rot_dtype, hadamard=hadamard,
                 )
         nlp["mlp"] = mlp
         out_layers.append(nlp)

@@ -133,3 +133,48 @@ def test_gptq_checkpoint_roundtrip(tiny_setup, tmp_path):
     np.testing.assert_allclose(
         np.asarray(out_mem), np.asarray(out_load), rtol=5e-2, atol=5e-2
     )
+
+
+def test_quarot_composes_hadamard_with_gptq():
+    """hadamard=True (QuaRot recipe): on outlier-heavy weights with correlated
+    inputs, Hadamard+GPTQ must beat BOTH plain GPTQ (no outlier mixing) and
+    Hadamard-RTN (no Hessian compensation) on the proxy loss ||X(W - Weff)||."""
+    from paroquant_tpu.convert.gptq import _gptq_linear
+    from paroquant_tpu.convert.rtn import quantize_linear_rtn
+    from paroquant_tpu.ops.qlinear import effective_weight
+
+    rng = np.random.default_rng(7)
+    O, I, GS, N = 64, 256, 128, 512
+    w = rng.normal(size=(O, I)).astype(np.float32)
+    w[:, rng.integers(0, I, 8)] *= 15.0  # outlier input channels
+    mix = rng.normal(size=(I, I)) / np.sqrt(I) + 0.5 * np.eye(I)
+    x = (rng.normal(size=(N, I)) @ mix).astype(np.float32)
+    H = jnp.asarray(x.T @ x)
+    lin = DenseLinear(jnp.asarray(w.T), None)
+
+    def proxy(layer):
+        we = np.asarray(effective_weight(layer))  # [I, O]
+        return float(np.linalg.norm(x @ (w.T - we)))
+
+    kw = dict(n_bits=4, group_size=GS, percdamp=0.01, rot_dtype=jnp.float32)
+    loss_quarot = proxy(_gptq_linear(lin, H, hadamard=True, **kw)[0])
+    loss_gptq = proxy(_gptq_linear(lin, H, **kw)[0])
+    loss_hrtn = proxy(quantize_linear_rtn(lin, group_size=GS, hadamard=True,
+                                          rot_dtype=jnp.float32))
+    assert loss_quarot < loss_gptq, (loss_quarot, loss_gptq)
+    assert loss_quarot < loss_hrtn, (loss_quarot, loss_hrtn)
+
+
+def test_quarot_model_runs(tiny_setup):
+    config, params, tokens = tiny_setup
+    qparams, exports = gptq_quantize_model(
+        params, config, tokens, n_bits=4, group_size=128, batch_size=4,
+        rot_dtype=jnp.float32, hadamard=True,
+    )
+    # rotation present in the export (theta nonzero)
+    assert np.any(exports[0]["q_proj"]["theta"])
+    out, _ = model_forward(qparams, config, jnp.asarray(tokens))
+    ref, _ = model_forward(params, config, jnp.asarray(tokens))
+    assert np.isfinite(np.asarray(out)).all()
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.5, rel
