@@ -88,9 +88,15 @@ def main(argv=None):
             params, config, group_size=gs, rot_dtype=jnp.float32, hadamard=True
         )
     )
-    gq, _ = gptq_quantize_model(params, config, calib, group_size=gs)
+    # rot_dtype=f32 keeps every arm dtype-matched with the RTN/Hadamard arms
+    # (the gptq driver defaults to bf16 rotations — ADVICE r2 fairness fix)
+    gq, _ = gptq_quantize_model(
+        params, config, calib, group_size=gs, rot_dtype=jnp.float32
+    )
     results["gptq"] = mse(gq)
-    qr, _ = gptq_quantize_model(params, config, calib, group_size=gs, hadamard=True)
+    qr, _ = gptq_quantize_model(
+        params, config, calib, group_size=gs, hadamard=True, rot_dtype=jnp.float32
+    )
     results["quarot"] = mse(qr)
 
     # learned rotations+scales (trimmed canonical recipe)

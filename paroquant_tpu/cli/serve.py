@@ -34,6 +34,9 @@ def main(argv=None):
     ap.add_argument("--tp", type=int, default=None,
                     help="tensor-parallel size per replica (default: all of "
                          "the replica's devices)")
+    ap.add_argument("--max-queue", type=int, default=None,
+                    help="admission control: shed load (HTTP 429) once this "
+                         "many requests wait per replica (default: unbounded)")
     ap.add_argument("--served-model-name", default=None)
     ap.add_argument("--warmup", action="store_true",
                     help="precompile the prefill buckets + decode variants "
@@ -62,7 +65,7 @@ def main(argv=None):
             max_batch=args.max_batch, max_len=args.max_len, page_size=args.page_size,
             quant_mode=qmode, decode_burst=burst,
             prefix_caching=args.prefix_caching, spec_k=args.spec_k, mesh=mesh,
-            kv_quant=args.kv_quant,
+            kv_quant=args.kv_quant, max_queue=args.max_queue,
         )
 
     if args.dp > 1 or args.tp:

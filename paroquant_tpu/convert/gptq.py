@@ -32,6 +32,7 @@ TPU-first design notes:
 from __future__ import annotations
 
 import functools
+import logging
 from typing import Any
 
 import jax
@@ -45,6 +46,8 @@ from ..ops.qlinear import QuantizedLinear, make_quantized_linear
 from .rtn import _cached_rotation_params, _hadamard_rotation_params
 
 __all__ = ["gptq_quantize_weight", "gptq_quantize_model"]
+
+logger = logging.getLogger("paroquant_tpu.convert")
 
 
 @functools.partial(jax.jit, static_argnames=("n_bits", "group_size"))
@@ -62,6 +65,9 @@ def gptq_quantize_weight(
     quantize_to_int convention: dequant(q) = (q - zeros) * scales per group.
     """
     O, I = w.shape
+    # a non-multiple I would silently zero the trailing columns (G floors);
+    # match ops/quant.py's divisibility contract loudly (ADVICE r2)
+    assert I % group_size == 0, (w.shape, group_size)
     G = I // group_size
     qmax = 2**n_bits - 1
     wf = w.astype(jnp.float32)
@@ -289,11 +295,17 @@ def gptq_quantize_model(
     tokens = np.asarray(tokens, np.int32)
     N, T = tokens.shape
     bs = min(batch_size, N)
-    n_batches = N // bs
+    # every sample contributes: the remainder rides as a smaller final batch
+    # (one extra jit specialization) instead of being silently dropped
+    batch_sizes = [bs] * (N // bs)
+    if N % bs:
+        batch_sizes.append(N % bs)
 
     embed = jnp.asarray(params["embed_tokens"])
-    positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :], (bs, T))
-    rope_by_layer = rope_tables_per_layer(positions, config)
+    rope_by_bs = {}
+    for b in set(batch_sizes):
+        pos = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :], (b, T))
+        rope_by_bs[b] = (pos, rope_tables_per_layer(pos, config))
 
     @jax.jit
     def _embed(toks):
@@ -302,23 +314,34 @@ def gptq_quantize_model(
             x = x * jnp.asarray(np.sqrt(config.hidden_size), x.dtype)
         return x
 
+    offs = np.cumsum([0] + batch_sizes)
     xs = [
-        _embed(jnp.asarray(tokens[i * bs : (i + 1) * bs])) for i in range(n_batches)
+        _embed(jnp.asarray(tokens[offs[i] : offs[i + 1]]))
+        for i in range(len(batch_sizes))
     ]
 
     out_layers: list[dict[str, Any]] = []
     exports: list[dict[str, Any]] = []
     for li, lp in enumerate(params["layers"]):
-        cos, sin = rope_by_layer[li]
         # 1) accumulate per-tap Hessians with the dense layer
         hs_acc: dict[str, jax.Array] | None = None
         for x in xs:
+            positions, rope_by_layer = rope_by_bs[x.shape[0]]
+            cos, sin = rope_by_layer[li]
             _, hs = _tap_hessians(lp, x, config, li, cos, sin, positions)
             hs_acc = hs if hs_acc is None else jax.tree.map(jnp.add, hs_acc, hs)
 
         # 2) GPTQ every eligible linear of this layer
         nlp = dict(lp)
         mlp = dict(lp["mlp"])
+        if "gate_up_proj" in mlp:
+            # merged projections are a post-load runtime transform; dense
+            # checkpoints load split, so reaching here means the caller merged
+            # first — make the skipped coverage visible (ADVICE r2)
+            (log_fn or logger.warning)(
+                f"gptq layer {li}: mlp.gate_up_proj is merged — left dense "
+                "(run GPTQ before merge_projections)"
+            )
         exp: dict[str, Any] = {}
         for tap, names in _TAP_LINEARS.items():
             for name in names:
@@ -338,7 +361,13 @@ def gptq_quantize_model(
         exports.append(exp)
 
         # 3) feed the next layer quantized-student outputs
-        xs = [_layer_apply(nlp, x, config, li, cos, sin, positions) for x in xs]
+        xs = [
+            _layer_apply(
+                nlp, x, config, li,
+                *rope_by_bs[x.shape[0]][1][li], rope_by_bs[x.shape[0]][0],
+            )
+            for x in xs
+        ]
         if log_fn is not None:
             log_fn(f"gptq layer {li}: quantized {sorted(exp)}")
 

@@ -20,7 +20,7 @@ from typing import Any
 
 from aiohttp import web
 
-from .engine import Engine
+from .engine import Engine, EngineOverloaded
 from .sampling import SamplingParams
 
 
@@ -94,6 +94,8 @@ class Server:
         out = dict(self.engine.metrics)
         if hasattr(self.engine, "ttft_stats"):
             out.update(self.engine.ttft_stats())
+        if hasattr(self.engine, "step_time_stats"):
+            out.update(self.engine.step_time_stats())
         return web.json_response(out)
 
     async def models(self, request: web.Request) -> web.Response:
@@ -221,8 +223,14 @@ class Server:
                     sp, seed=(sp.seed + i) if sp.seed is not None else None
                 )
                 reqs.append(self.engine.submit(prompt, sp_i, pixel_values=pixel_values))
-        except ValueError as e:
+        except EngineOverloaded as e:
             for r in reqs:  # don't orphan already-submitted choices
+                self.engine.cancel(r)
+            raise web.HTTPTooManyRequests(
+                reason=str(e), headers={"Retry-After": "1"}
+            )
+        except ValueError as e:
+            for r in reqs:
                 self.engine.cancel(r)
             raise web.HTTPBadRequest(reason=str(e))
         req = reqs[0]

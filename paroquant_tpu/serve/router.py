@@ -72,6 +72,25 @@ class EngineRouter:
             "ttft_samples": int(a.size),
         }
 
+    def step_time_stats(self) -> dict:
+        import numpy as _np
+
+        pooled = [s for e in self.engines for s in e._step_samples]
+        if not pooled:
+            return {}
+        a = _np.asarray(pooled, _np.float64)
+        n, w = a[:, 0], a[:, 1] * 1e3
+        out = {
+            "decode_tick_wall_p50_ms": round(float(_np.percentile(w, 50)), 2),
+            "decode_tick_wall_p99_ms": round(float(_np.percentile(w, 99)), 2),
+            "decode_tick_samples": int(a.shape[0]),
+        }
+        if _np.unique(n).size >= 2:
+            slope, intercept = _np.polyfit(n, w, 1)
+            out["decode_step_device_ms_est"] = round(float(slope), 3)
+            out["decode_dispatch_overhead_ms_est"] = round(float(intercept), 3)
+        return out
+
     def _load(self, e: Engine) -> tuple[int, int]:
         active = sum(1 for s in e.slots if s.request is not None)
         return (active + len(e._pending) + e.waiting.qsize(), active)

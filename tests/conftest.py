@@ -22,3 +22,7 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# tests must not write the shared persistent compilation cache: concurrent
+# writers (a TPU bench in another process) segfaulted the suite mid-run in
+# jax's cache serializer, and tiny CPU compiles gain nothing from it
+jax.config.update("jax_enable_compilation_cache", False)

@@ -178,3 +178,26 @@ def test_quarot_model_runs(tiny_setup):
     assert np.isfinite(np.asarray(out)).all()
     rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
     assert rel < 0.5, rel
+
+
+def test_gptq_remainder_batch_not_dropped(tiny_setup):
+    """N % batch_size samples must contribute to the Hessians (ADVICE r2).
+    Before the fix, 6 samples at bs=4 silently used only the first 4 — the
+    run was bit-identical to a 4-sample run. Now the remainder rides as a
+    smaller final batch, so the two runs must differ."""
+    config, params, _ = tiny_setup
+    rng = np.random.default_rng(7)
+    tokens = rng.integers(0, config.vocab_size, size=(6, 32)).astype(np.int32)
+
+    _, exp_split = gptq_quantize_model(
+        params, config, tokens, batch_size=4, rot_dtype=jnp.float32
+    )
+    _, exp_trunc = gptq_quantize_model(
+        params, config, tokens[:4], batch_size=4, rot_dtype=jnp.float32
+    )
+    diff = sum(
+        (np.asarray(e1[k]["q"]) != np.asarray(e2[k]["q"])).sum()
+        for e1, e2 in zip(exp_split, exp_trunc)
+        for k in e1
+    )
+    assert diff > 0
