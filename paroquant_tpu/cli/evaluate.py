@@ -53,6 +53,10 @@ def perplexity(params, config, tokens: np.ndarray, seqlen: int, quant_mode: str,
 
     n_win = len(tokens) // seqlen
     assert n_win > 0, "not enough tokens for one window"
+    # Pallas flash prefill for the 2048-token windows on real TPUs (einsum
+    # materializes [B, H, T, T] f32 scores — 4GB/window at 8B geometry);
+    # model_forward falls back to einsum when shapes don't block-align
+    attn_mode = "einsum" if jax.devices()[0].platform == "cpu" else "flash"
 
     data_sh = None
     if mesh is not None:
@@ -63,7 +67,8 @@ def perplexity(params, config, tokens: np.ndarray, seqlen: int, quant_mode: str,
 
     @jax.jit
     def window_ce(tok):
-        logits, _ = model_forward(params, config, tok, None, quant_mode=quant_mode)
+        logits, _ = model_forward(params, config, tok, None,
+                                  quant_mode=quant_mode, attn_mode=attn_mode)
         logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
         tgt = tok[:, 1:]
         ce = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]

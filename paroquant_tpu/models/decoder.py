@@ -377,8 +377,10 @@ def layer_forward(
         and bidir_groups is None
     )
     if flash_ok:
-        # Pallas flash kernel (prefill-from-0 path: q_positions == arange(T));
-        # bucketed prefill pads kv to S==T and masks by `valid`
+        # Pallas flash kernel. q_offset is TRACED (q_positions ==
+        # cache_offset + arange(T)), so chunked prefill at any chunk start
+        # reuses one compilation; bucketed prefill pads kv and masks by
+        # `valid`
         from ..kernels.attention import flash_attention
 
         attn_out = flash_attention(
@@ -386,6 +388,7 @@ def layer_forward(
             jnp.swapaxes(v_all, 1, 2),
             jnp.broadcast_to(valid.reshape(-1), (B,)),
             scale=config.attn_scale,
+            q_offset=jnp.asarray(cache_offset, jnp.int32),
             sliding_window=config.layer_sliding_window(layer_idx),
             logit_softcap=config.attn_logit_softcap,
             block_q=min(256, T), block_k=min(256, S_kv),

@@ -254,7 +254,7 @@ def gemma3n_attention(
         and S_kv % min(256, S_kv) == 0
     )
     if flash_ok:
-        # Pallas flash kernel (prefill-from-0 path, like decoder.layer_forward)
+        # Pallas flash kernel (traced q_offset, like decoder.layer_forward)
         from ..kernels.attention import flash_attention
 
         out = flash_attention(
@@ -262,6 +262,7 @@ def gemma3n_attention(
             jnp.swapaxes(v_all, 1, 2),
             jnp.broadcast_to(valid.reshape(-1), (B,)),
             scale=config.attn_scale,  # 1.0
+            q_offset=jnp.asarray(cache_offset, jnp.int32),
             sliding_window=config.layer_sliding_window(layer_idx),
             block_q=min(256, T), block_k=min(256, S_kv),
         )

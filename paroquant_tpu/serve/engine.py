@@ -722,13 +722,13 @@ class Engine:
             chunk_np = np.pad(chunk_np, ((0, 0), (0, C - chunk_np.shape[1])))
         chunk = jnp.asarray(chunk_np)
         cache = KVCache(st.cache.k, st.cache.v, jnp.asarray(st.offset, jnp.int32))
-        # einsum attention for chunks: the flash kernel's causal block clamp
-        # is specialized on a static q_offset (compile-count explosion across
-        # offsets); chunk attention is short anyway
+        # flash prefill for chunks on TPU: the kernel takes a TRACED q_offset
+        # (kernels/attention.py), so every chunk position shares one
+        # compilation; model_forward falls back to einsum for sub-128 chunks
         chunk_valid = jnp.asarray(min(max(T - st.offset, 0), C), jnp.int32)
         logits, st.cache = _prefill_jit(
-            self.params, self.config, chunk, cache, self.quant_mode, "einsum",
-            chunk_valid,
+            self.params, self.config, chunk, cache, self.quant_mode,
+            self.prefill_attn, chunk_valid,
         )
         st.offset += C
         if st.offset * 1 >= T:  # last chunk reached the final prompt token

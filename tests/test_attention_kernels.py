@@ -182,3 +182,66 @@ def test_paged_window_kernel_ignores_unallocated_pages():
         scale=0.2, interpret=True)
     assert np.isfinite(np.asarray(poisoned)).all()
     np.testing.assert_array_equal(np.asarray(poisoned), np.asarray(clean))
+
+
+@pytest.mark.parametrize(
+    "offsets,window,softcap",
+    [
+        ((256, 128), None, None),   # chunked prefill: chunk at two offsets
+        ((256, 0), 96, None),       # offset + sliding window
+        ((384, 64), None, 40.0),    # offset + softcap
+        ((0, 0), 32, None),         # window << T: below-window blocks skip
+    ],
+)
+def test_flash_prefill_dynamic_q_offset(offsets, window, softcap):
+    """Traced per-batch q_offset (chunked prefill): queries are a 128-token
+    chunk at batch-varying absolute offsets over a longer kv buffer; must
+    match the einsum reference at those positions. Also exercises the
+    sliding-window first-live block clamp (kv blocks entirely below the
+    window remap onto in-window blocks and must not corrupt the output)."""
+    rng = np.random.default_rng(11)
+    B, Hq, Hkv, D, T, S = 2, 4, 2, 128, 128, 512
+    q = rng.standard_normal((B, T, Hq, D)).astype(np.float32)
+    k = rng.standard_normal((B, S, Hkv, D)).astype(np.float32)
+    v = rng.standard_normal((B, S, Hkv, D)).astype(np.float32)
+    offs = jnp.asarray(offsets, jnp.int32)
+    kv_lens = offs + T  # chunk [off, off+T) is the newest kv content
+
+    want = []
+    for b in range(B):
+        positions = (offs[b] + jnp.arange(T, dtype=jnp.int32))[None]
+        want.append(einsum_attention(
+            jnp.asarray(q[b : b + 1]), jnp.asarray(k[b : b + 1]),
+            jnp.asarray(v[b : b + 1]), positions, kv_lens[b],
+            scale=0.09, sliding_window=window, logit_softcap=softcap,
+        ))
+    want = jnp.concatenate(want, axis=0)
+
+    got = flash_attention(
+        jnp.asarray(q.transpose(0, 2, 1, 3)),
+        jnp.asarray(k.transpose(0, 2, 1, 3)),
+        jnp.asarray(v.transpose(0, 2, 1, 3)),
+        kv_lens, q_offset=offs,
+        scale=0.09, sliding_window=window, logit_softcap=softcap,
+        block_q=128, block_k=128, interpret=True,
+    ).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5)
+
+
+def test_flash_dynamic_offset_single_compilation():
+    """The point of the traced offset: different chunk positions must NOT
+    trigger recompilation (VERDICT r2 #5 'compile-count explosion')."""
+    rng = np.random.default_rng(12)
+    B, Hq, D, T, S = 1, 2, 128, 128, 512
+    q = jnp.asarray(rng.standard_normal((B, Hq, T, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, Hq, S, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, Hq, S, D)).astype(np.float32))
+
+    n0 = flash_attention._cache_size()
+    for off in (0, 128, 256, 384):
+        flash_attention(
+            q, k, v, jnp.asarray([off + T], jnp.int32),
+            q_offset=jnp.asarray([off], jnp.int32),
+            scale=0.09, block_q=128, block_k=128, interpret=True,
+        ).block_until_ready()
+    assert flash_attention._cache_size() == n0 + 1

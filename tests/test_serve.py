@@ -1115,3 +1115,29 @@ def test_api_returns_429_when_overloaded(model):
     eng.cancel(blocker)
     while eng.step():
         pass
+
+
+def test_engine_chunked_prefill_flash_matches_einsum(model, monkeypatch):
+    """Chunked prefill through the Pallas flash kernel (traced q_offset) must
+    emit the same tokens as the einsum chunk path (VERDICT r2 #5: chunks used
+    to fall back to einsum because the offset was compile-time)."""
+    import functools as _ft
+
+    from paroquant_tpu.kernels import attention as ka
+
+    params = model
+    rng = np.random.default_rng(41)
+    prompt = list(rng.integers(0, CFG.vocab_size, 400))
+    sp = SamplingParams(max_tokens=6, temperature=0.0)
+
+    eng0 = Engine(params, CFG, max_batch=1, max_len=1024, page_size=8,
+                  quant_mode="xla", cache_dtype=jnp.float32, prefill_chunk=256)
+    ref = eng0.generate_sync(prompt, sp)
+
+    orig = ka.flash_attention
+    monkeypatch.setattr(ka, "flash_attention", _ft.partial(orig, interpret=True))
+    eng1 = Engine(params, CFG, max_batch=1, max_len=1024, page_size=8,
+                  quant_mode="xla", cache_dtype=jnp.float32, prefill_chunk=256)
+    eng1.prefill_attn = "flash"  # CPU default is einsum; force the TPU path
+    got = eng1.generate_sync(prompt, sp)
+    assert got == ref
