@@ -223,8 +223,24 @@ def calibrate_model(
     N, B, T = token_batches.shape
     _adt = np.dtype(cfg.act_dtype)
 
-    def _host(a) -> np.ndarray:
-        """Device activation -> host staging array (CalibConfig.act_dtype)."""
+    # Staging mode. When the per-layer activation set (inputs + teacher
+    # targets) fits the device budget, activations stay DEVICE-RESIDENT
+    # end-to-end: zero device->host transfers in the layer loop. This is
+    # both the TPU-native design (activations never leave HBM) and a hard
+    # requirement on relay-attached chips, where D2H bandwidth can be
+    # orders of magnitude below H2D (measured 0.02 GB/s vs 1.1 GB/s).
+    # Over budget, batches stage host-side (numpy) and stream to device per
+    # step — the CachedTensorShards analogue (util.py:292-361).
+    H = config.hidden_size
+    _x_mult = 2 * getattr(config, "altup_num_inputs", 1) if config.is_gemma3n else 2
+    est_set_bytes = N * B * T * H * _adt.itemsize * _x_mult
+    on_device = est_set_bytes <= cfg.resident_act_bytes
+    _jadt = jnp.dtype(cfg.act_dtype)
+
+    def _host(a):
+        """Device activation -> staging (device jnp or host numpy array)."""
+        if on_device:
+            return a.astype(_jadt)
         return np.asarray(a).astype(_adt, copy=False)
 
     if mesh is not None:
@@ -269,21 +285,21 @@ def calibrate_model(
         from ..models.gemma3n import _magnitude_match, per_layer_inputs as _g3n_pli
 
         @jax.jit
-        def embed_expand(toks):
-            x0 = jnp.take(embed, toks, axis=0).astype(jnp.float32) * scale
-            pli = _g3n_pli(params, config, toks, x0)
+        def embed_expand(prms, toks):
+            x0 = jnp.take(prms["embed_tokens"], toks, axis=0).astype(jnp.float32) * scale
+            pli = _g3n_pli(prms, config, toks, x0)
             stack = [x0]
-            for proj in params["altup_projections"]:
+            for proj in prms["altup_projections"]:
                 stack.append(_magnitude_match(_apply_lin(proj, x0), x0))
             return jnp.stack(stack), pli
 
         hs, plis = [], []
         for tb in token_batches:
-            h_i, p_i = embed_expand(_dev_batch(np.asarray(tb, np.int32)))
+            h_i, p_i = embed_expand(params, _dev_batch(np.asarray(tb, np.int32)))
             hs.append(_host(h_i))
             plis.append(_host(p_i))
-        xs = np.stack(hs)  # [N, A, B, T, H]
-        pli_all = np.stack(plis)  # [N, B, T, L, P]
+        xs = hs  # N x [A, B, T, H]
+        pli_all = plis  # N x [B, T, L, P]
         shared_store: dict[int, list] = {}
         srcs_needed = {
             config.kv_share_source(j) for j in range(config.num_hidden_layers)
@@ -291,13 +307,16 @@ def calibrate_model(
     else:
 
         @jax.jit
-        def embed_fn(toks):
-            return jnp.take(embed, toks, axis=0).astype(jnp.float32) * scale
+        def embed_fn(emb, toks):
+            # emb is an ARGUMENT: a closure-captured embedding table would
+            # bake ~600MB of constants into the HLO (remote relay compilers
+            # reject the upload outright)
+            return jnp.take(emb, toks, axis=0).astype(jnp.float32) * scale
 
-        xs = np.stack([
-            _host(embed_fn(_dev_batch(np.asarray(tb, np.int32))))
+        xs = [
+            _host(embed_fn(embed, _dev_batch(np.asarray(tb, np.int32))))
             for tb in token_batches
-        ])
+        ]
 
     positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :], (B, T))
     n_val = max(int(N * cfg.val_fraction), 1) if N > 1 else 0
@@ -329,7 +348,7 @@ def calibrate_model(
             if _src is not None:
                 shared = tuple(_dev_batch(a) for a in shared_store[_src][i])
             # altup stack is [A, B, T, H]: batch dim is axis 1
-            return (_dev_batch(xs[i], axis=1), _dev_batch(pli_all[i, :, :, li]), shared)
+            return (_dev_batch(xs[i], axis=1), _dev_batch(pli_all[i][:, :, li]), shared)
 
         def apply_with(lp_, x):
             """One decoder layer, dense-or-substituted params (mirrors
@@ -368,8 +387,12 @@ def calibrate_model(
             )
             return y
 
-        dense_apply_j = jax.jit(lambda x: apply_with(lp, x))
-        teacher = np.stack([_host(dense_apply_j(_batch_in(i))) for i in range(N)])
+        # apply_with takes the layer params as an ARGUMENT: closure-captured
+        # params would bake into the HLO as constants and force a fresh
+        # compilation per layer; as args, every same-shape layer shares one
+        # executable (first-layer compile only)
+        dense_apply_j = jax.jit(apply_with)
+        teacher = [_host(dense_apply_j(lp, _batch_in(i))) for i in range(N)]
 
         layer_result: dict[str, Any] = {}
         saved = {}
@@ -414,8 +437,8 @@ def calibrate_model(
                     n_bits=cfg.n_bits, group_size=cfg.group_size,
                 )
 
-            def pseudo_layer_apply(linear_dict, x):
-                new_lp = lp
+            def pseudo_layer_apply(linear_dict, x, lp_ctx):
+                new_lp = lp_ctx
                 for name, lin in linear_dict.items():
                     new_lp = _set_linear(new_lp, name, lin)
                 return apply_with(new_lp, x)
@@ -427,10 +450,10 @@ def calibrate_model(
             val_idx = list(range(N - n_val, N)) if n_val else [0]
             per_bytes = teacher[0].nbytes + xs[0].nbytes
             if _is_g3n:
-                per_bytes += pli_all[0, :, :, li].nbytes
+                per_bytes += pli_all[0][:, :, li].nbytes
                 if _src is not None:
                     per_bytes += sum(a.nbytes for a in shared_store[_src][0])
-            if N * per_bytes <= cfg.resident_act_bytes:
+            if on_device or N * per_bytes <= cfg.resident_act_bytes:
                 cached = [_make_batch(i) for i in range(N)]
                 train_b = [cached[i] for i in train_idx]
                 val_b = [cached[i] for i in val_idx]
@@ -446,7 +469,7 @@ def calibrate_model(
                 linears, step = optimize_linears(
                     pseudo_layer_apply, linears, train_b, val_b, dict(stage_groups),
                     n_epochs=epochs, loss=cfg.loss, grad_accum=cfg.grad_accum,
-                    early_stop=cfg.early_stop, start_step=step,
+                    early_stop=cfg.early_stop, start_step=step, apply_ctx=lp,
                 )
 
             # export + swap in runtime quantized linears
@@ -465,6 +488,11 @@ def calibrate_model(
                     new_lp, name, _dev_rep(quantized_from_export(exp, cfg.rot_dtype))
                 )
             layers[li] = new_lp
+
+        # free teacher targets + cached train batches before the student
+        # re-capture (device staging peak: old xs + student outs only)
+        teacher = None
+        train_b = val_b = cached = None  # noqa: F841
 
         # student outputs feed the next layer (optimize.py:524-537)
         qlp = layers[li]
@@ -489,11 +517,11 @@ def calibrate_model(
                 o, kv = student_kv_j(_batch_in(i))
                 outs.append(_host(o))
                 kvs.append(tuple(_host(a) for a in kv))
-            xs = np.stack(outs)
+            xs = outs
             shared_store[li] = kvs
         else:
-            student_j = jax.jit(lambda x: apply_with(qlp, x))
-            xs = np.stack([_host(student_j(_batch_in(i))) for i in range(N)])
+            student_j = jax.jit(apply_with)
+            xs = [_host(student_j(qlp, _batch_in(i))) for i in range(N)]
         results.append(layer_result)
         if progress_fn:
             progress_fn(li, len(layers), {"seconds": time.time() - t_start})

@@ -60,10 +60,14 @@ def merge_trainable(linears: LinearDict, trainable) -> LinearDict:
 
 
 def make_loss_fn(
-    apply_fn: Callable[[LinearDict, Any], jax.Array],
-    linears: LinearDict,
+    apply_fn: Callable[..., jax.Array],
     loss: str = "mse",
 ):
+    """loss_fn(trainable, linears, ctx, in, target). `linears` and `ctx`
+    (the surrounding layer's params) are jit ARGUMENTS, not closure
+    captures: captured arrays bake into the HLO as constants, which made
+    every decoder layer a fresh compilation — as arguments, all layers of
+    the same shape share one executable (plus persistent-cache hits)."""
     if loss == "mse":
         def loss_op(a, b):
             return jnp.mean((a.astype(jnp.float32) - b.astype(jnp.float32)) ** 2)
@@ -75,9 +79,11 @@ def make_loss_fn(
     else:
         raise ValueError(loss)
 
-    def loss_fn(trainable, batch_in, batch_target):
+    def loss_fn(trainable, linears, ctx, batch_in, batch_target):
         merged = merge_trainable(linears, trainable)
-        out = apply_fn(merged, batch_in)
+        out = apply_fn(merged, batch_in) if ctx is None else apply_fn(
+            merged, batch_in, ctx
+        )
         return loss_op(out, batch_target)
 
     return loss_fn
@@ -97,6 +103,7 @@ def optimize_linears(
     weight_decay: float = 0.01,
     log_fn: Callable[[dict[str, float], int], None] | None = None,
     start_step: int = 0,
+    apply_ctx: Any = None,  # extra pytree forwarded to apply_fn as a jit ARG
 ) -> tuple[LinearDict, int]:
     """Run one optimization stage. Returns (updated linears, step count)."""
     if "quantizer" in stage_groups:
@@ -127,23 +134,25 @@ def optimize_linears(
         tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
     opt_state = tx.init(trainable)
 
-    loss_fn = make_loss_fn(apply_fn, linears, loss)
+    loss_fn = make_loss_fn(apply_fn, loss)
 
     @jax.jit
-    def train_step(trainable, opt_state, batch_in, batch_target):
-        lval, grads = jax.value_and_grad(loss_fn)(trainable, batch_in, batch_target)
+    def train_step(trainable, opt_state, linears, ctx, batch_in, batch_target):
+        lval, grads = jax.value_and_grad(loss_fn)(
+            trainable, linears, ctx, batch_in, batch_target
+        )
         updates, opt_state = tx.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
         return trainable, opt_state, lval
 
     @jax.jit
-    def eval_step(trainable, batch_in, batch_target):
-        return loss_fn(trainable, batch_in, batch_target)
+    def eval_step(trainable, linears, ctx, batch_in, batch_target):
+        return loss_fn(trainable, linears, ctx, batch_in, batch_target)
 
     def val_loss(trainable):
         tot = 0.0
         for bin_, btgt in val_batches:
-            tot += float(eval_step(trainable, bin_, btgt))
+            tot += float(eval_step(trainable, linears, apply_ctx, bin_, btgt))
         return tot / max(len(val_batches), 1)
 
     best_val = val_loss(trainable)
@@ -156,7 +165,9 @@ def optimize_linears(
     stall = 0
     for _ in range(n_epochs):
         for bin_, btgt in train_batches:
-            trainable, opt_state, lval = train_step(trainable, opt_state, bin_, btgt)
+            trainable, opt_state, lval = train_step(
+                trainable, opt_state, linears, apply_ctx, bin_, btgt
+            )
             step += 1
             if log_fn:
                 log_fn({"loss": float(lval)}, step)

@@ -362,11 +362,12 @@ class Engine:
         # suffix prefills (via the chunked path). Pages carry refcounts;
         # zero-ref cached pages sit in an LRU and are evicted on demand.
         self.prefix_caching = prefix_caching
-        # prompt-lookup speculative decoding: when every active slot is
-        # greedy (temp 0, no penalty) and at least one has a context-drafted
-        # continuation, one paged verify forward emits n_accepted+1 exact
-        # greedy tokens per slot per weight read (the decode-HBM multiplier;
-        # Generator._spec_greedy_stream is the single-stream counterpart)
+        # prompt-lookup speculative decoding, gated PER SLOT: greedy
+        # (temp 0, no penalty) slots with a context-drafted continuation get
+        # n_accepted+1 exact greedy tokens per weight read from one paged
+        # verify forward (the decode-HBM multiplier); sampled/penalized
+        # slots sharing the batch single-step off the same forward
+        # (Generator._spec_greedy_stream is the single-stream counterpart)
         self.spec_k = max(0, spec_k)
         if self.spec_k and (config.num_linear_layers or config.is_gemma3n):
             raise ValueError(
@@ -902,49 +903,77 @@ class Engine:
             self._emit(i, tok, float(lps[i]), tops)
 
     def _try_decode_spec(self, active: list[int]) -> bool:
-        """Speculative tick: when every active slot is greedy with no
-        repetition penalty and at least one slot has a prompt-lookup draft,
-        verify [current + k drafts] per slot in ONE paged forward and emit
-        each slot's accepted prefix + correction (exact greedy tokens).
-        Returns False (caller falls through to the normal path) otherwise.
+        """Speculative tick: greedy no-penalty slots with a prompt-lookup
+        draft verify [current + k drafts] in ONE paged forward and emit
+        their accepted prefix + correction (exact greedy tokens). Gating is
+        PER SLOT (VERDICT r2 #7): sampled / penalized / biased / top-N slots
+        in the same batch ride the verify forward's window-position-0 logits
+        through the normal batched sampler — one token each, their PRNG
+        stream advancing exactly one fold per tick as in the plain path.
+        Returns False (caller falls through) when no eligible slot drafted.
 
-        Deliberately greedy-only: sampled speculation (exact rejection
-        sampling, Generator._spec_sampled_stream) would make a request's
-        window boundaries — and therefore its PRNG stream — depend on the
-        other slots' drafts, breaking the engine's batch-composition
-        independence invariant (test_engine_per_request_seeds, the
-        scheduler fuzz test)."""
-        if any(
-            self.temps[i] != 0.0
-            or self.rep_pens[i] != 1.0
-            or self.slots[i].request.sampling.top_logprobs
-            or self.slots[i].request.sampling.logit_bias
-            for i in active
-        ):
-            return False  # spec verify carries no top-N / bias shaping
+        Speculation itself stays greedy-only: sampled speculation (exact
+        rejection sampling, Generator._spec_sampled_stream) would make a
+        request's window boundaries — and therefore its PRNG stream —
+        depend on the other slots' drafts, breaking the engine's batch-
+        composition independence invariant (test_engine_per_request_seeds,
+        the scheduler fuzz test)."""
         from .generator import _lookup_draft
         from .paged import paged_verify_step
 
+        def _eligible(i: int) -> bool:
+            sp = self.slots[i].request.sampling
+            return (
+                self.temps[i] == 0.0
+                and self.rep_pens[i] == 1.0
+                and not sp.top_logprobs
+                and not sp.logit_bias
+            )
+
         k = self.spec_k
-        drafts = {i: _lookup_draft(self.slots[i].ctx, k) for i in active}
+        elig = [i for i in active if _eligible(i)]
+        drafts = {i: _lookup_draft(self.slots[i].ctx, k) for i in elig}
         if not any(drafts.values()):
             return False
+        others = [i for i in active if i not in drafts]
         windows = np.zeros((self.max_batch, 1 + k), np.int32)
         for i in active:
             windows[i, 0] = self.tokens[i]
-            d = drafts[i]
+            d = drafts.get(i, ())
             windows[i, 1 : 1 + len(d)] = d
-        pred_arr, lps_arr, self.cache = paged_verify_step(
+        pred_arr, lps_arr, logits0, self.cache = paged_verify_step(
             self.params, self.config, jnp.asarray(windows),
             jnp.asarray(np.array(self.seq_lens)),
             jnp.asarray(np.array(self.page_table)), self.cache,
             self.trash_page, quant_mode=self.quant_mode,
         )
+        if others:
+            # batched sampler over the window-row-0 logits (same fold/step
+            # bookkeeping as the plain decode path)
+            step_keys = np.asarray(
+                jax.vmap(jax.random.fold_in)(
+                    jnp.asarray(np.array(self.slot_keys)),
+                    jnp.asarray(np.array(self.slot_steps, np.uint32)),
+                ),
+                np.uint32,
+            )
+            s_toks, self.token_counts, s_lps, s_tids, s_tlps = _sample_batch(
+                logits0, jnp.asarray(step_keys),
+                jnp.asarray(np.array(self.temps)),
+                jnp.asarray(np.array(self.top_ps)),
+                jnp.asarray(np.array(self.top_ks)),
+                jnp.asarray(np.array(self.rep_pens)),
+                self.token_counts, self.logit_biases,
+            )
+            s_toks = np.asarray(s_toks)
+            s_lps = np.asarray(s_lps)
+            s_tids = np.asarray(s_tids)
+            s_tlps = np.asarray(s_tlps)
         pred = np.asarray(pred_arr)
         lps = np.asarray(lps_arr)
         self.metrics["steps"] += 1
-        self.metrics["spec_windows"] += len(active)
-        for i in active:
+        self.metrics["spec_windows"] += len(drafts)
+        for i in elig:
             d = drafts[i]
             n_acc = 0
             while n_acc < len(d) and d[n_acc] == int(pred[i, n_acc]):
@@ -960,6 +989,15 @@ class Engine:
                 self.tokens[i] = tok
                 self.slots[i].n_generated += 1
                 self._emit(i, tok, float(lps[i, j]))
+        for i in others:
+            self.seq_lens[i] += 1
+            self.slot_steps[i] += 1
+            tok = int(s_toks[i])
+            self.tokens[i] = tok
+            self.slots[i].n_generated += 1
+            tops = (list(zip(s_tids[i].tolist(), s_tlps[i].tolist()))
+                    if self.slots[i].request.sampling.top_logprobs else None)
+            self._emit(i, tok, float(s_lps[i]), tops)
         return True
 
     def _burst_size(self, active: list[int]) -> int:

@@ -598,8 +598,12 @@ def _paged_verify_step_impl(
     lps = jnp.take_along_axis(
         jax.nn.log_softmax(logits, axis=-1), toks[..., None], axis=-1
     )[..., 0]
-    return toks, lps, PagedKVCache(new_k, new_v, cache.conv, cache.rec,
-                                   new_ks, new_vs)
+    # raw window-position-0 logits [B, V]: sampled slots in a mixed batch
+    # draw their single token from these through the engine's batched
+    # sampler (per-slot speculation gating) — no extra forward needed
+    return toks, lps, logits[:, 0], PagedKVCache(
+        new_k, new_v, cache.conv, cache.rec, new_ks, new_vs
+    )
 
 
 _paged_verify_donate = partial(

@@ -30,12 +30,16 @@ def main():
     import argparse
 
     ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="qwen3-8b")
     ap.add_argument("--layers", type=int, default=2)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--seqlen", type=int, default=512)
     ap.add_argument("--tokens", type=int, default=65536,
                     help="total calibration tokens (batches derived)")
     ap.add_argument("--epochs", type=int, default=1, help="epochs per stage")
+    ap.add_argument("--act-dtype", default="bfloat16",
+                    choices=["float32", "bfloat16"])
+    ap.add_argument("--resident-gb", type=float, default=8.0)
     ap.add_argument("--device", default="auto", choices=["cpu", "tpu", "auto"])
     args = ap.parse_args()
 
@@ -50,8 +54,8 @@ def main():
     from paroquant_tpu.models import PRESETS, init_params
     from paroquant_tpu.optim import CalibConfig, calibrate_model
 
-    config = dataclasses.replace(PRESETS["qwen3-8b"], num_hidden_layers=args.layers)
-    full_layers = PRESETS["qwen3-8b"].num_hidden_layers
+    config = dataclasses.replace(PRESETS[args.preset], num_hidden_layers=args.layers)
+    full_layers = PRESETS[args.preset].num_hidden_layers
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
         params = init_params(config, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
@@ -70,6 +74,8 @@ def main():
             ({"channel_scales": 5e-2, "angles": 5e-2}, args.epochs),
             ({"weight": 1e-5, "quantizer": 1e-6}, args.epochs),
         ),
+        act_dtype=jnp.bfloat16 if args.act_dtype == "bfloat16" else np.float32,
+        resident_act_bytes=int(args.resident_gb * 2**30),
     )
     per_layer_times: list[float] = []
     t_prev = time.perf_counter()

@@ -659,8 +659,8 @@ def test_speculative_lookup_matches_greedy(model):
 def test_engine_speculative_matches_plain(model):
     """Engine(spec_k>0) emits token-identical greedy output to the plain
     engine, with real acceptance on repetitive prompts, across concurrent
-    requests; non-greedy requests in the batch disable the spec tick (exact
-    sampler semantics preserved)."""
+    requests; non-greedy requests single-step per tick (exact sampler
+    semantics preserved)."""
     sp = SamplingParams(max_tokens=12, temperature=0.0)
     prompts = [[7, 3, 9, 4] * 4, list(np.random.default_rng(19).integers(0, CFG.vocab_size, 9))]
 
@@ -1141,3 +1141,71 @@ def test_engine_chunked_prefill_flash_matches_einsum(model, monkeypatch):
     eng1.prefill_attn = "flash"  # CPU default is einsum; force the TPU path
     got = eng1.generate_sync(prompt, sp)
     assert got == ref
+
+
+def test_engine_speculative_per_slot_gating(model):
+    """A mixed batch (greedy repetitive + sampled) must keep SPECULATING on
+    the greedy slot (VERDICT r2 #7: one sampled request used to disable
+    speculation batch-wide) while the sampled slot single-steps off the same
+    verify forward — both token streams equal to the plain engine's."""
+    g_prompt = [7, 3, 9, 4] * 5
+    s_prompt = list(np.random.default_rng(29).integers(0, CFG.vocab_size, 9))
+    g_sp = SamplingParams(max_tokens=12, temperature=0.0)
+    s_sp = SamplingParams(max_tokens=12, temperature=0.8, top_k=16, seed=11)
+
+    def run(spec_k):
+        eng = Engine(model, CFG, max_batch=2, max_len=128, page_size=8,
+                     quant_mode="xla", cache_dtype=jnp.float32, spec_k=spec_k)
+        reqs = [eng.submit(g_prompt, g_sp), eng.submit(s_prompt, s_sp)]
+        for _ in range(300):
+            if not eng.step():
+                break
+        outs = []
+        for r in reqs:
+            toks = []
+            while not r.out_queue.empty():
+                kind, t = r.out_queue.get_nowait()
+                if kind != "done":
+                    toks.append(t)
+            outs.append(toks)
+        return outs, eng
+
+    want, _ = run(0)
+    got, eng = run(4)
+    assert got == want
+    # the greedy slot really speculated in the mixed batch
+    assert eng.metrics["spec_windows"] > 0
+    assert eng.metrics["spec_accepted"] > 0, eng.metrics
+
+
+def test_engine_speculative_per_slot_with_penalty_and_bias(model):
+    """Penalized and logit-biased slots are ineligible for windows but must
+    still stream exact tokens when batched with a speculating greedy slot."""
+    g_prompt = [5, 2, 8, 1] * 5
+    p_prompt = list(np.random.default_rng(30).integers(0, CFG.vocab_size, 7))
+    g_sp = SamplingParams(max_tokens=10, temperature=0.0)
+    p_sp = SamplingParams(max_tokens=10, temperature=0.0,
+                          repetition_penalty=1.4,
+                          logit_bias=((3, 2.0), (9, -4.0)))
+
+    def run(spec_k):
+        eng = Engine(model, CFG, max_batch=2, max_len=128, page_size=8,
+                     quant_mode="xla", cache_dtype=jnp.float32, spec_k=spec_k)
+        reqs = [eng.submit(g_prompt, g_sp), eng.submit(p_prompt, p_sp)]
+        for _ in range(300):
+            if not eng.step():
+                break
+        outs = []
+        for r in reqs:
+            toks = []
+            while not r.out_queue.empty():
+                kind, t = r.out_queue.get_nowait()
+                if kind != "done":
+                    toks.append(t)
+            outs.append(toks)
+        return outs, eng
+
+    want, _ = run(0)
+    got, eng = run(3)
+    assert got == want
+    assert eng.metrics["spec_accepted"] > 0, eng.metrics
