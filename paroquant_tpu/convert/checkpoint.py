@@ -716,11 +716,16 @@ def load_checkpoint(
                     return (R * inv[:, None, :]).astype(rot_dtype)
 
                 def _stack(pn):
+                    # scales/zeros in bf16 narrow storage — must match
+                    # optim.pseudo_moe.quantized_moe_from_export exactly so
+                    # the loaded model is bit-identical to the in-memory one
                     if not awq_moe:
                         return (
                             jnp.asarray(tensors[f"{eb}.{pn}_qweight"]),
-                            jnp.asarray(tensors[f"{eb}.{pn}_scales"], jnp.float32),
-                            jnp.asarray(tensors[f"{eb}.{pn}_zeros"], jnp.float32),
+                            jnp.asarray(tensors[f"{eb}.{pn}_scales"], jnp.float32)
+                            .astype(jnp.bfloat16),
+                            jnp.asarray(tensors[f"{eb}.{pn}_zeros"], jnp.float32)
+                            .astype(jnp.bfloat16),
                         )
                     # per-expert AWQ buffers -> stacked PARO-TPU packing
                     proj = {"gate": "gate_proj", "up": "up_proj", "down": "down_proj"}[pn]
@@ -740,8 +745,8 @@ def load_checkpoint(
                         e += 1
                     return (
                         jnp.asarray(np.stack(qs)),
-                        jnp.asarray(np.stack(scs), jnp.float32),
-                        jnp.asarray(np.stack(zrs), jnp.float32),
+                        jnp.asarray(np.stack(scs), jnp.float32).astype(jnp.bfloat16),
+                        jnp.asarray(np.stack(zrs), jnp.float32).astype(jnp.bfloat16),
                     )
 
                 gq, gsc, gz = _stack("gate")

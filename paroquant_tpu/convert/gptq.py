@@ -50,7 +50,26 @@ __all__ = ["gptq_quantize_weight", "gptq_quantize_model"]
 logger = logging.getLogger("paroquant_tpu.convert")
 
 
-@functools.partial(jax.jit, static_argnames=("n_bits", "group_size"))
+@jax.jit
+def _hessian_chol(hessian: jax.Array, percdamp: float = 0.01):
+    """(U, dead): upper Cholesky factor of the dampened inverse Hessian and
+    the dead-channel mask. Factored out so stacked weights sharing ONE
+    Hessian (MoE experts) factorize once."""
+    H = hessian.astype(jnp.float32)
+    I = H.shape[0]
+    diag = jnp.diagonal(H)
+    dead = diag <= 0.0
+    H = H + jnp.diag(jnp.where(dead, 1.0, 0.0))
+    damp = percdamp * jnp.mean(jnp.diagonal(H))
+    Hd = H + damp * jnp.eye(I, dtype=jnp.float32)
+    Hd = (Hd + Hd.T) * 0.5
+    L = jnp.linalg.cholesky(Hd)
+    Hinv = jax.scipy.linalg.cho_solve((L, True), jnp.eye(I, dtype=jnp.float32))
+    Hinv = (Hinv + Hinv.T) * 0.5
+    U = jnp.linalg.cholesky(Hinv).T  # upper-triangular, U[j, j] > 0
+    return U, dead
+
+
 def gptq_quantize_weight(
     w: jax.Array,
     hessian: jax.Array,
@@ -64,28 +83,22 @@ def gptq_quantize_weight(
     Returns (q int32 [O, I], scales f32 [O, G], zeros int32 [O, G]) with the
     quantize_to_int convention: dequant(q) = (q - zeros) * scales per group.
     """
+    U, dead = _hessian_chol(hessian, percdamp)
+    return _gptq_core(w, U, dead, n_bits=n_bits, group_size=group_size)
+
+
+@functools.partial(jax.jit, static_argnames=("n_bits", "group_size"))
+def _gptq_core(
+    w: jax.Array, U: jax.Array, dead: jax.Array, *, n_bits: int, group_size: int
+) -> tuple[jax.Array, jax.Array, jax.Array]:
     O, I = w.shape
     # a non-multiple I would silently zero the trailing columns (G floors);
     # match ops/quant.py's divisibility contract loudly (ADVICE r2)
     assert I % group_size == 0, (w.shape, group_size)
     G = I // group_size
     qmax = 2**n_bits - 1
-    wf = w.astype(jnp.float32)
-    H = hessian.astype(jnp.float32)
-
-    # dead input channels (never activated): pin the weight to 0, H diag to 1
-    diag = jnp.diagonal(H)
-    dead = diag <= 0.0
-    H = H + jnp.diag(jnp.where(dead, 1.0, 0.0))
-    wf = jnp.where(dead[None, :], 0.0, wf)
-
-    # dampened inverse Hessian, upper Cholesky factor (GPTQ's U: Hinv = U^T U)
-    damp = percdamp * jnp.mean(jnp.diagonal(H))
-    Hd = H + damp * jnp.eye(I, dtype=jnp.float32)
-    L = jnp.linalg.cholesky(Hd)
-    Hinv = jax.scipy.linalg.cho_solve((L, True), jnp.eye(I, dtype=jnp.float32))
-    Hinv = (Hinv + Hinv.T) * 0.5
-    U = jnp.linalg.cholesky(Hinv).T  # upper-triangular, U[j, j] > 0
+    # dead input channels (never activated): pin the weight to 0
+    wf = jnp.where(dead[None, :], 0.0, w.astype(jnp.float32))
 
     col_ids = jnp.arange(I, dtype=jnp.int32)
     grp_ids = jnp.arange(group_size, dtype=jnp.int32)
@@ -125,7 +138,8 @@ def gptq_quantize_weight(
         urows = jax.lax.dynamic_slice(U, (start, 0), (group_size, I))
         later = (col_ids >= start + group_size).astype(jnp.float32)
         wbuf = wbuf - jnp.dot(
-            err, urows * later[None, :], preferred_element_type=jnp.float32
+            err, urows * later[None, :], preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         qbuf = jax.lax.dynamic_update_slice(qbuf, qg, (0, start))
         sbuf = jax.lax.dynamic_update_slice(sbuf, scale[:, None], (0, g))
@@ -168,7 +182,12 @@ def _tap_hessians(lp, x, config, layer_idx, cos, sin, positions):
     hs = {}
     for name, tap in taps.items():
         xt = tap.reshape(-1, tap.shape[-1]).astype(jnp.float32)
-        hs[name] = jnp.dot(xt.T, xt, preferred_element_type=jnp.float32)
+        # HIGHEST precision: the MXU's bf16 operand rounding distorts X^T X
+        # enough to matter for the Cholesky-based compensation at scale
+        hs[name] = jnp.dot(
+            xt.T, xt, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     return out, hs
 
 
@@ -202,18 +221,25 @@ def _rotate_weight_and_hessian(w, H, M):
     """Move (w [O, I], H [I, I]) into the rotated coordinate system of the
     per-group mixers M [G, S, S]: the runtime computes y = (Mx) @ Wd, so GPTQ
     must see Wd's coordinates — w_rot = w @ Mb^T and H_rot = Mb H Mb^T
-    (block-diagonal Mb)."""
+    (block-diagonal Mb).
+
+    precision=HIGHEST throughout: the TPU MXU default rounds operands to
+    bf16, and on real-scale Hessians (entries >> damping) that rounding
+    pushed eigenvalues negative past the 1% damp — Cholesky NaN'd the whole
+    QuaRot arm at 0.6B geometry. The explicit symmetrization guards the
+    residual rounding asymmetry."""
+    hi = jax.lax.Precision.HIGHEST
     O, I = w.shape
     G, S, _ = M.shape
     wg = w.astype(jnp.float32).reshape(O, G, S)
-    w_rot = jnp.einsum("ogj,gij->ogi", wg, M).reshape(O, I)
+    w_rot = jnp.einsum("ogj,gij->ogi", wg, M, precision=hi).reshape(O, I)
     # rows: H' = Mb @ H
     h = H.astype(jnp.float32).reshape(G, S, I)
-    h = jnp.einsum("gij,gjX->giX", M, h).reshape(I, I)
+    h = jnp.einsum("gij,gjX->giX", M, h, precision=hi).reshape(I, I)
     # cols: H_rot = H' @ Mb^T
     h = h.reshape(I, G, S)
-    h_rot = jnp.einsum("Xgj,gij->Xgi", h, M).reshape(I, I)
-    return w_rot, h_rot
+    h_rot = jnp.einsum("Xgj,gij->Xgi", h, M, precision=hi).reshape(I, I)
+    return w_rot, (h_rot + h_rot.T) * 0.5
 
 
 def _gptq_linear(
@@ -253,6 +279,68 @@ def _gptq_linear(
     return runtime, export
 
 
+def _gptq_moe(
+    experts: dict[str, Any], h_gu, h_down, *, n_bits, group_size, percdamp,
+    rot_dtype, hadamard,
+):
+    """GPTQ the stacked MoE expert projections with a SHARED Hessian per
+    projection across experts (the calibration counterpart of the runtime's
+    shared per-projection rotations, QuantizedMoEExperts / reference
+    qexperts.py:71-105). The Hessian factorizes once; lax.map runs the
+    per-expert compensation loop with bounded memory.
+
+    Returns (QuantizedMoEExperts runtime, export dict in the
+    export_quantized_moe schema with identity/Hadamard rotations)."""
+    gate_w = jnp.asarray(experts["gate_proj"], jnp.float32)  # [E, H, I_moe]
+    up_w = jnp.asarray(experts["up_proj"], jnp.float32)
+    down_w = jnp.asarray(experts["down_proj"], jnp.float32)  # [E, I_moe, H]
+    E, H, I_moe = gate_w.shape
+
+    def quantize_stack(ws, hessian, in_dim):
+        """ws [E, O, in_dim] GPTQ'd against one shared Hessian."""
+        if hadamard:
+            M = _hadamard_matrices(in_dim, group_size)
+            _, hessian = _rotate_weight_and_hessian(
+                jnp.zeros_like(ws[0]), hessian, M
+            )
+            ws = jax.vmap(lambda w: _rotate_weight_and_hessian(w, hessian, M)[0])(ws)
+        U, dead = _hessian_chol(hessian, percdamp)
+        q, s, z = jax.lax.map(
+            lambda w: _gptq_core(w, U, dead, n_bits=n_bits, group_size=group_size),
+            ws,
+        )
+        return np.asarray(q), np.asarray(s), np.asarray(z)
+
+    # gate/up share the layer input Hessian; weights transpose to [O, I]
+    q_g, s_g, z_g = quantize_stack(jnp.swapaxes(gate_w, 1, 2), h_gu, H)
+    q_u, s_u, z_u = quantize_stack(jnp.swapaxes(up_w, 1, 2), h_gu, H)
+    q_d, s_d, z_d = quantize_stack(jnp.swapaxes(down_w, 1, 2), h_down, I_moe)
+
+    def rot_export(in_dim):
+        if hadamard:
+            prm, theta = _hadamard_rotation_params(in_dim, group_size)
+        else:
+            prm = _cached_rotation_params(in_dim, group_size, 8, 0)
+            theta = np.zeros(prm.theta.shape, np.float32)
+        return np.asarray(prm.pairs), np.asarray(theta)
+
+    gu_pairs, gu_theta = rot_export(H)
+    d_pairs, d_theta = rot_export(I_moe)
+    export = {
+        "moe": True, "n_bits": n_bits, "group_size": group_size,
+        "gate": {"q": q_g, "scales": s_g, "zeros": z_g},
+        "up": {"q": q_u, "scales": s_u, "zeros": z_u},
+        "down": {"q": q_d, "scales": s_d, "zeros": z_d},
+        "gate_up_theta": gu_theta, "gate_up_pairs": gu_pairs,
+        "gate_up_inv_channel_scales": np.ones(H, np.float32),
+        "down_theta": d_theta, "down_pairs": d_pairs,
+        "down_inv_channel_scales": np.ones(I_moe, np.float32),
+    }
+    from ..optim.pseudo_moe import quantized_moe_from_export
+
+    return quantized_moe_from_export(export, rot_dtype), export
+
+
 def gptq_quantize_model(
     params: dict[str, Any],
     config: ModelConfig,
@@ -273,10 +361,11 @@ def gptq_quantize_model(
     next-layer structure, cli/optimize.py:524-537), then every eligible linear
     is GPTQ-quantized and swapped in before moving on.
 
-    Covers the standard attention+GLU decoder families. MoE expert stacks and
-    hybrid (delta-net) layers are outside this baseline's scope: MoE layers
-    keep their experts dense (attention still quantized); hybrid configs are
-    rejected loudly.
+    Covers the standard attention+GLU decoder families AND MoE layers:
+    routed expert stacks are GPTQ'd with a shared Hessian per projection
+    across experts (mirroring the runtime's shared rotations), the shared
+    expert as a standard GLU. Hybrid (delta-net) configs are rejected loudly
+    (the recurrent-state layer apply is out of this baseline's scope).
 
     Returns (quantized runtime params, per-layer export dicts for
     save_paro_checkpoint — same schema as convert/rtn.py rtn_export_model).
@@ -308,15 +397,17 @@ def gptq_quantize_model(
         rope_by_bs[b] = (pos, rope_tables_per_layer(pos, config))
 
     @jax.jit
-    def _embed(toks):
-        x = jnp.take(embed, toks, axis=0)
+    def _embed(emb, toks):
+        # emb as an ARGUMENT: a captured embedding table bakes into the HLO
+        # as a constant (relay compilers reject the multi-hundred-MB upload)
+        x = jnp.take(emb, toks, axis=0)
         if config.gemma_norm:
             x = x * jnp.asarray(np.sqrt(config.hidden_size), x.dtype)
         return x
 
     offs = np.cumsum([0] + batch_sizes)
     xs = [
-        _embed(jnp.asarray(tokens[offs[i] : offs[i + 1]]))
+        _embed(embed, jnp.asarray(tokens[offs[i] : offs[i + 1]]))
         for i in range(len(batch_sizes))
     ]
 
@@ -356,6 +447,29 @@ def gptq_quantize_model(
                     lin, hs_acc[tap], n_bits=n_bits, group_size=group_size,
                     percdamp=percdamp, rot_dtype=rot_dtype, hadamard=hadamard,
                 )
+        # MoE: routed experts (shared Hessian per projection across experts)
+        if isinstance(mlp.get("experts"), dict) and "moe_down" in hs_acc:
+            mlp["experts"], exp["mlp.experts"] = _gptq_moe(
+                mlp["experts"], hs_acc["mlp"], hs_acc["moe_down"],
+                n_bits=n_bits, group_size=group_size, percdamp=percdamp,
+                rot_dtype=rot_dtype, hadamard=hadamard,
+            )
+        # shared expert (Qwen2/3-MoE): a standard GLU — gate/up see the
+        # layer input (same Hessian as the router path), down sees its own
+        # activation tap; its sigmoid gate stays dense (reference
+        # 4bit_moe.sh --skipped-modules mlp.shared_expert_gate)
+        if isinstance(mlp.get("shared_expert"), dict) and "shared_down" in hs_acc:
+            se = dict(mlp["shared_expert"])
+            for name, hkey in (("gate_proj", "mlp"), ("up_proj", "mlp"),
+                               ("down_proj", "shared_down")):
+                lin = se.get(name)
+                if not isinstance(lin, DenseLinear) or lin.w.shape[0] % group_size:
+                    continue
+                se[name], exp[f"mlp.shared_expert.{name}"] = _gptq_linear(
+                    lin, hs_acc[hkey], n_bits=n_bits, group_size=group_size,
+                    percdamp=percdamp, rot_dtype=rot_dtype, hadamard=hadamard,
+                )
+            mlp["shared_expert"] = se
         nlp["mlp"] = mlp
         out_layers.append(nlp)
         exports.append(exp)

@@ -291,7 +291,8 @@ def merge_projections(params: dict[str, Any], config: ModelConfig) -> dict[str, 
     return out
 
 
-def moe_forward(p: dict[str, Any], x: jax.Array, config: ModelConfig, quant_mode: str) -> jax.Array:
+def moe_forward(p: dict[str, Any], x: jax.Array, config: ModelConfig,
+                quant_mode: str, return_act: bool = False):
     """Token-choice top-k MoE (Qwen3-MoE semantics).
 
     Router in f32; top-k gating optionally renormalized (norm_topk_prob).
@@ -318,14 +319,27 @@ def moe_forward(p: dict[str, Any], x: jax.Array, config: ModelConfig, quant_mode
     gate_vals, idx = jax.lax.top_k(probs, config.num_experts_per_tok)
     if config.norm_topk_prob:
         gate_vals = gate_vals / jnp.sum(gate_vals, axis=-1, keepdims=True)
-    y = moe_apply(p["experts"], xt, idx, gate_vals.astype(x.dtype), quant_mode)
+    act = shared_act = None
+    if return_act:
+        y, act = moe_apply(
+            p["experts"], xt, idx, gate_vals.astype(x.dtype), quant_mode,
+            return_act=True,
+        )
+    else:
+        y = moe_apply(p["experts"], xt, idx, gate_vals.astype(x.dtype), quant_mode)
     if "shared_expert" in p:
-        shared = mlp_forward(p["shared_expert"], xt, quant_mode)
+        if return_act:
+            shared, shared_act = mlp_forward(
+                p["shared_expert"], xt, quant_mode, return_act=True
+            )
+        else:
+            shared = mlp_forward(p["shared_expert"], xt, quant_mode)
         sg = jax.nn.sigmoid(
             jnp.dot(xt.astype(jnp.float32), p["shared_expert_gate"].w.astype(jnp.float32))
         ).astype(x.dtype)
         y = y + shared * sg
-    return y.reshape(shape)
+    y = y.reshape(shape)
+    return (y, act, shared_act) if return_act else y
 
 
 def layer_forward(
@@ -431,7 +445,17 @@ def layer_forward(
 
     if return_taps:
         taps["mlp"] = h2  # input to gate/up projections (dense mlp)
-    if config.layer_is_sparse(layer_idx):
+    if config.layer_is_sparse(layer_idx) and return_taps:
+        mlp_out, moe_act, shared_act = moe_forward(
+            p["mlp"], h2, config, quant_mode, return_act=True
+        )
+        # routed down_proj inputs, pooled over expert assignments [N, I_moe]
+        # (shared-Hessian GPTQ across experts, like pseudo_moe's shared
+        # rotations / reference qexperts.py)
+        taps["moe_down"] = moe_act
+        if shared_act is not None:
+            taps["shared_down"] = shared_act
+    elif config.layer_is_sparse(layer_idx):
         mlp_out = moe_forward(p["mlp"], h2, config, quant_mode)
     elif return_taps:
         mlp_out, act_v = mlp_forward(

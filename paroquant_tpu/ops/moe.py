@@ -92,18 +92,20 @@ def moe_apply(
     gates: jax.Array,  # [T, K] combine weights
     quant_mode: str = "xla",
     capacity_factor: float = 2.0,
-) -> jax.Array:
+    return_act: bool = False,  # also return down_proj inputs [T*K, I_moe]
+    # (pooled over expert assignments — shared-Hessian GPTQ calibration)
+):
     T = x.shape[0]
     K = idx.shape[1]
-    if T * K <= 64:
+    if T * K <= 64 and not return_act:
         return _moe_gather(experts, x, idx, gates)
     # prefill: EXACT drop-free grouped GEMM (sort by expert + ragged_dot);
     # the capacity-bucketed path (_moe_capacity) is kept for ablations but
     # drops tokens under routing imbalance (round-1 VERDICT weak item 7)
-    return _moe_ragged(experts, x, idx, gates)
+    return _moe_ragged(experts, x, idx, gates, return_act=return_act)
 
 
-def _moe_ragged(experts, x, idx, gates):
+def _moe_ragged(experts, x, idx, gates, return_act=False):
     """Sort token-expert assignments by expert and run grouped GEMMs with
     jax.lax.ragged_dot — every assignment is processed (no capacity drops),
     shapes stay static, and the MXU sees one contiguous GEMM per expert."""
@@ -132,7 +134,8 @@ def _moe_ragged(experts, x, idx, gates):
                             preferred_element_type=jnp.float32)  # [N, H]
     w = gates.reshape(-1)[order].astype(jnp.float32)[:, None]
     y = jnp.zeros((T, H), jnp.float32).at[src_tok].add(ys * w)
-    return y.astype(x.dtype)
+    y = y.astype(x.dtype)
+    return (y, act) if return_act else y
 
 
 def _moe_gather(experts, x, idx, gates):

@@ -19,7 +19,9 @@ def force_platform(name: str) -> None:
         return
     import jax
 
-    target = {"tpu": "axon", "cpu": "cpu"}.get(name, name)
+    # keep the cpu backend alongside the TPU plugin: host-side staging
+    # (param init, packing) uses jax.local_devices(backend="cpu")
+    target = {"tpu": "axon,cpu", "cpu": "cpu"}.get(name, name)
     try:
         jax.config.update("jax_platforms", target)
     except Exception as e:
