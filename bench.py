@@ -1,15 +1,20 @@
 """Driver benchmark: W4 decode throughput vs BF16 baseline, one JSON line.
 
-Protocol mirrors the reference cli/benchmark.py:30-49: single-stream greedy
-decode, 2 warmup + 5 timed runs. Model: Qwen3-0.6B geometry (random weights),
-RTN-quantized to the PARO runtime format, decoding through the fused Pallas
-rotation+dequant kernel. Baseline: the same model dense BF16 through XLA.
+Protocol mirrors the reference cli/benchmark.py:30-49 (single-stream greedy
+decode, warmup + timed runs) hardened for a relay-attached chip (VERDICT r2
+weak #2/#4 — de-noised headline):
+- decode chains of 512 tokens in ONE dispatch (greedy_decode_scan): the
+  ~30ms relay round-trip is <4% of the chain, not 20% as at 96 tokens
+- both arms measured INTERLEAVED (bf16, w4, bf16, ...) over 8 reps,
+  scored best-of-reps: relay drift windows hit both arms equally
+- device step-time reported alongside wall: chains of 64 and 512 tokens
+  share one dispatch overhead, so the slope (t512-t64)/448 estimates the
+  per-token DEVICE time net of the relay; vs_baseline_device is the
+  relay-free ratio.
 
-The two arms are measured INTERLEAVED (bf16, w4, bf16, w4, ...) and scored
-best-of-reps: the TPU relay on this box has multi-x wall-clock drift windows
-(see STATUS.md kernel campaign), so sequential mean-of-runs lets a stall
-land on one arm and corrupt the ratio. Best-of-reps with interleaving makes
-both arms see the same drift; the ratio is the stable quantity.
+Model: Qwen3-0.6B geometry (random weights), RTN-quantized to the PARO
+runtime format, decoding through the fused Pallas rotation+dequant kernel.
+Baseline: the same model dense BF16 through XLA.
 
 vs_baseline = W4 tokens/s / BF16 tokens/s (north star: >= 0.9).
 """
@@ -29,10 +34,14 @@ from paroquant_tpu.utils.cache import enable_compilation_cache
 
 enable_compilation_cache()
 
+N_LONG = 512
+N_SHORT = 64
+REPS = 8
 
-def make_decode_runner(params, config, quant_mode, n_tokens=96, batch=1):
-    """Returns run() -> tokens/s for one greedy-decode pass (prefill unsynced
-    out of the timed region, full device->host sync at the end)."""
+
+def make_decode_runner(params, config, quant_mode, batch=1):
+    """Returns run(n_tokens) -> wall seconds for one greedy-decode chain
+    (prefill synced out of the timed region, device->host sync at the end)."""
     import jax.numpy as jnp
 
     from paroquant_tpu.models import KVCache
@@ -40,9 +49,9 @@ def make_decode_runner(params, config, quant_mode, n_tokens=96, batch=1):
 
     rng = np.random.default_rng(0)
     prompt = jnp.asarray(rng.integers(0, config.vocab_size, (batch, 16)), jnp.int32)
-    max_len = 16 + n_tokens + 8
+    max_len = 16 + N_LONG + 8
 
-    def run():
+    def run(n_tokens):
         cache = KVCache.create(config, batch, max_len, jnp.bfloat16)
         logits, c = prefill(params, config, prompt, cache, quant_mode=quant_mode)
         tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -52,14 +61,12 @@ def make_decode_runner(params, config, quant_mode, n_tokens=96, batch=1):
             params, config, tok, c, n_tokens, quant_mode=quant_mode
         )
         np.asarray(toks)  # full sync through host fetch
-        return n_tokens * batch / (time.perf_counter() - t0)
+        return time.perf_counter() - t0
 
     return run
 
 
 def main():
-    import dataclasses
-
     import jax
     import jax.numpy as jnp
 
@@ -86,17 +93,30 @@ def main():
         params = jax.device_put(params, dev)
         qparams = jax.device_put(qparams, dev)
     qmode = "fused" if on_tpu else "xla"
+    n_long, n_short, reps = N_LONG, N_SHORT, REPS
+    if not on_tpu:  # CPU smoke: the protocol, not the numbers
+        n_long, n_short, reps = 48, 16, 2
     run_bf16 = make_decode_runner(params, config, "xla")
     run_w4 = make_decode_runner(qparams, config, qmode)
-    for _ in range(2):  # warmup: compile + cache-prime both arms
-        run_bf16()
-        run_w4()
-    bf16_samples, w4_samples = [], []
-    for _ in range(5):  # interleaved reps; best-of is the drift-robust score
-        bf16_samples.append(run_bf16())
-        w4_samples.append(run_w4())
-    tok_s_bf16 = float(np.max(bf16_samples))
-    tok_s_w4 = float(np.max(w4_samples))
+    for _ in range(2):  # warmup: compile + cache-prime both arms/chain lengths
+        for n in (n_short, n_long):
+            run_bf16(n)
+            run_w4(n)
+    t = {("bf16", n): [] for n in (n_short, n_long)}
+    t.update({("w4", n): [] for n in (n_short, n_long)})
+    for _ in range(reps):  # interleaved reps; best-of is the drift-robust score
+        for n in (n_short, n_long):
+            t[("bf16", n)].append(run_bf16(n))
+            t[("w4", n)].append(run_w4(n))
+
+    def best(arm, n):
+        return float(np.min(t[(arm, n)]))
+
+    tok_s_bf16 = n_long / best("bf16", n_long)
+    tok_s_w4 = n_long / best("w4", n_long)
+    # relay-free per-token device time from the chain-length slope
+    dev_ms_bf16 = (best("bf16", n_long) - best("bf16", n_short)) / (n_long - n_short) * 1e3
+    dev_ms_w4 = (best("w4", n_long) - best("w4", n_short)) / (n_long - n_short) * 1e3
 
     print(
         json.dumps(
@@ -105,6 +125,13 @@ def main():
                 "value": round(tok_s_w4, 2),
                 "unit": "tokens/s/chip",
                 "vs_baseline": round(tok_s_w4 / tok_s_bf16, 4),
+                "decode_chain_tokens": n_long,
+                "reps": reps,
+                "device_ms_per_token_w4": round(dev_ms_w4, 4),
+                "device_ms_per_token_bf16": round(dev_ms_bf16, 4),
+                "vs_baseline_device": round(
+                    max(dev_ms_bf16, 1e-9) / max(dev_ms_w4, 1e-9), 4
+                ),
             }
         )
     )
