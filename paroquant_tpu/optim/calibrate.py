@@ -89,6 +89,13 @@ class CalibConfig:
     # module names (as emitted by _layer_linear_names) left dense, mirroring
     # the reference --skipped-modules default for hybrids
     skip: tuple = ("linear_attn.in_proj_ba",)
+    # GPTQ-initialize the final (weight+quantizer) stage: before it starts,
+    # run Hessian-compensated GPTQ in the LEARNED rotated coordinates and
+    # reset the pseudo weight + quantizer params to the compensated point —
+    # second-order init instead of round-to-nearest (VERDICT r2 #8).
+    # Standard attention+GLU layers only (hybrid/gemma3n/MoE linears keep
+    # the plain init).
+    gptq_init: bool = False
 
 
 def _rotation_for(cfg: CalibConfig, in_features: int, layer_seed: int) -> rot_ops.RotationParams:
@@ -181,6 +188,42 @@ def _set_linear(layer_params, name, value):
         node = node[part]
     node[parts[-1]] = value
     return lp
+
+
+def gptq_init_linear(lin: "PseudoQuantLinear", hessian: jax.Array,
+                     percdamp: float = 0.01) -> "PseudoQuantLinear":
+    """Re-initialize a pseudo linear's weight + quantizer at the GPTQ-
+    compensated point IN THE LEARNED ROTATED COORDINATES.
+
+    The runtime computes y = (Mb x) @ Wq with Mb = R·diag(1/cs) per group,
+    so the rotated-space input Hessian is H_r = Mb H Mb^T; GPTQ of
+    W_r = R(cs·W) against H_r gives the compensated integer grid, and the
+    new continuous weight is its inverse transform. The quantizer params
+    start exactly on that grid (zero initial rounding error), then the
+    final stage fine-tunes both."""
+    from ..convert.gptq import _gptq_core, _hessian_chol, _rotate_weight_and_hessian
+    from ..ops import quant
+    from .pseudo import rotated_scaled_weight
+
+    gs = lin.group_size
+    theta = rot_ops.effective_theta(lin.rotation_params)
+    R = rot_ops.build_rotation_matrices(theta, lin.form, gs, dtype=jnp.float32)
+    inv_s = (1.0 / lin.channel_scales).reshape(-1, gs)
+    M = R * inv_s[:, None, :]
+    _, h_rot = _rotate_weight_and_hessian(jnp.zeros((1, lin.weight.shape[1])), hessian, M)
+    w_rot = rotated_scaled_weight(lin)
+    U, dead = _hessian_chol(h_rot, percdamp)
+    q, s_q, z = _gptq_core(w_rot, U, dead, n_bits=lin.n_bits, group_size=gs)
+    w_deq = quant.dequantize_int(q, s_q, z, gs)
+    w_new = rot_ops.apply_rotation_stages(
+        w_deq, theta, lin.form, inverse=True
+    ) / lin.channel_scales[None, :]
+    return lin.replace(
+        weight=w_new,
+        q_scale=s_q.reshape(-1, 1).astype(jnp.float32),
+        # pseudo_quantize uses round_zp = clip(-round(zp_float)): zp_float=-z
+        q_zero_point=(-z.astype(jnp.float32)).reshape(-1, 1),
+    )
 
 
 def quantized_from_export(exp: dict[str, Any], rot_dtype=jnp.float32):
@@ -463,9 +506,68 @@ def calibrate_model(
                 train_b = _HostPagedBatches(_make_batch, train_idx)
                 val_b = _HostPagedBatches(_make_batch, val_idx)
 
+            def _gptq_init_all(lins):
+                """Hessian-compensated init of the weight+quantizer stage:
+                collect per-tap Hessians through the CURRENT student layer
+                (pseudo weights baked dense), then gptq_init_linear each
+                standard linear in its learned rotated coordinates."""
+                from ..models.decoder import DenseLinear
+                from .pseudo import PseudoQuantLinear, pseudo_quantized_weight
+
+                tap_of = {
+                    "q_proj": "qkv", "k_proj": "qkv", "v_proj": "qkv",
+                    "o_proj": "o", "mlp.gate_proj": "mlp",
+                    "mlp.up_proj": "mlp", "mlp.down_proj": "down",
+                }
+                todo = [n for n, l in lins.items()
+                        if isinstance(l, PseudoQuantLinear) and n in tap_of]
+                if not todo:
+                    return lins
+                eff = lp
+                for n2, l2 in lins.items():
+                    if isinstance(l2, PseudoQuantLinear):
+                        eff = _set_linear(
+                            eff, n2,
+                            DenseLinear(pseudo_quantized_weight(l2).T, l2.bias),
+                        )
+
+                @jax.jit
+                def taps_j(lp_, x):
+                    cos, sin = rope_tables(positions, config.rotary_dim, _theta)
+                    _, _, taps = layer_forward(
+                        lp_, x, config, li, cos, sin, positions, None,
+                        jnp.zeros((), jnp.int32), "xla", return_taps=True,
+                    )
+                    hi = jax.lax.Precision.HIGHEST
+                    return {
+                        k: jnp.dot(
+                            t.reshape(-1, t.shape[-1]).astype(jnp.float32).T,
+                            t.reshape(-1, t.shape[-1]).astype(jnp.float32),
+                            preferred_element_type=jnp.float32, precision=hi,
+                        )
+                        for k, t in taps.items()
+                    }
+
+                hs = None
+                for i2 in range(N):
+                    h_i = taps_j(eff, _batch_in(i2))
+                    hs = h_i if hs is None else jax.tree.map(jnp.add, hs, h_i)
+                out3 = dict(lins)
+                for n2 in todo:
+                    h2 = hs.get(tap_of[n2])
+                    if h2 is not None:
+                        out3[n2] = gptq_init_linear(lins[n2], h2)
+                return out3
+
             linears = _dev_rep(linears)
             step = 0
-            for stage_groups, epochs in cfg.stages:
+            for si, (stage_groups, epochs) in enumerate(cfg.stages):
+                if (
+                    cfg.gptq_init and si == len(cfg.stages) - 1
+                    and not _is_g3n and not _is_linear
+                    and ("weight" in stage_groups or "quantizer" in stage_groups)
+                ):
+                    linears = _dev_rep(_gptq_init_all(linears))
                 linears, step = optimize_linears(
                     pseudo_layer_apply, linears, train_b, val_b, dict(stage_groups),
                     n_epochs=epochs, loss=cfg.loss, grad_accum=cfg.grad_accum,
