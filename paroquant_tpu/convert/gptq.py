@@ -200,6 +200,71 @@ def _layer_apply(lp, x, config, layer_idx, cos, sin, positions):
     return out
 
 
+def _hybrid_layer_body(lp, x, config, layer_idx, return_taps):
+    """Gated delta-net layer forward (qwen3_next linear-attention layers),
+    mirroring models.decoder's hybrid dispatch; optionally emits taps:
+    la_qkvz (in_proj input), la_out (out_proj input), mlp / down /
+    moe_down / shared_down."""
+    from ..models.decoder import mlp_forward, moe_forward, rms_norm
+    from ..models.linear_attn import delta_net_forward
+
+    taps: dict[str, Any] = {}
+    h = rms_norm(x, lp["input_layernorm"], config.rms_norm_eps,
+                 config.zero_centered_norm)
+    if return_taps:
+        taps["la_qkvz"] = h
+    if return_taps:
+        attn_out, _, _, la_taps = delta_net_forward(
+            lp["linear_attn"], h, config, None, None, "xla", return_taps=True
+        )
+        taps["la_out"] = la_taps["la_out"]
+    else:
+        attn_out, _, _ = delta_net_forward(
+            lp["linear_attn"], h, config, None, None, "xla"
+        )
+    xx = x + attn_out
+    h2 = rms_norm(xx, lp["post_attention_layernorm"], config.rms_norm_eps,
+                  config.zero_centered_norm)
+    if return_taps:
+        taps["mlp"] = h2
+    if config.layer_is_sparse(layer_idx):
+        if return_taps:
+            mlp_out, moe_act, shared_act = moe_forward(
+                lp["mlp"], h2, config, "xla", return_act=True
+            )
+            taps["moe_down"] = moe_act
+            if shared_act is not None:
+                taps["shared_down"] = shared_act
+        else:
+            mlp_out = moe_forward(lp["mlp"], h2, config, "xla")
+    elif return_taps:
+        mlp_out, act_v = mlp_forward(lp["mlp"], h2, "xla", config.hidden_act,
+                                     return_act=True)
+        taps["down"] = act_v
+    else:
+        mlp_out = mlp_forward(lp["mlp"], h2, "xla", config.hidden_act)
+    return xx + mlp_out, taps
+
+
+@functools.partial(jax.jit, static_argnames=("config", "layer_idx"))
+def _hybrid_tap_hessians(lp, x, config, layer_idx):
+    out, taps = _hybrid_layer_body(lp, x, config, layer_idx, True)
+    hs = {}
+    for name, tap in taps.items():
+        xt = tap.reshape(-1, tap.shape[-1]).astype(jnp.float32)
+        hs[name] = jnp.dot(
+            xt.T, xt, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    return out, hs
+
+
+@functools.partial(jax.jit, static_argnames=("config", "layer_idx"))
+def _hybrid_layer_apply(lp, x, config, layer_idx):
+    out, _ = _hybrid_layer_body(lp, x, config, layer_idx, False)
+    return out
+
+
 _HAD_M_CACHE: dict[tuple, Any] = {}
 
 
@@ -361,11 +426,12 @@ def gptq_quantize_model(
     next-layer structure, cli/optimize.py:524-537), then every eligible linear
     is GPTQ-quantized and swapped in before moving on.
 
-    Covers the standard attention+GLU decoder families AND MoE layers:
-    routed expert stacks are GPTQ'd with a shared Hessian per projection
-    across experts (mirroring the runtime's shared rotations), the shared
-    expert as a standard GLU. Hybrid (delta-net) configs are rejected loudly
-    (the recurrent-state layer apply is out of this baseline's scope).
+    Covers the standard attention+GLU decoder families, MoE layers (routed
+    expert stacks GPTQ'd with a shared Hessian per projection across
+    experts, mirroring the runtime's shared rotations; the shared expert as
+    a standard GLU), and hybrid delta-net layers (in_proj_qkvz and out_proj
+    quantized; in_proj_ba stays dense per the reference skip list,
+    experiments/optimize/4bit_moe.sh --skipped-modules).
 
     Returns (quantized runtime params, per-layer export dicts for
     save_paro_checkpoint — same schema as convert/rtn.py rtn_export_model).
@@ -377,10 +443,6 @@ def gptq_quantize_model(
     """
     if config.is_gemma3n:
         raise NotImplementedError("GPTQ baseline does not support gemma3n")
-    if any(config.layer_is_linear(i) for i in range(config.num_hidden_layers)):
-        raise NotImplementedError(
-            "GPTQ baseline does not support hybrid linear-attention layers"
-        )
     tokens = np.asarray(tokens, np.int32)
     N, T = tokens.shape
     bs = min(batch_size, N)
@@ -414,12 +476,16 @@ def gptq_quantize_model(
     out_layers: list[dict[str, Any]] = []
     exports: list[dict[str, Any]] = []
     for li, lp in enumerate(params["layers"]):
+        is_linear = config.layer_is_linear(li)
         # 1) accumulate per-tap Hessians with the dense layer
         hs_acc: dict[str, jax.Array] | None = None
         for x in xs:
-            positions, rope_by_layer = rope_by_bs[x.shape[0]]
-            cos, sin = rope_by_layer[li]
-            _, hs = _tap_hessians(lp, x, config, li, cos, sin, positions)
+            if is_linear:
+                _, hs = _hybrid_tap_hessians(lp, x, config, li)
+            else:
+                positions, rope_by_layer = rope_by_bs[x.shape[0]]
+                cos, sin = rope_by_layer[li]
+                _, hs = _tap_hessians(lp, x, config, li, cos, sin, positions)
             hs_acc = hs if hs_acc is None else jax.tree.map(jnp.add, hs_acc, hs)
 
         # 2) GPTQ every eligible linear of this layer
@@ -447,6 +513,23 @@ def gptq_quantize_model(
                     lin, hs_acc[tap], n_bits=n_bits, group_size=group_size,
                     percdamp=percdamp, rot_dtype=rot_dtype, hadamard=hadamard,
                 )
+        # hybrid delta-net projections: in_proj_qkvz + out_proj quantized,
+        # in_proj_ba (the decay/gate projection) stays dense
+        if is_linear and "linear_attn" in nlp:
+            la = dict(nlp["linear_attn"])
+            for name, hkey in (("in_proj_qkvz", "la_qkvz"), ("out_proj", "la_out")):
+                lin = la.get(name)
+                if (
+                    not isinstance(lin, DenseLinear)
+                    or lin.w.shape[0] % group_size
+                    or hkey not in hs_acc
+                ):
+                    continue
+                la[name], exp[f"linear_attn.{name}"] = _gptq_linear(
+                    lin, hs_acc[hkey], n_bits=n_bits, group_size=group_size,
+                    percdamp=percdamp, rot_dtype=rot_dtype, hadamard=hadamard,
+                )
+            nlp["linear_attn"] = la
         # MoE: routed experts (shared Hessian per projection across experts)
         if isinstance(mlp.get("experts"), dict) and "moe_down" in hs_acc:
             mlp["experts"], exp["mlp.experts"] = _gptq_moe(
@@ -475,13 +558,16 @@ def gptq_quantize_model(
         exports.append(exp)
 
         # 3) feed the next layer quantized-student outputs
-        xs = [
-            _layer_apply(
-                nlp, x, config, li,
-                *rope_by_bs[x.shape[0]][1][li], rope_by_bs[x.shape[0]][0],
-            )
-            for x in xs
-        ]
+        if is_linear:
+            xs = [_hybrid_layer_apply(nlp, x, config, li) for x in xs]
+        else:
+            xs = [
+                _layer_apply(
+                    nlp, x, config, li,
+                    *rope_by_bs[x.shape[0]][1][li], rope_by_bs[x.shape[0]][0],
+                )
+                for x in xs
+            ]
         if log_fn is not None:
             log_fn(f"gptq layer {li}: quantized {sorted(exp)}")
 

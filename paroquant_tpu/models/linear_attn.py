@@ -241,7 +241,8 @@ def delta_net_forward(
     rec_state: jax.Array | None,  # [B, Hv, dk, dv] or None
     quant_mode: str,
     valid_len: jax.Array | None = None,  # scalar int32: true prompt length
-) -> tuple[jax.Array, jax.Array, jax.Array]:
+    return_taps: bool = False,  # also return {"la_out": out_proj input}
+):
     """Full gated-delta-net layer. Returns (out [B,T,H], conv_state, rec_state).
 
     For T == 1 with states present this is the O(1) recurrent decode step;
@@ -319,4 +320,7 @@ def delta_net_forward(
         core = jnp.swapaxes(out_h[:, :, :T], 1, 2)  # [B,T,Hv,dv]
     out = _gated_norm(core, z, p["norm"], config.rms_norm_eps)
     out = out.reshape(B, T, Hv * dv)
-    return apply_linear(p["out_proj"], out, quant_mode=quant_mode), conv_state, rec_state
+    y = apply_linear(p["out_proj"], out, quant_mode=quant_mode)
+    if return_taps:
+        return y, conv_state, rec_state, {"la_out": out}
+    return y, conv_state, rec_state

@@ -66,7 +66,7 @@ SLOW_TESTS = {
     "test_gptq_moe_experts_quantized", "test_quarot_moe_runs",
     "test_gptq_remainder_batch_not_dropped",
     "test_engine_chunked_prefill_flash_matches_einsum",
-    "test_calibrate_gptq_init_not_worse",
+    "test_calibrate_gptq_init_not_worse", "test_gptq_hybrid_delta_net_layers",
 }
 
 

@@ -356,3 +356,44 @@ def test_calibrate_gptq_init_not_worse():
     mse_gptq = run(True)
     assert np.isfinite(mse_gptq)
     assert mse_gptq <= mse_rtn * 1.05, (mse_gptq, mse_rtn)
+
+
+def test_gptq_hybrid_delta_net_layers():
+    """qwen3_next-style hybrids: delta-net in_proj_qkvz/out_proj are GPTQ'd
+    (in_proj_ba stays dense per the reference skip list), full-attention
+    layers take the standard path, and the model beats RTN on calibration
+    logits."""
+    from paroquant_tpu.convert import quantize_model_rtn
+    from paroquant_tpu.models import from_hf_dict
+
+    hy = from_hf_dict(dict(
+        model_type="qwen3_next", vocab_size=512, hidden_size=256,
+        intermediate_size=384, num_hidden_layers=2, full_attention_interval=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=64,
+        partial_rotary_factor=0.25, rope_theta=10000.0,
+        linear_num_value_heads=4, linear_num_key_heads=2,
+        linear_key_head_dim=64, linear_value_head_dim=64,
+        linear_conv_kernel_dim=4, tie_word_embeddings=True,
+    ))
+    params = init_params(hy, jax.random.PRNGKey(5), dtype=jnp.float32)
+    rng = np.random.default_rng(15)
+    tokens = rng.integers(0, hy.vocab_size, size=(4, 64)).astype(np.int32)
+
+    qparams, exports = gptq_quantize_model(
+        params, hy, tokens, batch_size=4, rot_dtype=jnp.float32, group_size=128,
+    )
+    la = qparams["layers"][0]["linear_attn"]
+    assert isinstance(la["in_proj_qkvz"], QuantizedLinear)
+    assert isinstance(la["out_proj"], QuantizedLinear)
+    assert isinstance(la["in_proj_ba"], DenseLinear)  # reference skip list
+    assert "linear_attn.in_proj_qkvz" in exports[0]
+    assert isinstance(qparams["layers"][1]["q_proj"], QuantizedLinear)
+
+    toks = jnp.asarray(tokens)
+    ref, _ = model_forward(params, hy, toks)
+    out_g, _ = model_forward(qparams, hy, toks)
+    assert np.isfinite(np.asarray(out_g)).all()
+    rtn = quantize_model_rtn(params, hy, group_size=128, rot_dtype=jnp.float32)
+    err_g = float(jnp.mean((out_g - ref) ** 2))
+    err_r = float(jnp.mean((model_forward(rtn, hy, toks)[0] - ref) ** 2))
+    assert err_g < err_r, (err_g, err_r)
