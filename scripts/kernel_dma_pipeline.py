@@ -58,17 +58,14 @@ def _kernel_dma(x_ref, rot_ref, s_ref, z_ref, qw_hbm, o_ref, *, G, S, Gb):
             lo = (q & 0xF).astype(jnp.bfloat16)
             hi = (q >> 4).astype(jnp.bfloat16)
             qv = jnp.concatenate([lo, hi], axis=1)  # [Gb, S, O]
-            sg = jax.lax.dynamic_slice(s_ref[:], (ci * Gb, 0), (Gb, O))
-            zg = jax.lax.dynamic_slice(z_ref[:], (ci * Gb, 0), (Gb, O))
-            w = ((qv - zg.astype(jnp.bfloat16)[:, None, :])
-                 * sg.astype(jnp.bfloat16)[:, None, :]).reshape(Gb * S, O)
+            # [Gb, 1, O] slices on the untiled leading dim (sublane-free)
+            sg = s_ref[pl.ds(ci * Gb, Gb), :, :]
+            zg = z_ref[pl.ds(ci * Gb, Gb), :, :]
+            w = ((qv - zg.astype(jnp.bfloat16))
+                 * sg.astype(jnp.bfloat16)).reshape(Gb * S, O)
 
-            xg = jax.lax.dynamic_slice(
-                x_ref[:], (0, ci * Gb * S), (M, Gb * S)
-            ).reshape(M, Gb, S)
-            rg = jax.lax.dynamic_slice(
-                rot_ref[:], (ci * Gb, 0, 0), (Gb, S, S)
-            ).astype(jnp.bfloat16)
+            xg = x_ref[:, pl.ds(ci * Gb * S, Gb * S)].reshape(M, Gb, S)
+            rg = rot_ref[pl.ds(ci * Gb, Gb), :, :].astype(jnp.bfloat16)
             xr = jax.lax.dot_general(
                 jnp.swapaxes(xg, 0, 1).astype(jnp.bfloat16), rg,
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
@@ -114,7 +111,8 @@ def dma_rot_w4_matmul(x, rot, qweight, scales, zeros, *, Gb=4, interpret=False):
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, O), x.dtype),
         interpret=interpret,
-    )(x, rot, scales.astype(jnp.bfloat16), zeros.astype(jnp.bfloat16), qweight)
+    )(x, rot, scales.astype(jnp.bfloat16)[:, None, :],
+      zeros.astype(jnp.bfloat16)[:, None, :], qweight)
 
 
 def main():

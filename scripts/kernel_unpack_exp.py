@@ -370,6 +370,12 @@ def main():
         ("w4 splitdot", lambda xv: w4_matmul_splitdot(xv, qweight, scales, zeros), x, I, w4b),
         ("w4 splitdot+CE", lambda xv: w4_matmul_splitdot_ce(xv, qweight, scales, zeros),
          x, I, w4b),
+        ("w4 bitcast-u4", lambda xv: w4_matmul_bitcast(xv, q_opair, scales, zeros),
+         x, I, w4b),
+        ("w4 mulfloor", lambda xv: w4_matmul_mulfloor(xv, qweight, scales, zeros),
+         x, I, w4b),
+        ("w4 i8-bitcast", lambda xv: w4_matmul_i8(xv, qweight, scales, zeros),
+         x, I, w4b),
         ("rot dense (prod)", lambda xv: rot_w4_matmul(xv, rot, qweight, scales, zeros),
          x, I, rotb),
     ]
