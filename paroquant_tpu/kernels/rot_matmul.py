@@ -94,6 +94,18 @@ def _pick_block_o(TM, S, O, s_bytes, z_bytes, sb_s, sb_z) -> int:
     return 512
 
 
+def _split_fits(TM, S, TO, s_bytes, z_bytes, sb_s, sb_z) -> bool:
+    """Whether the split-dot unpack fits scoped VMEM at block width TO.
+
+    Split holds a second [TM, TO] f32 partial result live (the two
+    half-depth dots sum), so its peak exceeds the concat model by
+    ~4*TM*TO bytes; a 32k-vocab lm_head that just fits unblocked under
+    concat OOMs under split (measured: 16.19M vs the 16M v5e scope)."""
+    budget = _device_vmem_bytes() * 5 // 8
+    concat_peak = TO * (4 * TM + S + 2 * sb_s * s_bytes + 2 * sb_z * z_bytes)
+    return concat_peak + 4 * TM * TO <= budget
+
+
 def _sublanes(dtype, G: int) -> int:
     """Sublane-aligned block height for a [G, O] side array: the TPU min tile
     is (8, 128) x (32 / itemsize) sublanes; clamp to G for tiny test shapes."""
@@ -541,7 +553,7 @@ def rot_w4_matmul_mg(
 
 
 def _kernel_merged_rot(x_ref, rot_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref, *,
-                       splits, blocked, n_g):
+                       splits, blocked, n_g, split=False):
     g = pl.program_id(2)
     q = qw_ref[:].astype(jnp.int32)
     lo = (q & 0xF).astype(jnp.bfloat16)  # [S/2, TO]
@@ -565,7 +577,7 @@ def _kernel_merged_rot(x_ref, rot_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref, *,
         off = 0
         for p, n in enumerate(splits):
             xr, xsum = rotated(p)
-            if _SPLIT_DOT:
+            if split:
                 acc = _split_dot(xr, lo[:, off : off + n], hi[:, off : off + n])
             else:
                 w = jnp.concatenate(
@@ -644,6 +656,9 @@ def merged_rot_w4_matmul(
         functools.partial(
             _kernel_merged_rot, splits=tuple(out_splits), blocked=n_o > 1,
             n_g=G,
+            split=_SPLIT_DOT and _split_fits(
+                TM, S, TO, scales.dtype.itemsize, zeros.dtype.itemsize,
+                SBs, SBz),
         ),
         grid=(n_m, n_o, G),
         in_specs=[
@@ -745,7 +760,12 @@ def rot_w4_matmul(
     )
     n_o = (O + TO - 1) // TO  # edge block partial: inputs pad, output masked
     out = pl.pallas_call(
-        functools.partial(_kernel_dense_rot, n_g=G, split=n_o == 1 and _SPLIT_DOT),
+        functools.partial(
+            _kernel_dense_rot, n_g=G,
+            split=n_o == 1 and _SPLIT_DOT
+            and _split_fits(TM, S, TO, scales.dtype.itemsize,
+                            zeros.dtype.itemsize, SBs, SBz),
+        ),
         grid=(n_m, n_o, G),
         in_specs=[
             pl.BlockSpec((TM, S), lambda i, o, g: (i, g), memory_space=pltpu.VMEM),

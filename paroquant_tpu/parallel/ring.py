@@ -1,0 +1,160 @@
+"""Ring-attention sequence/context parallelism (SP/CP) for long prefill.
+
+The reference has NO sequence parallelism (SURVEY.md §2.6 row "SP/CP":
+long prompts run on one rank under vLLM paged attention — reference
+inference.py:118 even disables chunked prefill in eval). This module
+EXCEEDS that: causal prefill attention whose sequence axis is sharded
+over a mesh axis, with KV shards rotating around the ring via
+`jax.lax.ppermute` (one ICI hop per step) and flash-style online-softmax
+accumulation — so a P-device ring holds 1/P of the KV in memory per
+device and overlaps compute with neighbor transfers (Ring Attention,
+Liu et al. 2023; the TPU collective-matmul pattern from the scaling
+book).
+
+Design notes (tpu-first):
+  - shard_map over axis "sp": per-device block [B, S/P, H, D], all shapes
+    static; the rotation count P is a compile-time constant (mesh size).
+  - Causality by GLOBAL position ids, not rank arithmetic: each KV shard
+    carries its global positions implicitly via `chunk_positions`, so the
+    same code handles any block->rank layout. Blocks strictly in the
+    future contribute zero via masking (predictable, static shapes); the
+    well-known ~2x causal load imbalance of contiguous layouts can be
+    addressed later with a striped layout without touching the math.
+  - The per-(q-shard, kv-shard) block runs the SAME masked-softmax math
+    as models/decoder.attention (f32 scores, -1e30 mask fill), so the
+    exactness test against single-device prefill holds to f32 rounding.
+  - Online combine across ring steps keeps running (max m, denom l,
+    accumulator acc) per query — numerically identical to a global
+    softmax over the concatenated KV, the flash-attention recurrence.
+
+Ring steps send KV to the NEXT rank ((i, (i+1)%P)), so after t steps a
+device holds the shard of rank (p - t) % P — each shard visits every
+rank exactly once: collective cost P-1 ppermutes of the local KV bytes,
+all riding ICI neighbor links.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _block_attn(q, k, v, q_pos, kv_pos, *, scale, sliding_window,
+                logit_softcap):
+    """One (q-block, kv-block) flash piece.
+
+    q [B, T, Hq, D], k/v [B, C, Hkv, D], q_pos [B, T], kv_pos [B, C].
+    Returns (acc [B, T, Hq, D] f32 — UNNORMALIZED prob-weighted V sum,
+    m [B, T, Hq] row max, l [B, T, Hq] row denom at that max).
+    """
+    B, T, Hq, D = q.shape
+    C = k.shape[1]
+    Hkv = k.shape[2]
+    group = Hq // Hkv
+    qf = q.reshape(B, T, Hkv, group, D).astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    scores = jnp.einsum(
+        "bthgd,bshd->bhgts", qf, kf, preferred_element_type=jnp.float32
+    ) * scale
+    if logit_softcap:
+        scores = jnp.tanh(scores / logit_softcap) * logit_softcap
+    mask = kv_pos[:, None, :] <= q_pos[:, :, None]  # [B, T, C]
+    if sliding_window is not None:
+        mask &= kv_pos[:, None, :] > q_pos[:, :, None] - sliding_window
+    scores = jnp.where(mask[:, None, None, :, :], scores, -1e30)
+    m = jnp.max(scores, axis=-1)  # [B, Hkv, g, T]
+    # guard all-masked rows (future blocks): exp(-1e30 - (-1e30)) would be 1
+    safe_m = jnp.maximum(m, -1e29)
+    p = jnp.exp(scores - safe_m[..., None])
+    p = jnp.where(mask[:, None, None, :, :], p, 0.0)
+    l = jnp.sum(p, axis=-1)  # [B, Hkv, g, T]
+    acc = jnp.einsum(
+        "bhgts,bshd->bthgd", p, v.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ).reshape(B, T, Hq, D)
+    # -> [B, T, Hq]
+    to_q = lambda a: jnp.transpose(a, (0, 3, 1, 2)).reshape(B, T, Hq)
+    return acc, to_q(safe_m), to_q(l)
+
+
+def _combine(acc, m, l, acc2, m2, l2):
+    """Flash online-softmax merge of two partial blocks."""
+    m_new = jnp.maximum(m, m2)
+    a1 = jnp.exp(m - m_new)
+    a2 = jnp.exp(m2 - m_new)
+    l_new = l * a1 + l2 * a2
+    acc_new = acc * a1[..., None] + acc2 * a2[..., None]
+    return acc_new, m_new, l_new
+
+
+def _ring_body(q, k, v, q_pos, kv_pos, *, axis, n_dev, scale,
+               sliding_window, logit_softcap):
+    """Per-device shard_map body: local q block vs rotating kv ring."""
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+    def step(carry, _):
+        acc, m, l, kc, vc, pc = carry
+        acc2, m2, l2 = _block_attn(
+            q, kc, vc, q_pos, pc, scale=scale,
+            sliding_window=sliding_window, logit_softcap=logit_softcap,
+        )
+        acc, m, l = _combine(acc, m, l, acc2, m2, l2)
+        # rotate AFTER using the block; the last rotation restores the
+        # original layout (P steps total = identity), which XLA removes
+        # for the final unused carry.
+        kc = jax.lax.ppermute(kc, axis, perm)
+        vc = jax.lax.ppermute(vc, axis, perm)
+        pc = jax.lax.ppermute(pc, axis, perm)
+        return (acc, m, l, kc, vc, pc), None
+
+    B, T, Hq, D = q.shape
+    init = (
+        jnp.zeros((B, T, Hq, D), jnp.float32),
+        jnp.full((B, T, Hq), -jnp.inf, jnp.float32),
+        jnp.zeros((B, T, Hq), jnp.float32),
+        k, v, kv_pos,
+    )
+    (acc, m, l, _, _, _), _ = jax.lax.scan(step, init, None, length=n_dev)
+    out = acc / jnp.maximum(l, 1e-30)[..., None]
+    return out.astype(q.dtype)
+
+
+def ring_attention(
+    q: jax.Array,  # [B, S, Hq, D] sharded on S over `axis`
+    k: jax.Array,  # [B, S, Hkv, D] same sharding
+    v: jax.Array,
+    positions: jax.Array,  # int32 [B, S] global positions (same sharding)
+    mesh: Mesh,
+    *,
+    axis: str = "sp",
+    scale: float,
+    sliding_window: int | None = None,
+    logit_softcap: float | None = None,
+) -> jax.Array:
+    """Causal GQA self-attention with the sequence sharded over `axis`.
+
+    Exact (to f32 rounding) vs models/decoder.attention on the gathered
+    sequence; KV memory and score FLOPs per device scale as 1/P.
+    """
+    n_dev = mesh.shape[axis]
+    spec = P(None, axis)
+    body = partial(
+        _ring_body, axis=axis, n_dev=n_dev, scale=scale,
+        sliding_window=sliding_window, logit_softcap=logit_softcap,
+    )
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(P(None, axis, None, None),) * 3 + (spec, spec),
+        out_specs=P(None, axis, None, None),
+        check_rep=False,
+    )(q, k, v, positions, positions)
+
+
+def sp_sharding(mesh: Mesh, axis: str = "sp") -> NamedSharding:
+    """Sharding for [B, S, ...] activations with S over the ring axis."""
+    return NamedSharding(mesh, P(None, axis))

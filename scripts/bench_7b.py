@@ -71,7 +71,16 @@ def build_quantized_llama7b(rot_dtype=jnp.bfloat16):
 
 
 def main():
-    merge = "--no-merge" not in sys.argv
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--no-merge", action="store_true")
+    ap.add_argument("--batch", type=int, nargs="*", default=[1],
+                    help="decode batch sizes to measure (serving decodes "
+                         "batched: VERDICT r2 item 3 asks for M=8/32 arms)")
+    ap.add_argument("--tokens", type=int, default=128)
+    args = ap.parse_args()
+    merge = not args.no_merge
     cpu = jax.local_devices(backend="cpu")[0]
     t0 = time.time()
     with jax.default_device(cpu):
@@ -89,25 +98,8 @@ def main():
     print(f"transferred to {dev} in {time.time()-t0:.0f}s", flush=True)
 
     rng = np.random.default_rng(1)
-    prompt = jax.device_put(
-        jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 16)), jnp.int32), dev
-    )
-    n_tokens = 64
+    n_tokens = args.tokens
 
-    def run():
-        cache = KVCache.create(cfg, 1, 16 + n_tokens + 8, jnp.bfloat16)
-        logits, c = prefill(params, cfg, prompt, cache, quant_mode="fused")
-        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        np.asarray(tok)
-        t0 = time.perf_counter()
-        toks, _ = greedy_decode_scan(params, cfg, tok, c, n_tokens, quant_mode="fused")
-        np.asarray(toks)
-        return n_tokens / (time.perf_counter() - t0)
-
-    for i in range(2):
-        r = run()
-        print(f"warmup {i}: {r:.1f} tok/s", flush=True)
-    rates = [run() for _ in range(5)]
     def _tree_bytes(t):
         import jax as _jax
         return sum(
@@ -117,11 +109,35 @@ def main():
         )
 
     weight_gb = _tree_bytes(params) / 1e9
-    print(f"llama-2-7b W4 decode: {np.mean(rates):.1f} tok/s "
-          f"(min {min(rates):.1f}, max {max(rates):.1f})")
     sol = 819 / weight_gb
-    print(f"per-token weight read set {weight_gb:.2f}GB -> HBM SoL "
-          f"~{sol:.0f} tok/s; achieved {np.mean(rates)/sol*100:.0f}% of SoL")
+
+    for B in args.batch:
+        prompt = jax.device_put(
+            jnp.asarray(rng.integers(0, cfg.vocab_size, (B, 16)), jnp.int32), dev
+        )
+
+        def run():
+            cache = KVCache.create(cfg, B, 16 + n_tokens + 8, jnp.bfloat16)
+            logits, c = prefill(params, cfg, prompt, cache, quant_mode="fused")
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            np.asarray(tok)
+            t0 = time.perf_counter()
+            toks, _ = greedy_decode_scan(
+                params, cfg, tok, c, n_tokens, quant_mode="fused")
+            np.asarray(toks)
+            return B * n_tokens / (time.perf_counter() - t0)
+
+        for i in range(2):
+            r = run()
+            print(f"B={B} warmup {i}: {r:.1f} tok/s", flush=True)
+        rates = [run() for _ in range(5)]
+        # per-STEP the weight read set is the same regardless of B, so the
+        # aggregate SoL scales linearly with B until compute-bound
+        print(f"llama-2-7b W4 decode B={B}: {np.mean(rates):.1f} tok/s agg "
+              f"(min {min(rates):.1f}, max {max(rates):.1f}); "
+              f"weight read set {weight_gb:.2f}GB -> B*SoL "
+              f"~{B*sol:.0f} tok/s; achieved "
+              f"{np.mean(rates)/(B*sol)*100:.0f}% of SoL")
 
 
 if __name__ == "__main__":

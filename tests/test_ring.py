@@ -1,0 +1,82 @@
+"""Ring-attention SP: exactness vs the single-device attention math.
+
+Runs on the 8-virtual-device CPU mesh (conftest sets
+xla_force_host_platform_device_count=8).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from paroquant_tpu.models.decoder import attention
+from paroquant_tpu.parallel.ring import ring_attention
+
+pytestmark = pytest.mark.fast
+
+
+def _mesh(n):
+    return Mesh(np.array(jax.devices()[:n]), ("sp",))
+
+
+def _mk(B, S, Hq, Hkv, D, seed=0):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((B, S, Hq, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, Hkv, D)), jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (B, S))
+    return q, k, v, pos
+
+
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+@pytest.mark.parametrize("window,softcap", [(None, None), (96, None), (None, 30.0)])
+def test_ring_matches_single_device(n_dev, window, softcap):
+    B, S, Hq, Hkv, D = 2, 256, 4, 2, 32
+    q, k, v, pos = _mk(B, S, Hq, Hkv, D)
+    scale = 1.0 / np.sqrt(D)
+    ref = attention(
+        q, k, v, pos, jnp.int32(S), scale=scale,
+        sliding_window=window, logit_softcap=softcap,
+    )
+    mesh = _mesh(n_dev)
+    sh = NamedSharding(mesh, P(None, "sp", None, None))
+    psh = NamedSharding(mesh, P(None, "sp"))
+    out = ring_attention(
+        jax.device_put(q, sh), jax.device_put(k, sh), jax.device_put(v, sh),
+        jax.device_put(pos, psh), mesh, scale=scale,
+        sliding_window=window, logit_softcap=softcap,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_ring_shards_memory():
+    """Each device's addressable q/k/v shard is S/P of the sequence."""
+    B, S, Hq, Hkv, D = 1, 512, 4, 2, 32
+    q, k, v, pos = _mk(B, S, Hq, Hkv, D)
+    mesh = _mesh(8)
+    sh = NamedSharding(mesh, P(None, "sp", None, None))
+    qd = jax.device_put(q, sh)
+    assert qd.addressable_shards[0].data.shape == (B, S // 8, Hq, D)
+
+
+def test_ring_bf16_inputs():
+    """bf16 q/k/v (the production dtype) stay within bf16 tolerance."""
+    B, S, Hq, Hkv, D = 1, 128, 4, 4, 64
+    q, k, v, pos = _mk(B, S, Hq, Hkv, D, seed=3)
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    scale = 1.0 / np.sqrt(D)
+    ref = attention(qb, kb, vb, pos, jnp.int32(S), scale=scale)
+    mesh = _mesh(4)
+    sh = NamedSharding(mesh, P(None, "sp", None, None))
+    psh = NamedSharding(mesh, P(None, "sp"))
+    out = ring_attention(
+        jax.device_put(qb, sh), jax.device_put(kb, sh), jax.device_put(vb, sh),
+        jax.device_put(pos, psh), mesh, scale=scale,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
