@@ -45,6 +45,11 @@ def main():
     ap.add_argument("--distinct-prompts", type=int, default=None,
                     help="draw requests from a pool of N distinct prompts "
                          "(chat-like reuse; pairs with --prefix-caching)")
+    ap.add_argument("--max-queue", type=int, default=None,
+                    help="admission-control queue cap: saturating load is "
+                         "shed (EngineOverloaded) instead of queueing "
+                         "unboundedly; rejected requests are counted and "
+                         "excluded from TTFT percentiles (VERDICT r2 #9)")
     ap.add_argument("--arrival-mean", type=float, default=0.03,
                     help="mean inter-arrival seconds (exponential). The "
                          "0.03 default is a saturating burst; ~0.3+ probes "
@@ -84,6 +89,7 @@ def main():
         page_size=64, quant_mode="auto" if on_tpu else "xla",
         prefill_chunk=256, decode_burst=burst,
         prefix_caching=args.prefix_caching, spec_k=args.spec_k,
+        max_queue=args.max_queue,
     )
     rng = np.random.default_rng(0)
     # mixed lengths: short chat turns + long contexts (north-star config 3)
@@ -121,17 +127,23 @@ def main():
                     w, SamplingParams(max_tokens=warm_toks, temperature=0.0))
 
     reqs = []
+    rejected = 0
     t_start = time.perf_counter()
     next_submit = 0.0
     i = 0
-    while len(reqs) < args.requests or any(
+    while i < args.requests or any(
         r.finish_time is None for r in reqs
     ):
         now = time.perf_counter() - t_start
         if i < args.requests and now >= next_submit:
             p = (prompts[i] if prompts is not None
                  else list(rng.integers(0, config.vocab_size, lengths[i])))
-            reqs.append(eng.submit(p, sp))
+            try:
+                reqs.append(eng.submit(p, sp))
+            except Exception as e:  # EngineOverloaded: shed, don't queue
+                if type(e).__name__ != "EngineOverloaded":
+                    raise
+                rejected += 1
             i += 1
             next_submit = now + float(rng.exponential(args.arrival_mean))
         if not eng.step():
@@ -156,7 +168,10 @@ def main():
         "spec_accept_rate": round(
             eng.metrics["spec_accepted"] / max(eng.metrics["spec_drafted"], 1), 3
         ) if args.spec_k else None,
+        "max_queue": args.max_queue,
+        "rejected": rejected,
     }
+    out.update(eng.step_time_stats())
     print(json.dumps(out))
 
 
