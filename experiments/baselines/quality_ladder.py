@@ -218,7 +218,7 @@ def main(argv=None):
         params, config, calib, group_size=gs, hadamard=True,
         rot_dtype=jnp.float32, batch_size=args.batch)[0])
 
-    def run_paro():
+    def run_paro(gptq_init=False, tag="paroquant"):
         ccfg = CalibConfig(
             group_size=gs, num_rotations=8, seed=args.seed,
             stages=(
@@ -228,6 +228,7 @@ def main(argv=None):
             act_dtype=jnp.bfloat16 if args.act_dtype == "bfloat16" else np.float32,
             resident_act_bytes=int(args.resident_gb * 2**30),
             rot_dtype=jnp.float32,
+            gptq_init=gptq_init,
         )
         B = min(args.batch, args.n_samples)
         tb = calib[: (len(calib) // B) * B].reshape(-1, B, args.seqlen)
@@ -242,10 +243,15 @@ def main(argv=None):
             print(f"  paroquant layer {li + 1}/{n}: {info['seconds']:.1f}s", flush=True)
 
         pq, _ = calibrate_model(params, config, tb, ccfg, progress_fn=prog)
-        results.setdefault("_paro_layer_seconds", [round(t, 1) for t in t_layer])
+        results.setdefault(f"_{tag}_layer_seconds",
+                           [round(t, 1) for t in t_layer])
         return pq
 
     run_arm("paroquant", run_paro)
+    # GPTQ-compensated weight init for stage 2 (VERDICT r2 #8): same recipe,
+    # Hessian-aware requantization of the pseudo weights between stages
+    run_arm("paroquant_gptq", lambda: run_paro(gptq_init=True,
+                                               tag="paroquant_gptq"))
 
     line = json.dumps({
         "metric": "quality_ladder",

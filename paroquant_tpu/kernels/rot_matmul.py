@@ -68,7 +68,8 @@ def _device_vmem_bytes() -> int:
     return size
 
 
-def _pick_block_o(TM, S, O, s_bytes, z_bytes, sb_s, sb_z) -> int:
+def _pick_block_o(TM, S, O, s_bytes, z_bytes, sb_s, sb_z,
+                  acc_blocks: int = 2) -> int:
     """Output-column block width for the dense-rot/merged kernels.
 
     The scoped VMEM budget (5/8 of per-core VMEM; the rest covers Mosaic's
@@ -76,15 +77,21 @@ def _pick_block_o(TM, S, O, s_bytes, z_bytes, sb_s, sb_z) -> int:
     the whole g loop) plus the double-buffered weight/scales/zeros streams.
     TO == O (no column blocking, one resident accumulator pass) whenever it
     fits; wide layers (151k-vocab quantized lm_head, big gate-up merges)
-    drop to the largest 128-multiple that fits."""
+    drop to the largest 128-multiple that fits.
+
+    acc_blocks: simultaneously-live [TM, TO] f32 tiles beyond the scratch
+    accumulator. The dense kernel holds contrib+acc (2); the merged
+    kernel's column-blocked branch holds contrib+part+acc (3) — with the
+    concat [S, TO] bf16 temp on top, its TM=128 prefill launches measured
+    16.72M actual vs a 6.3M model before this term existed (VMEM OOM on
+    the 7B gate-up merge at batch 8)."""
     budget = _device_vmem_bytes() * 5 // 8
 
     def vmem(TO):
-        # out TM*TO*4 (held) + qweight (S//2,TO)u8 x2 + scales/zeros x2 each
-        # (column-blocked launches use the concat unpack, whose peak this
-        # models; unblocked launches use split-dot and are small by
-        # construction — see _kernel_dense_rot `split`)
-        return TO * (4 * TM + S + 2 * sb_s * s_bytes + 2 * sb_z * z_bytes)
+        # acc/contrib tiles (f32) + qweight (S//2,TO)u8 double-buffered +
+        # concat w [S,TO] bf16 + lo/hi bf16 temps + scales/zeros x2 each
+        return TO * (4 * TM * (1 + acc_blocks) + 5 * S
+                     + 2 * sb_s * s_bytes + 2 * sb_z * z_bytes)
 
     if vmem(O) <= budget:
         return O
