@@ -408,6 +408,18 @@ def layer_forward(
             block_q=min(256, T), block_k=min(256, S_kv),
         )
         attn_out = jnp.swapaxes(attn_out, 1, 2)
+    elif callable(attn_mode):
+        # injected attention impl (parallel/ring.py sp_prefill: ring
+        # attention over a sequence-sharded mesh); same signature as
+        # `attention` minus bidir groups (loudly unsupported for SP)
+        if bidir_groups is not None:
+            raise NotImplementedError("bidir (VLM) blocks under SP prefill")
+        attn_out = attn_mode(
+            q, k_all, v_all, q_positions, valid,
+            scale=config.attn_scale,
+            sliding_window=config.layer_sliding_window(layer_idx),
+            logit_softcap=config.attn_logit_softcap,
+        )
     else:
         bg = None
         if bidir_groups is not None:

@@ -158,3 +158,62 @@ def ring_attention(
 def sp_sharding(mesh: Mesh, axis: str = "sp") -> NamedSharding:
     """Sharding for [B, S, ...] activations with S over the ring axis."""
     return NamedSharding(mesh, P(None, axis))
+
+
+# ---------------------------------------------------------------------------
+# Full-model SP prefill: every pointwise / linear / MLP op is batched over
+# the token axis and shards trivially under GSPMD; attention runs the ring.
+# Use case: long-context prefill and PPL eval whose activations exceed one
+# chip (the reference has no counterpart — it caps prompts at one rank).
+# ---------------------------------------------------------------------------
+
+_SP_JIT_CACHE: dict = {}
+
+
+def sp_prefill(
+    params: Any,
+    config: Any,
+    tokens: jax.Array,  # int32 [B, S]; S must divide the mesh axis size
+    mesh: Mesh,
+    *,
+    axis: str = "sp",
+    quant_mode: str = "xla",
+) -> jax.Array:
+    """Prefill logits [B, S, V] with the sequence sharded over `axis`.
+
+    Params replicate; activations shard on the token axis; attention is
+    ring_attention (KV rotating via ppermute). Returns sharded logits —
+    callers slice/evaluate under the same sharding (PPL eval) or gather.
+    """
+    if getattr(config, "is_gemma3n", False):
+        raise NotImplementedError("gemma3n AltUp under SP prefill")
+    n_dev = mesh.shape[axis]
+    if tokens.shape[1] % n_dev:
+        raise ValueError(f"seq len {tokens.shape[1]} not divisible by "
+                         f"{axis}={n_dev}")
+    key = (mesh, axis, quant_mode)
+    fn = _SP_JIT_CACHE.get(key)
+    if fn is None:
+        def impl(q, k, v, q_pos, valid, *, scale, sliding_window,
+                 logit_softcap):
+            del valid  # no cache in SP prefill: all S_kv tokens are valid
+            return ring_attention(
+                q, k, v, q_pos, mesh, axis=axis, scale=scale,
+                sliding_window=sliding_window, logit_softcap=logit_softcap,
+            )
+
+        from functools import partial as _partial
+
+        from ..models.decoder import model_forward
+
+        @_partial(jax.jit, static_argnames=("config",))
+        def fn(params, config, tokens):
+            logits, _ = model_forward(
+                params, config, tokens, None,
+                quant_mode=quant_mode, attn_mode=impl,
+            )
+            return logits
+
+        _SP_JIT_CACHE[key] = fn
+    tokens = jax.device_put(tokens, NamedSharding(mesh, P(None, axis)))
+    return fn(params, config, tokens)

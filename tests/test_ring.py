@@ -80,3 +80,32 @@ def test_ring_bf16_inputs():
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         rtol=2e-2, atol=2e-2,
     )
+
+
+def test_sp_prefill_matches_prefill():
+    """Full-model SP prefill (ring attention, sequence sharded over 8
+    devices) matches the single-device einsum prefill logits."""
+    from paroquant_tpu.models import PRESETS, init_params
+    from paroquant_tpu.models.decoder import model_forward
+    from paroquant_tpu.parallel.ring import sp_prefill
+
+    config = PRESETS["tiny"]
+    params = init_params(config, jax.random.PRNGKey(0), dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    tokens = jnp.asarray(
+        rng.integers(0, config.vocab_size, (2, 64)), jnp.int32)
+    ref, _ = model_forward(params, config, tokens, None, quant_mode="xla")
+    out = sp_prefill(params, config, tokens, _mesh(8))
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_sp_prefill_rejects_indivisible():
+    from paroquant_tpu.models import PRESETS, init_params
+    from paroquant_tpu.parallel.ring import sp_prefill
+
+    config = PRESETS["tiny"]
+    params = init_params(config, jax.random.PRNGKey(0), dtype=jnp.float32)
+    tokens = jnp.zeros((1, 30), jnp.int32)
+    with pytest.raises(ValueError):
+        sp_prefill(params, config, tokens, _mesh(8))
