@@ -69,7 +69,7 @@ def _device_vmem_bytes() -> int:
 
 
 def _pick_block_o(TM, S, O, s_bytes, z_bytes, sb_s, sb_z,
-                  acc_blocks: int = 2) -> int:
+                  blocked_tiles: int = 0) -> int:
     """Output-column block width for the dense-rot/merged kernels.
 
     The scoped VMEM budget (5/8 of per-core VMEM; the rest covers Mosaic's
@@ -79,24 +79,26 @@ def _pick_block_o(TM, S, O, s_bytes, z_bytes, sb_s, sb_z,
     fits; wide layers (151k-vocab quantized lm_head, big gate-up merges)
     drop to the largest 128-multiple that fits.
 
-    acc_blocks: simultaneously-live [TM, TO] f32 tiles beyond the scratch
-    accumulator. The dense kernel holds contrib+acc (2); the merged
-    kernel's column-blocked branch holds contrib+part+acc (3) — with the
-    concat [S, TO] bf16 temp on top, its TM=128 prefill launches measured
-    16.72M actual vs a 6.3M model before this term existed (VMEM OOM on
-    the 7B gate-up merge at batch 8)."""
+    blocked_tiles: the merged kernel's column-blocked branch holds extra
+    simultaneously-live [TM, TO] f32 tiles (contrib+part+acc = pass 2) and
+    the concat [S, TO] temp; its TM=128 prefill launches measured 16.72M
+    actual vs a 6.3M base model (VMEM OOM on the 7B gate-up merge at batch
+    8). The unblocked branch keeps the lean base model — it is measured
+    working at 22016-wide decode launches, and shrinking it would push
+    layers into the blocked branch's P-matmuls-per-block cost (measured
+    103.5 -> 72 tok/s on 7B B=1)."""
     budget = _device_vmem_bytes() * 5 // 8
 
-    def vmem(TO):
-        # acc/contrib tiles (f32) + qweight (S//2,TO)u8 double-buffered +
-        # concat w [S,TO] bf16 + lo/hi bf16 temps + scales/zeros x2 each
-        return TO * (4 * TM * (1 + acc_blocks) + 5 * S
+    def vmem(TO, tiles):
+        # base: acc tile (f32) + qweight (S//2,TO)u8 double-buffered +
+        # scales/zeros x2 each; blocked: + extra f32 tiles + concat temps
+        return TO * (4 * TM * (1 + tiles) + S + (4 * S if tiles else 0)
                      + 2 * sb_s * s_bytes + 2 * sb_z * z_bytes)
 
-    if vmem(O) <= budget:
+    if vmem(O, 0) <= budget:
         return O
     for cand in (65536, 32768, 16384, 8192, 4096, 2048, 1024):
-        if cand < O and vmem(cand) <= budget:
+        if cand < O and vmem(cand, blocked_tiles) <= budget:
             return cand
     return 512
 
@@ -656,7 +658,8 @@ def merged_rot_w4_matmul(
     SBs = _sublanes(scales.dtype, G)
     SBz = _sublanes(zeros.dtype, G)
     TO = block_o or _pick_block_o(
-        TM, S, O, scales.dtype.itemsize, zeros.dtype.itemsize, SBs, SBz
+        TM, S, O, scales.dtype.itemsize, zeros.dtype.itemsize, SBs, SBz,
+        blocked_tiles=2,  # blocked branch: contrib+part live beyond acc
     )
     n_o = (O + TO - 1) // TO
     out = pl.pallas_call(
