@@ -40,12 +40,15 @@ def load_eval_tokens(name: str, tokenizer, n_tokens: int, seed: int = 0) -> np.n
 
 
 def perplexity(params, config, tokens: np.ndarray, seqlen: int, quant_mode: str,
-               batch: int = 1, mesh=None) -> float:
+               batch: int = 1, mesh=None, sp_mesh=None) -> float:
     """exp(mean CE) over non-overlapping seqlen windows (evaluate.py:61-74).
 
     mesh: optional jax.sharding.Mesh with a "data" axis — windows shard
     batch-wise (GSPMD data parallelism for eval sweeps, SURVEY §2.6 DP row);
-    a tail batch that doesn't divide the axis runs replicated."""
+    a tail batch that doesn't divide the axis runs replicated.
+    sp_mesh: optional Mesh with an "sp" axis — each window's SEQUENCE axis
+    shards over the ring (parallel/ring.sp_prefill): very long windows whose
+    activations/scores exceed one chip. Mutually exclusive with mesh."""
     import jax
     import jax.numpy as jnp
 
@@ -65,14 +68,30 @@ def perplexity(params, config, tokens: np.ndarray, seqlen: int, quant_mode: str,
         params = jax.device_put(params, NamedSharding(mesh, P()))
         data_sh = NamedSharding(mesh, P("data"))
 
-    @jax.jit
-    def window_ce(tok):
-        logits, _ = model_forward(params, config, tok, None,
-                                  quant_mode=quant_mode, attn_mode=attn_mode)
-        logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
-        tgt = tok[:, 1:]
-        ce = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
-        return jnp.sum(ce), ce.size
+    if sp_mesh is not None:
+        assert mesh is None, "--dp and --sp are mutually exclusive"
+        from ..parallel.ring import sp_prefill
+
+        @jax.jit
+        def _sp_ce(logits, tok):
+            logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), -1)
+            tgt = tok[:, 1:]
+            ce = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+            return jnp.sum(ce), ce.size
+
+        def window_ce(tok):
+            logits = sp_prefill(params, config, tok, sp_mesh,
+                                quant_mode=quant_mode)
+            return _sp_ce(logits, tok)
+    else:
+        @jax.jit
+        def window_ce(tok):
+            logits, _ = model_forward(params, config, tok, None,
+                                      quant_mode=quant_mode, attn_mode=attn_mode)
+            logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+            tgt = tok[:, 1:]
+            ce = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+            return jnp.sum(ce), ce.size
 
     total, count = 0.0, 0
     for w in range(0, n_win, batch):
@@ -102,6 +121,10 @@ def main(argv=None):
                     help="data-parallel eval: shard window batches over a "
                          "--dp-device mesh (dp must divide batch; batch is "
                          "rounded up to a multiple of dp if needed)")
+    ap.add_argument("--sp", type=int, default=1,
+                    help="sequence-parallel eval: shard each window's token "
+                         "axis over an sp-device ring (parallel/ring.py) — "
+                         "for --seqlen too long for one chip; excludes --dp")
     args = ap.parse_args(argv)
 
     from ..utils import force_platform
@@ -123,10 +146,18 @@ def main(argv=None):
             print(f"note: --batch {args.batch} rounded to {new_b} "
                   f"(must be a multiple of --dp {args.dp})")
             args.batch = new_b
+    sp_mesh = None
+    if args.sp > 1:
+        assert args.dp == 1, "--dp and --sp are mutually exclusive"
+        import jax
+        from jax.sharding import Mesh
+
+        sp_mesh = Mesh(np.array(jax.devices()[: args.sp]), ("sp",))
+        assert args.seqlen % args.sp == 0, (args.seqlen, args.sp)
 
     def run_ppl(toks):
         return perplexity(params, config, toks, args.seqlen, qmode,
-                          batch=args.batch, mesh=mesh)
+                          batch=args.batch, mesh=mesh, sp_mesh=sp_mesh)
 
     if args.synthetic:
         rng = np.random.default_rng(0)

@@ -89,3 +89,23 @@ def test_evaluate_pseudo_vs_real_agree(calib_out, tmp_path, capsys):
                    "--device", "cpu"])
     p_pseudo = float(capsys.readouterr().out.strip().split()[-1])
     assert abs(p_real - p_pseudo) / p_real < 0.02, (p_real, p_pseudo)
+
+
+def test_evaluate_synthetic_sp(calib_out, capsys):
+    """--sp N: PPL with each window's sequence axis sharded over an N-device
+    ring matches the single-device number (same windows, same math)."""
+    from paroquant_tpu.cli.evaluate import main as evaluate_main
+
+    evaluate_main([
+        "--model", str(calib_out / "model"), "--synthetic",
+        "--seqlen", "16", "--num-tokens", "256", "--quant-mode", "xla",
+        "--device", "cpu",
+    ])
+    ref = float(capsys.readouterr().out.strip().split()[-1])
+    evaluate_main([
+        "--model", str(calib_out / "model"), "--synthetic",
+        "--seqlen", "16", "--num-tokens", "256", "--quant-mode", "xla",
+        "--device", "cpu", "--sp", "4",
+    ])
+    sp = float(capsys.readouterr().out.strip().split()[-1])
+    assert abs(sp - ref) / ref < 5e-3, (sp, ref)
