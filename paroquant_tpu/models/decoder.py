@@ -502,6 +502,8 @@ def model_forward(
     bidir_groups: jax.Array | None = None,  # [B, T] image-block ids (VLM)
     linear_valid_len: jax.Array | None = None,  # hybrid: true length of a
     # zero-padded prefill bucket (masks padding out of delta-net states)
+    positions: jax.Array | None = None,  # [B, T] global position override
+    # (striped SP layouts permute tokens; RoPE/causality follow positions)
 ) -> tuple[jax.Array, KVCache | None]:
     """Returns (logits [B, T, V], updated cache)."""
     if config.is_gemma3n:
@@ -520,8 +522,9 @@ def model_forward(
             x = x * jnp.asarray(np.sqrt(config.hidden_size), x.dtype)
 
     offset = cache.length if cache is not None else jnp.zeros((), jnp.int32)
-    positions = offset + jnp.arange(T, dtype=jnp.int32)[None, :]  # [1, T]
-    positions = jnp.broadcast_to(positions, (B, T))
+    if positions is None:
+        positions = offset + jnp.arange(T, dtype=jnp.int32)[None, :]  # [1, T]
+        positions = jnp.broadcast_to(positions, (B, T))
     rope_by_layer = rope_tables_per_layer(positions, config)
 
     new_k, new_v = [], []

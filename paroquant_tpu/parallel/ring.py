@@ -170,6 +170,25 @@ def sp_sharding(mesh: Mesh, axis: str = "sp") -> NamedSharding:
 _SP_JIT_CACHE: dict = {}
 
 
+def striped_perm(S: int, n_dev: int) -> Any:
+    """Zigzag token permutation for causal load balance (Megatron-CP
+    style): device p holds stripes p and 2P-1-p, so every device's causal
+    score area is ~equal — the contiguous layout makes the last device do
+    ~P x the first device's work. Returns perm with new_tokens = tokens[
+    :, perm]; positions carry the ORIGINAL indices so the ring math is
+    layout-oblivious."""
+    import numpy as _np
+
+    if S % (2 * n_dev):
+        raise ValueError(f"striped layout needs seq {S} % {2 * n_dev} == 0")
+    chunk = S // (2 * n_dev)
+    order = []
+    for p in range(n_dev):
+        order += [p, 2 * n_dev - 1 - p]
+    return _np.concatenate(
+        [_np.arange(s * chunk, (s + 1) * chunk) for s in order])
+
+
 def sp_prefill(
     params: Any,
     config: Any,
@@ -178,20 +197,36 @@ def sp_prefill(
     *,
     axis: str = "sp",
     quant_mode: str = "xla",
+    layout: str = "contiguous",  # "contiguous" | "striped"
 ) -> jax.Array:
     """Prefill logits [B, S, V] with the sequence sharded over `axis`.
 
     Params replicate; activations shard on the token axis; attention is
     ring_attention (KV rotating via ppermute). Returns sharded logits —
     callers slice/evaluate under the same sharding (PPL eval) or gather.
+
+    layout="striped": tokens permute into the zigzag layout before
+    sharding (balanced causal work across the ring) and the logits are
+    un-permuted before return — same contract, better load balance. Only
+    for pure-attention models (a striped sequence would scramble the
+    recurrent delta-net layers of hybrids).
     """
     if getattr(config, "is_gemma3n", False):
         raise NotImplementedError("gemma3n AltUp under SP prefill")
     n_dev = mesh.shape[axis]
-    if tokens.shape[1] % n_dev:
-        raise ValueError(f"seq len {tokens.shape[1]} not divisible by "
-                         f"{axis}={n_dev}")
-    key = (mesh, axis, quant_mode)
+    S = tokens.shape[1]
+    if S % n_dev:
+        raise ValueError(f"seq len {S} not divisible by {axis}={n_dev}")
+    perm = None
+    if layout == "striped":
+        if any(config.layer_is_linear(i)
+               for i in range(config.num_hidden_layers)):
+            raise NotImplementedError(
+                "striped SP over recurrent (delta-net) hybrid layers")
+        perm = striped_perm(S, n_dev)
+    elif layout != "contiguous":
+        raise ValueError(layout)
+    key = (mesh, axis, quant_mode, layout, S if perm is not None else None)
     fn = _SP_JIT_CACHE.get(key)
     if fn is None:
         def impl(q, k, v, q_pos, valid, *, scale, sliding_window,
@@ -208,10 +243,22 @@ def sp_prefill(
 
         @_partial(jax.jit, static_argnames=("config",))
         def fn(params, config, tokens):
+            positions = None
+            if perm is not None:
+                tokens = jnp.take(tokens, jnp.asarray(perm), axis=1)
+                positions = jnp.broadcast_to(
+                    jnp.asarray(perm, jnp.int32)[None], tokens.shape)
+                positions = jax.lax.with_sharding_constraint(
+                    positions, NamedSharding(mesh, P(None, axis)))
+                tokens = jax.lax.with_sharding_constraint(
+                    tokens, NamedSharding(mesh, P(None, axis)))
             logits, _ = model_forward(
                 params, config, tokens, None,
-                quant_mode=quant_mode, attn_mode=impl,
+                quant_mode=quant_mode, attn_mode=impl, positions=positions,
             )
+            if perm is not None:
+                inv = jnp.argsort(jnp.asarray(perm))
+                logits = jnp.take(logits, inv, axis=1)
             return logits
 
         _SP_JIT_CACHE[key] = fn

@@ -109,3 +109,20 @@ def test_sp_prefill_rejects_indivisible():
     tokens = jnp.zeros((1, 30), jnp.int32)
     with pytest.raises(ValueError):
         sp_prefill(params, config, tokens, _mesh(8))
+
+
+def test_sp_prefill_striped_matches():
+    """Zigzag (load-balanced) layout returns identical logits."""
+    from paroquant_tpu.models import PRESETS, init_params
+    from paroquant_tpu.models.decoder import model_forward
+    from paroquant_tpu.parallel.ring import sp_prefill
+
+    config = PRESETS["tiny"]
+    params = init_params(config, jax.random.PRNGKey(0), dtype=jnp.float32)
+    rng = np.random.default_rng(9)
+    tokens = jnp.asarray(
+        rng.integers(0, config.vocab_size, (2, 128)), jnp.int32)
+    ref, _ = model_forward(params, config, tokens, None, quant_mode="xla")
+    out = sp_prefill(params, config, tokens, _mesh(4), layout="striped")
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
