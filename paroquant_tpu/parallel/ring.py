@@ -97,16 +97,18 @@ def _ring_body(q, k, v, q_pos, kv_pos, *, axis, n_dev, scale,
     """Per-device shard_map body: local q block vs rotating kv ring."""
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
 
-    def step(carry, _):
-        acc, m, l, kc, vc, pc = carry
+    def block(acc, m, l, kc, vc, pc):
         acc2, m2, l2 = _block_attn(
             q, kc, vc, q_pos, pc, scale=scale,
             sliding_window=sliding_window, logit_softcap=logit_softcap,
         )
-        acc, m, l = _combine(acc, m, l, acc2, m2, l2)
-        # rotate AFTER using the block; the last rotation restores the
-        # original layout (P steps total = identity), which XLA removes
-        # for the final unused carry.
+        return _combine(acc, m, l, acc2, m2, l2)
+
+    def step(carry, _):
+        acc, m, l, kc, vc, pc = carry
+        acc, m, l = block(acc, m, l, kc, vc, pc)
+        # rotate AFTER using the block (the permute overlaps the next
+        # step's compute — no data dependence between them)
         kc = jax.lax.ppermute(kc, axis, perm)
         vc = jax.lax.ppermute(vc, axis, perm)
         pc = jax.lax.ppermute(pc, axis, perm)
@@ -119,7 +121,11 @@ def _ring_body(q, k, v, q_pos, kv_pos, *, axis, n_dev, scale,
         jnp.zeros((B, T, Hq), jnp.float32),
         k, v, kv_pos,
     )
-    (acc, m, l, _, _, _), _ = jax.lax.scan(step, init, None, length=n_dev)
+    # peel the final block out of the scan: its permute (which would
+    # restore the original layout) is never consumed — 1/P less ICI traffic
+    (acc, m, l, kc, vc, pc), _ = jax.lax.scan(
+        step, init, None, length=n_dev - 1)
+    acc, m, l = block(acc, m, l, kc, vc, pc)
     out = acc / jnp.maximum(l, 1e-30)[..., None]
     return out.astype(q.dtype)
 
