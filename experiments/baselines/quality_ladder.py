@@ -86,7 +86,7 @@ def main(argv=None):
     ap.add_argument("--outlier-scale", type=float, default=1.0,
                     help=">1: inject outlier input channels into the random "
                          "init (see module docstring)")
-    ap.add_argument("--arms", default="rtn,hadamard,gptq,quarot,paroquant")
+    ap.add_argument("--arms", default="rtn,hadamard,gptq,quarot,paroquant,paroquant_gptq")
     ap.add_argument("--act-dtype", default="float32",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--resident-gb", type=float, default=4.0,

@@ -152,8 +152,19 @@ def main(argv=None):
         import jax
         from jax.sharding import Mesh
 
+        n_avail = len(jax.devices())
+        if args.sp > n_avail:
+            raise SystemExit(
+                f"--sp {args.sp} > {n_avail} available devices — refusing "
+                f"to silently build a smaller ring")
         sp_mesh = Mesh(np.array(jax.devices()[: args.sp]), ("sp",))
         assert args.seqlen % args.sp == 0, (args.seqlen, args.sp)
+        if qmode != "xla":
+            # pallas_call has no GSPMD partitioning rule: a fused kernel
+            # inside the sequence-sharded jit would be replicated/gathered
+            # by the partitioner, negating SP. The XLA path shards cleanly.
+            print(f"note: --sp forces quant-mode xla (was {qmode})")
+            qmode = "xla"
 
     def run_ppl(toks):
         return perplexity(params, config, toks, args.seqlen, qmode,

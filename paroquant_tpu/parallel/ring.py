@@ -40,7 +40,6 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -92,17 +91,65 @@ def _combine(acc, m, l, acc2, m2, l2):
     return acc_new, m_new, l_new
 
 
+def _pick_chunk(n: int, target: int) -> int:
+    """Largest divisor of n that is <= target (static shapes: chunks must
+    tile exactly)."""
+    c = min(n, target)
+    while n % c:
+        c -= 1
+    return c
+
+
 def _ring_body(q, k, v, q_pos, kv_pos, *, axis, n_dev, scale,
-               sliding_window, logit_softcap):
-    """Per-device shard_map body: local q block vs rotating kv ring."""
+               sliding_window, logit_softcap, block_q, block_kv):
+    """Per-device shard_map body: local q block vs rotating kv ring.
+
+    Long shards never materialize the full [T_local, C_local] score: the
+    kv axis scans in block_kv chunks (online-softmax carry) and the q axis
+    maps in independent block_q chunks, bounding peak score memory at
+    [B, Hq, block_q, block_kv] f32 regardless of context length (the
+    un-chunked einsum is 8.6GB/layer at 64k tokens over 8 devices at 8B
+    geometry — more than the chip)."""
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    B, T, Hq, D = q.shape
+    bq = _pick_chunk(T, block_q)
+    nq = T // bq
+
+    def _attn(kc, vc, pc):
+        """(acc2, m2, l2) of local q vs one kv chunk, q chunked via map."""
+        if nq == 1:
+            return _block_attn(q, kc, vc, q_pos, pc, scale=scale,
+                               sliding_window=sliding_window,
+                               logit_softcap=logit_softcap)
+        qs = jnp.moveaxis(q.reshape(B, nq, bq, Hq, D), 1, 0)
+        ps = jnp.moveaxis(q_pos.reshape(B, nq, bq), 1, 0)
+        a, mm, ll = jax.lax.map(
+            lambda xs: _block_attn(xs[0], kc, vc, xs[1], pc, scale=scale,
+                                   sliding_window=sliding_window,
+                                   logit_softcap=logit_softcap),
+            (qs, ps),
+        )  # [nq, B, bq, ...]
+        return (jnp.moveaxis(a, 0, 1).reshape(B, T, Hq, D),
+                jnp.moveaxis(mm, 0, 1).reshape(B, T, Hq),
+                jnp.moveaxis(ll, 0, 1).reshape(B, T, Hq))
 
     def block(acc, m, l, kc, vc, pc):
-        acc2, m2, l2 = _block_attn(
-            q, kc, vc, q_pos, pc, scale=scale,
-            sliding_window=sliding_window, logit_softcap=logit_softcap,
-        )
-        return _combine(acc, m, l, acc2, m2, l2)
+        C = kc.shape[1]
+        bkv = _pick_chunk(C, block_kv)
+        nkv = C // bkv
+        if nkv == 1:
+            return _combine(acc, m, l, *_attn(kc, vc, pc))
+        Hkv = kc.shape[2]
+        kcs = jnp.moveaxis(kc.reshape(B, nkv, bkv, Hkv, D), 1, 0)
+        vcs = jnp.moveaxis(vc.reshape(B, nkv, bkv, Hkv, D), 1, 0)
+        pcs = jnp.moveaxis(pc.reshape(B, nkv, bkv), 1, 0)
+
+        def kstep(carry, xs):
+            a, mm, ll = carry
+            return _combine(a, mm, ll, *_attn(*xs)), None
+
+        (acc, m, l), _ = jax.lax.scan(kstep, (acc, m, l), (kcs, vcs, pcs))
+        return acc, m, l
 
     def step(carry, _):
         acc, m, l, kc, vc, pc = carry
@@ -115,10 +162,13 @@ def _ring_body(q, k, v, q_pos, kv_pos, *, axis, n_dev, scale,
         return (acc, m, l, kc, vc, pc), None
 
     B, T, Hq, D = q.shape
+    # fresh zeros are device-invariant; mark them varying over the ring
+    # axis so the scan carry types match the (varying) attention outputs
+    vary = lambda x: jax.lax.pvary(x, (axis,))
     init = (
-        jnp.zeros((B, T, Hq, D), jnp.float32),
-        jnp.full((B, T, Hq), -jnp.inf, jnp.float32),
-        jnp.zeros((B, T, Hq), jnp.float32),
+        vary(jnp.zeros((B, T, Hq, D), jnp.float32)),
+        vary(jnp.full((B, T, Hq), -jnp.inf, jnp.float32)),
+        vary(jnp.zeros((B, T, Hq), jnp.float32)),
         k, v, kv_pos,
     )
     # peel the final block out of the scan: its permute (which would
@@ -141,23 +191,26 @@ def ring_attention(
     scale: float,
     sliding_window: int | None = None,
     logit_softcap: float | None = None,
+    block_q: int = 1024,
+    block_kv: int = 1024,
 ) -> jax.Array:
     """Causal GQA self-attention with the sequence sharded over `axis`.
 
     Exact (to f32 rounding) vs models/decoder.attention on the gathered
-    sequence; KV memory and score FLOPs per device scale as 1/P.
+    sequence; KV memory and score FLOPs per device scale as 1/P; peak
+    score memory is bounded by [B, Hq, block_q, block_kv] f32.
     """
     n_dev = mesh.shape[axis]
     spec = P(None, axis)
     body = partial(
         _ring_body, axis=axis, n_dev=n_dev, scale=scale,
         sliding_window=sliding_window, logit_softcap=logit_softcap,
+        block_q=block_q, block_kv=block_kv,
     )
-    return shard_map(
+    return jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(None, axis, None, None),) * 3 + (spec, spec),
         out_specs=P(None, axis, None, None),
-        check_rep=False,
     )(q, k, v, positions, positions)
 
 

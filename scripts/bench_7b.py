@@ -75,7 +75,7 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--no-merge", action="store_true")
-    ap.add_argument("--batch", type=int, nargs="*", default=[1],
+    ap.add_argument("--batch", type=int, nargs="+", default=[1],
                     help="decode batch sizes to measure (serving decodes "
                          "batched: VERDICT r2 item 3 asks for M=8/32 arms)")
     ap.add_argument("--tokens", type=int, default=128)

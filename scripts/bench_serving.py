@@ -89,7 +89,6 @@ def main():
         page_size=64, quant_mode="auto" if on_tpu else "xla",
         prefill_chunk=256, decode_burst=burst,
         prefix_caching=args.prefix_caching, spec_k=args.spec_k,
-        max_queue=args.max_queue,
     )
     rng = np.random.default_rng(0)
     # mixed lengths: short chat turns + long contexts (north-star config 3)
@@ -126,6 +125,9 @@ def main():
                 eng.generate_sync(
                     w, SamplingParams(max_tokens=warm_toks, temperature=0.0))
 
+    # admission cap applies to the measured load only — warmup submits
+    # above must never shed (max_queue=0 would reject even those)
+    eng.max_queue = args.max_queue
     reqs = []
     rejected = 0
     t_start = time.perf_counter()
@@ -152,6 +154,11 @@ def main():
             raise TimeoutError("bench did not finish")
     wall = time.perf_counter() - t_start
 
+    if not reqs:
+        print(json.dumps({"metric": "serving_ttft_and_throughput",
+                          "requests": 0, "rejected": rejected,
+                          "note": "all requests shed by max_queue"}))
+        return
     ttfts = np.array([r.ttft for r in reqs])
     total_tokens = eng.metrics["tokens_generated"]
     out = {

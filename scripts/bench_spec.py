@@ -88,7 +88,9 @@ def main():
             # divergence) would indicate a real bug, length(=no divergence)
             # is the healthy case.
             div = next((i for i, (a, b) in enumerate(zip(toks, ref))
-                        if a != b), len(toks))
+                        if a != b),
+                       len(toks) if len(toks) == len(ref)
+                       else min(len(toks), len(ref)))
             if not on_tpu:
                 assert toks == ref, (regime, k, "output changed!")
             best = 1e9

@@ -126,3 +126,23 @@ def test_sp_prefill_striped_matches():
     out = sp_prefill(params, config, tokens, _mesh(4), layout="striped")
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("bq,bkv", [(16, 16), (32, 64), (7, 13)])
+def test_ring_chunked_matches(bq, bkv):
+    """kv-scan + q-map chunking is exact for any chunk target (non-divisor
+    targets round down to a divisor)."""
+    B, S, Hq, Hkv, D = 1, 256, 4, 2, 32
+    q, k, v, pos = _mk(B, S, Hq, Hkv, D, seed=11)
+    scale = 1.0 / np.sqrt(D)
+    ref = attention(q, k, v, pos, jnp.int32(S), scale=scale)
+    mesh = _mesh(4)
+    sh = NamedSharding(mesh, P(None, "sp", None, None))
+    psh = NamedSharding(mesh, P(None, "sp"))
+    out = ring_attention(
+        jax.device_put(q, sh), jax.device_put(k, sh), jax.device_put(v, sh),
+        jax.device_put(pos, psh), mesh, scale=scale,
+        block_q=bq, block_kv=bkv,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
