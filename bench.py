@@ -98,25 +98,31 @@ def main():
         n_long, n_short, reps = 48, 16, 2
     run_bf16 = make_decode_runner(params, config, "xla")
     run_w4 = make_decode_runner(qparams, config, qmode)
-    for _ in range(2):  # warmup: compile + cache-prime both arms/chain lengths
+    # third arm: W4A8 serving mode (int8-MXU activation-quantized kernels;
+    # 1.24x over the W4A16 GEMV isolated — scripts/kernel_w4a8_exp.py).
+    # Reported alongside, headline stays the exact weight-only W4 path.
+    run_w4a8 = make_decode_runner(qparams, config, "w4a8" if on_tpu else "w4a8_xla")
+    arms = [("bf16", run_bf16), ("w4", run_w4), ("w4a8", run_w4a8)]
+    for _ in range(2):  # warmup: compile + cache-prime all arms/chain lengths
         for n in (n_short, n_long):
-            run_bf16(n)
-            run_w4(n)
-    t = {("bf16", n): [] for n in (n_short, n_long)}
-    t.update({("w4", n): [] for n in (n_short, n_long)})
+            for _, run in arms:
+                run(n)
+    t = {(a, n): [] for a, _ in arms for n in (n_short, n_long)}
     for _ in range(reps):  # interleaved reps; best-of is the drift-robust score
         for n in (n_short, n_long):
-            t[("bf16", n)].append(run_bf16(n))
-            t[("w4", n)].append(run_w4(n))
+            for a, run in arms:
+                t[(a, n)].append(run(n))
 
     def best(arm, n):
         return float(np.min(t[(arm, n)]))
 
     tok_s_bf16 = n_long / best("bf16", n_long)
     tok_s_w4 = n_long / best("w4", n_long)
+    tok_s_w4a8 = n_long / best("w4a8", n_long)
     # relay-free per-token device time from the chain-length slope
     dev_ms_bf16 = (best("bf16", n_long) - best("bf16", n_short)) / (n_long - n_short) * 1e3
     dev_ms_w4 = (best("w4", n_long) - best("w4", n_short)) / (n_long - n_short) * 1e3
+    dev_ms_w4a8 = (best("w4a8", n_long) - best("w4a8", n_short)) / (n_long - n_short) * 1e3
 
     print(
         json.dumps(
@@ -131,6 +137,12 @@ def main():
                 "device_ms_per_token_bf16": round(dev_ms_bf16, 4),
                 "vs_baseline_device": round(
                     max(dev_ms_bf16, 1e-9) / max(dev_ms_w4, 1e-9), 4
+                ),
+                "tok_s_w4a8": round(tok_s_w4a8, 2),
+                "vs_baseline_w4a8": round(tok_s_w4a8 / tok_s_bf16, 4),
+                "device_ms_per_token_w4a8": round(dev_ms_w4a8, 4),
+                "vs_baseline_device_w4a8": round(
+                    max(dev_ms_bf16, 1e-9) / max(dev_ms_w4a8, 1e-9), 4
                 ),
             }
         )

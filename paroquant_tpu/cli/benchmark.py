@@ -19,7 +19,7 @@ def main(argv=None):
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--runs", type=int, default=5)
     ap.add_argument("--batch", type=int, default=1)
-    ap.add_argument("--quant-mode", default=None, choices=["xla", "fused", "auto"])
+    ap.add_argument("--quant-mode", default=None, choices=["xla", "fused", "auto", "w4a8"])
     ap.add_argument("--device", default="auto", choices=["cpu", "tpu", "auto"])
     ap.add_argument("--decode-burst", type=int, default=None,
                     help="sample+decode steps fused per dispatch (default: 8 on TPU)")

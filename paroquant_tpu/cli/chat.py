@@ -12,7 +12,7 @@ def main(argv=None):
     ap.add_argument("--max-tokens", type=int, default=2048)
     ap.add_argument("--temperature", type=float, default=0.6)
     ap.add_argument("--top-p", type=float, default=0.95)
-    ap.add_argument("--quant-mode", default=None, choices=["xla", "fused", "auto"])
+    ap.add_argument("--quant-mode", default=None, choices=["xla", "fused", "auto", "w4a8"])
     ap.add_argument("--device", default="auto", choices=["cpu", "tpu", "auto"])
     ap.add_argument("--decode-burst", type=int, default=1,
                     help=">1 streams tokens in bursts of N (one dispatch per burst)")

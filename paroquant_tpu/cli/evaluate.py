@@ -114,7 +114,7 @@ def main(argv=None):
     ap.add_argument("--num-tokens", type=int, default=2048 * 128)
     ap.add_argument("--token-file", default=None, help=".npy int token ids")
     ap.add_argument("--synthetic", action="store_true")
-    ap.add_argument("--quant-mode", default=None, choices=["xla", "fused", "auto"])
+    ap.add_argument("--quant-mode", default=None, choices=["xla", "fused", "auto", "w4a8"])
     ap.add_argument("--device", default="auto", choices=["cpu", "tpu", "auto"])
     ap.add_argument("--batch", type=int, default=1, help="windows per forward")
     ap.add_argument("--dp", type=int, default=1,

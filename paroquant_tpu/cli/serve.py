@@ -16,7 +16,7 @@ def main(argv=None):
     ap.add_argument("--max-batch", type=int, default=8)
     ap.add_argument("--max-len", type=int, default=4096)
     ap.add_argument("--page-size", type=int, default=128)
-    ap.add_argument("--quant-mode", default=None, choices=["xla", "fused", "auto"])
+    ap.add_argument("--quant-mode", default=None, choices=["xla", "fused", "auto", "w4a8"])
     ap.add_argument("--decode-burst", type=int, default=None,
                     help="decode steps fused per dispatch (default: 8 on TPU, 1 on CPU)")
     ap.add_argument("--spec-k", type=int, default=0,

@@ -166,6 +166,38 @@ def _split_dot(xr, lo, hi):
     )
 
 
+def _a8_quantize(xr_f32):
+    """Per-(row, group) symmetric int8 quantization of rotated activations.
+
+    Returns (xq int8 [TM, S], xqsum f32 [TM, 1], sx f32 [TM, 1]) with
+    xr ≈ xq * sx. Enables the W4A8 decomposition
+
+        y_g = (xq @ q_i8 - sum(xq) * z_g) * (s_g * sx)
+
+    whose dot is INTEGER-EXACT on the int8 MXU path (2x bf16 throughput, no
+    bf16 nibble-unpack casts); the only approximation vs the W4A16 kernels
+    is the int8 rounding of the activations (per-token-per-128-group dynamic
+    scale — finer than the per-tensor static scales common in W4A8 serving).
+    Measured 1.24x over the W4A16 GEMV at 4096^2 M=1 on the v5e
+    (scripts/kernel_w4a8_exp.py); legality probes in kernel_int8_probe.py.
+    """
+    amax = jnp.max(jnp.abs(xr_f32), axis=1, keepdims=True)
+    sx = jnp.where(amax > 0.0, amax / 127.0, 1.0)
+    xq_i32 = jnp.round(xr_f32 / sx).astype(jnp.int32)
+    xq = xq_i32.astype(jnp.int8)
+    xqsum = jnp.sum(xq_i32, axis=1, keepdims=True).astype(jnp.float32)
+    return xq, xqsum, sx
+
+
+def _a8_dot(xq, lo, hi):
+    """xq int8 [TM, S] @ concat(lo, hi) int8 [S, O] -> f32 via the int8 MXU."""
+    return jax.lax.dot_general(
+        xq, jnp.concatenate([lo, hi], axis=0),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+
+
 def _rotate_block_butterfly(x, cos_ref, sin_ref, distances):
     """Apply K butterfly Givens stages to x [TM, S] (f32) in registers."""
     TM, S = x.shape
@@ -562,40 +594,45 @@ def rot_w4_matmul_mg(
 
 
 def _kernel_merged_rot(x_ref, rot_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref, *,
-                       splits, blocked, n_g, split=False):
+                       splits, blocked, n_g, split=False, a8=False):
     g = pl.program_id(2)
     q = qw_ref[:].astype(jnp.int32)
-    lo = (q & 0xF).astype(jnp.bfloat16)  # [S/2, TO]
-    hi = (q >> 4).astype(jnp.bfloat16)  # u8 zero-extended: >>4 is already 0-15
+    w_dt = jnp.int8 if a8 else jnp.bfloat16
+    lo = (q & 0xF).astype(w_dt)  # [S/2, TO]
+    hi = (q >> 4).astype(w_dt)  # u8 zero-extended: >>4 is already 0-15
     s_row = _row_select(s_ref, g)  # [1, TO] f32
     z_row = _row_select(z_ref, g)
 
     def rotated(p):
         rot = rot_ref[p, 0]  # [S, S]
         x = x_ref[:].astype(rot.dtype)
-        xr = jax.lax.dot_general(
+        xr_f32 = jax.lax.dot_general(
             x, rot, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).astype(jnp.bfloat16)
+        )
+        if a8:
+            return _a8_quantize(xr_f32)
+        xr = xr_f32.astype(jnp.bfloat16)
         xsum = jnp.sum(xr.astype(jnp.float32), axis=1, keepdims=True)
-        return xr, xsum
+        return xr, xsum, None
 
     if not blocked:
         # one block spans all partitions: slice w per partition, no wasted MXU
         contribs = []
         off = 0
         for p, n in enumerate(splits):
-            xr, xsum = rotated(p)
-            if split:
+            xr, xsum, sx = rotated(p)
+            if a8:
+                acc = _a8_dot(xr, lo[:, off : off + n], hi[:, off : off + n])
+            elif split:
                 acc = _split_dot(xr, lo[:, off : off + n], hi[:, off : off + n])
             else:
                 w = jnp.concatenate(
                     [lo[:, off : off + n], hi[:, off : off + n]], axis=0
                 )
                 acc = jnp.dot(xr, w, preferred_element_type=jnp.float32)
-            contribs.append(
-                (acc - xsum * z_row[:, off : off + n]) * s_row[:, off : off + n]
-            )
+            c = (acc - xsum * z_row[:, off : off + n]) * s_row[:, off : off + n]
+            contribs.append(c * sx if a8 else c)
             off += n
         contrib = jnp.concatenate(contribs, axis=1)
     else:
@@ -611,9 +648,17 @@ def _kernel_merged_rot(x_ref, rot_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref, *,
         contrib = jnp.zeros((x_ref.shape[0], TO), jnp.float32)
         off = 0
         for p, n in enumerate(splits):
-            xr, xsum = rotated(p)
-            acc = jnp.dot(xr, w, preferred_element_type=jnp.float32)
+            xr, xsum, sx = rotated(p)
+            if a8:
+                acc = jax.lax.dot_general(
+                    xr, w, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32)
+            else:
+                acc = jnp.dot(xr, w, preferred_element_type=jnp.float32)
             part = (acc - xsum * z_row) * s_row
+            if a8:
+                part = part * sx
             contrib = jnp.where((col >= off) & (col < off + n), part, contrib)
             off += n
 
@@ -633,7 +678,8 @@ def _kernel_merged_rot(x_ref, rot_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref, *,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("out_splits", "block_m", "block_o", "interpret")
+    jax.jit,
+    static_argnames=("out_splits", "block_m", "block_o", "interpret", "a8"),
 )
 def merged_rot_w4_matmul(
     x: jax.Array,  # [M, I]
@@ -646,6 +692,7 @@ def merged_rot_w4_matmul(
     block_m: int | None = None,
     block_o: int | None = None,
     interpret: bool = False,
+    a8: bool = False,  # int8-MXU activation-quantized dot (see _a8_quantize)
 ) -> jax.Array:
     M, I = x.shape
     P, G, S, _ = rot.shape
@@ -665,8 +712,8 @@ def merged_rot_w4_matmul(
     out = pl.pallas_call(
         functools.partial(
             _kernel_merged_rot, splits=tuple(out_splits), blocked=n_o > 1,
-            n_g=G,
-            split=_SPLIT_DOT and _split_fits(
+            n_g=G, a8=a8,
+            split=_SPLIT_DOT and not a8 and _split_fits(
                 TM, S, TO, scales.dtype.itemsize, zeros.dtype.itemsize,
                 SBs, SBz),
         ),
@@ -701,7 +748,7 @@ def merged_rot_w4_matmul(
 
 
 def _kernel_dense_rot(x_ref, rot_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref, *,
-                      n_g, split):
+                      n_g, split, a8=False):
     g = pl.program_id(2)
     rot = rot_ref[0]  # [S, S] (bf16 storage; MXU-native); y_row = x_row @ rot^T
     x = x_ref[:].astype(rot.dtype)
@@ -709,21 +756,29 @@ def _kernel_dense_rot(x_ref, rot_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref, *,
         x, rot, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    xr = xr_f32.astype(jnp.bfloat16)
-    xsum = jnp.sum(xr.astype(jnp.float32), axis=1, keepdims=True)
     q = qw_ref[:].astype(jnp.int32)
-    lo = (q & 0xF).astype(jnp.bfloat16)
-    hi = (q >> 4).astype(jnp.bfloat16)  # u8 zero-extended: >>4 is already 0-15
-    if split:
-        # faster (skips the [S, TO] concat) but higher VMEM peak — used for
-        # unblocked launches; column-blocked wide layers keep the concat so
-        # _pick_block_o's larger block sizes stay within scoped VMEM
-        acc = _split_dot(xr, lo, hi)
+    if a8:
+        xq, xqsum, sx = _a8_quantize(xr_f32)
+        lo = (q & 0xF).astype(jnp.int8)
+        hi = (q >> 4).astype(jnp.int8)  # u8 zero-extended: >>4 is already 0-15
+        acc = _a8_dot(xq, lo, hi)
+        contrib = _dequant_contrib(acc, xqsum, s_ref, z_ref, g) * sx
     else:
-        acc = jnp.dot(
-            xr, jnp.concatenate([lo, hi], axis=0), preferred_element_type=jnp.float32
-        )
-    contrib = _dequant_contrib(acc, xsum, s_ref, z_ref, g)
+        xr = xr_f32.astype(jnp.bfloat16)
+        xsum = jnp.sum(xr.astype(jnp.float32), axis=1, keepdims=True)
+        lo = (q & 0xF).astype(jnp.bfloat16)
+        hi = (q >> 4).astype(jnp.bfloat16)  # u8 zero-extended: >>4 is already 0-15
+        if split:
+            # faster (skips the [S, TO] concat) but higher VMEM peak — used for
+            # unblocked launches; column-blocked wide layers keep the concat so
+            # _pick_block_o's larger block sizes stay within scoped VMEM
+            acc = _split_dot(xr, lo, hi)
+        else:
+            acc = jnp.dot(
+                xr, jnp.concatenate([lo, hi], axis=0),
+                preferred_element_type=jnp.float32,
+            )
+        contrib = _dequant_contrib(acc, xsum, s_ref, z_ref, g)
 
     # f32 accumulation lives in a VMEM scratch; the output block is written
     # once, in its storage dtype, at the last group step. This removes the
@@ -742,7 +797,9 @@ def _kernel_dense_rot(x_ref, rot_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref, *,
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_m", "block_o", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("block_m", "block_o", "interpret", "a8")
+)
 def rot_w4_matmul(
     x: jax.Array,  # [M, I]
     rot: jax.Array,  # [G, S, S] composed rotation (inv scales folded)
@@ -753,6 +810,7 @@ def rot_w4_matmul(
     block_m: int | None = None,
     block_o: int | None = None,
     interpret: bool = False,
+    a8: bool = False,  # int8-MXU activation-quantized dot (see _a8_quantize)
 ) -> jax.Array:
     M, I = x.shape
     G, S, _ = rot.shape
@@ -771,8 +829,8 @@ def rot_w4_matmul(
     n_o = (O + TO - 1) // TO  # edge block partial: inputs pad, output masked
     out = pl.pallas_call(
         functools.partial(
-            _kernel_dense_rot, n_g=G,
-            split=n_o == 1 and _SPLIT_DOT
+            _kernel_dense_rot, n_g=G, a8=a8,
+            split=n_o == 1 and _SPLIT_DOT and not a8
             and _split_fits(TM, S, TO, scales.dtype.itemsize,
                             zeros.dtype.itemsize, SBs, SBz),
         ),

@@ -24,6 +24,13 @@ Execution strategies (`mode`):
               single-HBM-pass kernel wins), "xla" above it (prefill, where the
               one-off dequant amortizes and XLA tiles the big GEMM onto the
               MXU).  Crossover measured with scripts/kernel_dispatch.py.
+  - "w4a8":   like "auto", but fused launches additionally quantize the
+              rotated activations to int8 per (token, group) and ride the
+              int8 MXU dot — 1.24x over the W4A16 GEMV on the v5e (scripts/
+              kernel_w4a8_exp.py); prefill above the crossover stays exact
+              W4A16 XLA. Weights stay exact in the dot; the only added error
+              is int8 activation rounding (~0.7% mean rel per matmul).
+              vLLM-counterpart: --quantization w4a8-class serving modes.
 """
 
 from __future__ import annotations
@@ -147,7 +154,21 @@ def effective_weight(layer: QuantizedLinear, dtype=jnp.float32) -> jax.Array:
     return we.reshape(wd.shape).astype(dtype)
 
 
-def _forward_xla(layer: QuantizedLinear, x: jax.Array) -> jax.Array:
+def _a8_sim(xr: jax.Array) -> jax.Array:
+    """Simulate the fused kernels' per-(row, group) int8 activation rounding.
+
+    xr [..., S] f32 rotated group activations -> round(xr/sx)*sx with
+    sx = max|xr|/127 per row — the same quantizer as kernels.rot_matmul.
+    _a8_quantize; the matmul then runs in f32 against the exact dequantized
+    weight, matching the kernel's integer-exact dot up to f32 summation
+    order. CPU-runnable reference for the W4A8 ("w4a8") execution mode.
+    """
+    amax = jnp.max(jnp.abs(xr), axis=-1, keepdims=True)
+    sx = jnp.where(amax > 0.0, amax / 127.0, 1.0)
+    return jnp.round(xr / sx) * sx
+
+
+def _forward_xla(layer: QuantizedLinear, x: jax.Array, a8: bool = False) -> jax.Array:
     """Reference (non-Pallas) forward: einsum rotation then dequant matmul."""
     G, S, _ = layer.rot.shape
     shape = x.shape
@@ -155,9 +176,17 @@ def _forward_xla(layer: QuantizedLinear, x: jax.Array) -> jax.Array:
     xr = jnp.einsum(
         "gij,bgj->bgi", layer.rot.astype(jnp.float32), xg.astype(jnp.float32),
         preferred_element_type=jnp.float32,
-    ).reshape(-1, G * S)
+    )
     wd = dequantized_weight(layer, jnp.float32)
-    y = jnp.dot(xr.astype(x.dtype), wd.astype(x.dtype), preferred_element_type=jnp.float32)
+    if a8:
+        xr = _a8_sim(xr).reshape(-1, G * S)
+        y = jnp.dot(xr, wd, preferred_element_type=jnp.float32)
+    else:
+        xr = xr.reshape(-1, G * S)
+        y = jnp.dot(
+            xr.astype(x.dtype), wd.astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        )
     return y.reshape(*shape[:-1], -1).astype(x.dtype)
 
 
@@ -225,7 +254,9 @@ def merge_quantized_linears(layers: list[QuantizedLinear]) -> MergedQuantizedLin
     )
 
 
-def _merged_forward_xla(layer: MergedQuantizedLinear, x: jax.Array) -> jax.Array:
+def _merged_forward_xla(
+    layer: MergedQuantizedLinear, x: jax.Array, a8: bool = False
+) -> jax.Array:
     P, G, S, _ = layer.rot.shape
     shape = x.shape
     xg = x.reshape(-1, G, S)
@@ -236,11 +267,16 @@ def _merged_forward_xla(layer: MergedQuantizedLinear, x: jax.Array) -> jax.Array
         xr = jnp.einsum(
             "gij,bgj->bgi", layer.rot[p].astype(jnp.float32), xg.astype(jnp.float32),
             preferred_element_type=jnp.float32,
-        ).reshape(-1, G * S)
-        y = jnp.dot(
-            xr.astype(x.dtype), wd[:, off : off + n].astype(x.dtype),
-            preferred_element_type=jnp.float32,
         )
+        if a8:
+            xr = _a8_sim(xr).reshape(-1, G * S)
+            y = jnp.dot(xr, wd[:, off : off + n], preferred_element_type=jnp.float32)
+        else:
+            xr = xr.reshape(-1, G * S)
+            y = jnp.dot(
+                xr.astype(x.dtype), wd[:, off : off + n].astype(x.dtype),
+                preferred_element_type=jnp.float32,
+            )
         outs.append(y)
         off += n
     y = jnp.concatenate(outs, axis=-1)
@@ -264,16 +300,16 @@ def merged_linear_forward(
 ) -> jax.Array:
     """Apply the merged layer to x [..., I] -> [..., O_tot]."""
     mode = _resolve_auto(mode, x, layer)
-    if mode == "fused":
+    if mode in ("fused", "w4a8_fused"):
         from ..kernels.rot_matmul import merged_rot_w4_matmul
 
         shape = x.shape
         y = merged_rot_w4_matmul(
             x.reshape(-1, shape[-1]), layer.rot, layer.qweight, layer.scales,
-            layer.zeros, out_splits=layer.out_splits,
+            layer.zeros, out_splits=layer.out_splits, a8=mode == "w4a8_fused",
         ).reshape(*shape[:-1], -1).astype(x.dtype)
     else:
-        y = _merged_forward_xla(layer, x)
+        y = _merged_forward_xla(layer, x, a8=mode == "w4a8_xla")
     if layer.bias is not None:
         y = y + layer.bias.astype(y.dtype)
     return y
@@ -293,6 +329,21 @@ AUTO_FUSED_MAX_M = 128
 
 
 def _resolve_auto(mode: str, x: jax.Array, layer) -> str:
+    if mode == "w4a8":
+        # W4A8 serving mode: the activation-quantized int8-MXU kernel in the
+        # memory-bound regime (decode / small spec-verify windows, where it
+        # measured 1.24x over W4A16 — scripts/kernel_w4a8_exp.py), exact
+        # W4A16 XLA dequant above the crossover (prefill is compute-bound;
+        # the one-off dequant amortizes and keeps prefill numerics exact).
+        # On CPU the same M-cut routes to the _a8_sim XLA path so engine
+        # tests exercise the served operating point's numerics.
+        base = _resolve_auto("auto", x, layer)
+        if base == "xla" and jax.default_backend() == "cpu":
+            m = 1
+            for d in x.shape[:-1]:
+                m *= int(d)
+            return "w4a8_xla" if m <= AUTO_FUSED_MAX_M else "xla"
+        return "w4a8_fused" if base == "fused" else base
     if mode != "auto":
         return mode
     if jax.default_backend() == "cpu":  # Pallas fused is TPU-only
@@ -314,14 +365,15 @@ def quantized_linear_forward(
 ) -> jax.Array:
     """Apply the quantized linear to x [..., I] -> [..., O]."""
     mode = _resolve_auto(mode, x, layer)
-    if mode == "xla":
-        y = _forward_xla(layer, x)
-    elif mode == "fused":
+    if mode in ("xla", "w4a8_xla"):
+        y = _forward_xla(layer, x, a8=mode == "w4a8_xla")
+    elif mode in ("fused", "w4a8_fused"):
         from ..kernels.rot_matmul import rot_w4_matmul
 
         shape = x.shape
         y2 = rot_w4_matmul(
-            x.reshape(-1, shape[-1]), layer.rot, layer.qweight, layer.scales, layer.zeros
+            x.reshape(-1, shape[-1]), layer.rot, layer.qweight, layer.scales,
+            layer.zeros, a8=mode == "w4a8_fused",
         )
         y = y2.reshape(*shape[:-1], -1).astype(x.dtype)
     else:

@@ -79,6 +79,10 @@ def main():
                     help="decode batch sizes to measure (serving decodes "
                          "batched: VERDICT r2 item 3 asks for M=8/32 arms)")
     ap.add_argument("--tokens", type=int, default=128)
+    ap.add_argument("--quant-mode", nargs="+", default=["fused"],
+                    choices=["fused", "w4a8"],
+                    help="arms to measure (interleaved when >1); w4a8 is the "
+                         "int8-MXU activation-quantized serving mode")
     args = ap.parse_args()
     merge = not args.no_merge
     cpu = jax.local_devices(backend="cpu")[0]
@@ -116,28 +120,37 @@ def main():
             jnp.asarray(rng.integers(0, cfg.vocab_size, (B, 16)), jnp.int32), dev
         )
 
-        def run():
-            cache = KVCache.create(cfg, B, 16 + n_tokens + 8, jnp.bfloat16)
-            logits, c = prefill(params, cfg, prompt, cache, quant_mode="fused")
-            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            np.asarray(tok)
-            t0 = time.perf_counter()
-            toks, _ = greedy_decode_scan(
-                params, cfg, tok, c, n_tokens, quant_mode="fused")
-            np.asarray(toks)
-            return B * n_tokens / (time.perf_counter() - t0)
+        def make_run(qmode):
+            def run():
+                cache = KVCache.create(cfg, B, 16 + n_tokens + 8, jnp.bfloat16)
+                logits, c = prefill(params, cfg, prompt, cache, quant_mode=qmode)
+                tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                np.asarray(tok)
+                t0 = time.perf_counter()
+                toks, _ = greedy_decode_scan(
+                    params, cfg, tok, c, n_tokens, quant_mode=qmode)
+                np.asarray(toks)
+                return B * n_tokens / (time.perf_counter() - t0)
+            return run
 
+        runs = {q: make_run(q) for q in args.quant_mode}
         for i in range(2):
-            r = run()
-            print(f"B={B} warmup {i}: {r:.1f} tok/s", flush=True)
-        rates = [run() for _ in range(5)]
-        # per-STEP the weight read set is the same regardless of B, so the
-        # aggregate SoL scales linearly with B until compute-bound
-        print(f"llama-2-7b W4 decode B={B}: {np.mean(rates):.1f} tok/s agg "
-              f"(min {min(rates):.1f}, max {max(rates):.1f}); "
-              f"weight read set {weight_gb:.2f}GB -> B*SoL "
-              f"~{B*sol:.0f} tok/s; achieved "
-              f"{np.mean(rates)/(B*sol)*100:.0f}% of SoL")
+            for q, run in runs.items():
+                r = run()
+                print(f"B={B} [{q}] warmup {i}: {r:.1f} tok/s", flush=True)
+        rates = {q: [] for q in runs}
+        for _ in range(5):  # interleaved: relay drift hits all arms equally
+            for q, run in runs.items():
+                rates[q].append(run())
+        for q in runs:
+            r = rates[q]
+            # per-STEP the weight read set is the same regardless of B, so
+            # the aggregate SoL scales linearly with B until compute-bound
+            print(f"llama-2-7b W4 decode B={B} [{q}]: {np.mean(r):.1f} tok/s agg "
+                  f"(min {min(r):.1f}, max {max(r):.1f}); "
+                  f"weight read set {weight_gb:.2f}GB -> B*SoL "
+                  f"~{B*sol:.0f} tok/s; achieved "
+                  f"{np.mean(r)/(B*sol)*100:.0f}% of SoL", flush=True)
 
 
 if __name__ == "__main__":

@@ -159,30 +159,47 @@ def main():
         print("CPU box: timing skipped")
         return
 
+    # Chained-slope timing (kernel_bench4 methodology): N kernel steps inside
+    # ONE jit'd fori_loop, slope between two chain lengths — relay dispatch
+    # (~1.3ms/call, 50x the kernel) cancels. The first flat-loop version of
+    # this script measured 6 GB/s on BOTH arms: pure dispatch, no signal.
+    N1, N2, REPS = 64, 512, 8
+
+    def chained(step, x, n):
+        @jax.jit
+        def f():
+            def body(i, xv):
+                return (step(xv) * 0.01).astype(x.dtype)
+            return jax.lax.fori_loop(0, n, body, x)
+        return f
+
     for M in (1, 8, 32):
         I = O = 4096
         x, qw, s, z = _mk_case(rng, M, I, O, gs)
-        f8 = lambda: w4a8_matmul(x, qw, s, z, group_size=gs)
-        f16 = lambda: w4_matmul(x, qw, s, z, group_size=gs)
+        arms = {
+            "w4a8": lambda xv: w4a8_matmul(xv, qw, s, z, group_size=gs),
+            "w4a16": lambda xv: w4_matmul(xv, qw, s, z, group_size=gs),
+        }
+        fns = {k: (chained(f, x, N1), chained(f, x, N2)) for k, f in arms.items()}
         print(f"M={M}: compiling...", flush=True)
-        f8().block_until_ready()
-        f16().block_until_ready()
-        reps, best8, best16 = 20, 1e9, 1e9
-        for _ in range(4):  # interleaved best-of-reps
-            t = time.perf_counter()
-            for _ in range(reps):
-                o = f8()
-            o.block_until_ready()
-            best8 = min(best8, (time.perf_counter() - t) / reps)
-            t = time.perf_counter()
-            for _ in range(reps):
-                o = f16()
-            o.block_until_ready()
-            best16 = min(best16, (time.perf_counter() - t) / reps)
+        for f1, f2 in fns.values():
+            f1().block_until_ready()
+            f2().block_until_ready()
+        best = {k: [1e9, 1e9] for k in fns}
+        for _ in range(REPS):
+            for k, (f1, f2) in fns.items():
+                for slot, f in ((0, f1), (1, f2)):
+                    t0 = time.perf_counter()
+                    f().block_until_ready()
+                    best[k][slot] = min(best[k][slot], time.perf_counter() - t0)
+        per = {k: (b[1] - b[0]) / (N2 - N1) for k, b in best.items()}
         bytes_w = I * O // 2
-        print(f"M={M:3d}: w4a8 {best8*1e6:7.1f}us ({bytes_w/best8/1e9:5.0f} GB/s eff)"
-              f"  vs w4a16 {best16*1e6:7.1f}us ({bytes_w/best16/1e9:5.0f} GB/s)"
-              f"  speedup {best16/best8:.2f}x")
+        print(
+            f"M={M:3d}: w4a8 {per['w4a8']*1e6:7.1f}us "
+            f"({bytes_w/per['w4a8']/1e9:5.0f} GB/s eff)"
+            f"  vs w4a16 {per['w4a16']*1e6:7.1f}us "
+            f"({bytes_w/per['w4a16']/1e9:5.0f} GB/s)"
+            f"  speedup {per['w4a16']/per['w4a8']:.2f}x", flush=True)
 
 
 if __name__ == "__main__":

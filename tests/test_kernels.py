@@ -232,3 +232,100 @@ def test_merged_rot_w4_matmul_column_blocked():
     np.testing.assert_allclose(
         np.asarray(y_blocked), np.asarray(y_full), rtol=1e-4, atol=1e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# W4A8: int8-MXU activation-quantized variants (quant_mode="w4a8").
+# The xla _a8_sim path is the reference; the kernels' dot is integer-exact,
+# so kernel-vs-sim differences are bounded by bf16 rotation rounding shifting
+# an occasional activation across an int8 rounding boundary.
+# ---------------------------------------------------------------------------
+
+
+def _a8_layer(M, I, O, seed, K=4):
+    rng = np.random.default_rng(seed)
+    params = R.make_rotation_params(I, GS, K, seed=seed + 1)
+    theta = np.where(
+        np.asarray(params.mask), 0, rng.normal(0, 0.3, np.asarray(params.theta).shape)
+    ).astype(np.float32)
+    inv_s = rng.uniform(0.5, 2.0, I).astype(np.float32)
+    q, scales, zeros = _random_quant(O, I, seed + 2)
+    layer = make_quantized_linear(
+        q.T.copy(), scales.T.copy(), zeros.T.copy(), np.asarray(params.pairs),
+        theta, inv_s, GS,
+    )
+    x = jnp.asarray(rng.normal(size=(M, I)).astype(np.float32))
+    return layer, x
+
+
+@pytest.mark.parametrize("M", [1, 17])
+def test_dense_rot_w4a8_matches_sim(M):
+    """Fused a8 kernel == the _a8_sim XLA forward (same int8 quantizer)."""
+    layer, x = _a8_layer(M, 256, 128, seed=30)
+    y_sim = quantized_linear_forward(layer, x, mode="w4a8_xla")
+    y_a8 = rot_w4_matmul(
+        x, layer.rot, layer.qweight, layer.scales, layer.zeros,
+        interpret=True, a8=True,
+    )
+    ya, ys = np.asarray(y_a8), np.asarray(y_sim)
+    assert np.linalg.norm(ya - ys) / np.linalg.norm(ys) < 0.01
+
+
+@pytest.mark.parametrize("M", [1, 17])
+def test_dense_rot_w4a8_error_bounded_vs_exact(M):
+    """a8 changes numerics only by int8 activation rounding: small, nonzero."""
+    layer, x = _a8_layer(M, 256, 128, seed=31)
+    y_exact = quantized_linear_forward(layer, x, mode="xla")
+    y_a8 = rot_w4_matmul(
+        x, layer.rot, layer.qweight, layer.scales, layer.zeros,
+        interpret=True, a8=True,
+    )
+    ya, ye = np.asarray(y_a8), np.asarray(y_exact)
+    rel = np.linalg.norm(ya - ye) / np.linalg.norm(ye)
+    assert rel < 0.02, rel
+
+
+def test_merged_w4a8_matches_sim():
+    """Merged a8 kernel (unblocked AND column-blocked branches) == merged
+    _a8_sim forward per partition."""
+    from paroquant_tpu.convert.rtn import quantize_linear_rtn
+    from paroquant_tpu.kernels.rot_matmul import merged_rot_w4_matmul
+    from paroquant_tpu.models import PRESETS, init_params
+    from paroquant_tpu.ops.qlinear import _merged_forward_xla, merge_quantized_linears
+
+    cfg = PRESETS["tiny"]
+    params = init_params(cfg, jax.random.PRNGKey(14), dtype=jnp.float32)
+    lins = [
+        quantize_linear_rtn(
+            params["layers"][0][n], n_bits=4, group_size=64,
+            random_rotation=True, seed=41 + i,
+        )
+        for i, n in enumerate(("q_proj", "k_proj", "v_proj"))
+    ]
+    lp = merge_quantized_linears(lins)
+    x = jnp.asarray(
+        np.random.default_rng(15).normal(size=(3, cfg.hidden_size)), jnp.float32
+    )
+    y_sim = np.asarray(_merged_forward_xla(lp, x, a8=True))
+    for block_o in (None, 128):  # unblocked + partition-straddling blocks
+        y_a8 = np.asarray(
+            merged_rot_w4_matmul(
+                x, lp.rot, lp.qweight, lp.scales, lp.zeros,
+                out_splits=lp.out_splits, block_o=block_o, interpret=True, a8=True,
+            )
+        )
+        assert np.linalg.norm(y_a8 - y_sim) / np.linalg.norm(y_sim) < 0.01, block_o
+
+
+def test_w4a8_mode_resolution():
+    """"w4a8" resolves to the sim path at decode M on CPU and exact xla at
+    prefill M (mirrors the TPU fused/xla crossover)."""
+    from paroquant_tpu.ops.qlinear import AUTO_FUSED_MAX_M, _resolve_auto
+
+    layer, x_small = _a8_layer(1, 256, 128, seed=32)
+    assert _resolve_auto("w4a8", x_small, layer) == "w4a8_xla"
+    x_big = jnp.zeros((AUTO_FUSED_MAX_M + 1, 256), jnp.float32)
+    assert _resolve_auto("w4a8", x_big, layer) == "xla"
+    # generation path smoke: the public forward accepts the mode string
+    y = quantized_linear_forward(layer, x_small, mode="w4a8")
+    assert np.isfinite(np.asarray(y)).all()
