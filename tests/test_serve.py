@@ -1209,3 +1209,37 @@ def test_engine_speculative_per_slot_with_penalty_and_bias(model):
     got, eng = run(3)
     assert got == want
     assert eng.metrics["spec_accepted"] > 0, eng.metrics
+
+
+def test_engine_w4a8_matches_generator():
+    """quant_mode="w4a8" through the Engine == Generator on a W4 model.
+
+    The a8 activation quantizer is per-(token, group), so chunked prefill and
+    batch composition cannot change any token's math — engine tokens must be
+    exactly the single-stream Generator's under the same mode."""
+    from paroquant_tpu.convert import quantize_model_rtn
+
+    params = init_params(CFG, jax.random.PRNGKey(3), dtype=jnp.float32)
+    qparams = quantize_model_rtn(params, CFG, n_bits=4, group_size=64)
+    gen = Generator(qparams, CFG, quant_mode="w4a8", cache_dtype=jnp.float32)
+    rng = np.random.default_rng(9)
+    prompts = [list(rng.integers(0, CFG.vocab_size, n)) for n in (5, 13)]
+    sp = SamplingParams(max_tokens=6, temperature=0.0)
+    ref = [[t for t in gen.stream_generate(p, sp)] for p in prompts]
+
+    eng = Engine(
+        qparams, CFG, max_batch=2, max_len=64, page_size=8,
+        quant_mode="w4a8", cache_dtype=jnp.float32,
+    )
+    reqs = [eng.submit(p, sp) for p in prompts]
+    for _ in range(100):
+        if not eng.step():
+            break
+    for r, want in zip(reqs, ref):
+        toks = []
+        while True:
+            kind, t = r.out_queue.get_nowait()
+            if kind == "done":
+                break
+            toks.append(t)
+        assert toks == want
