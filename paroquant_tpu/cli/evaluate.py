@@ -136,6 +136,17 @@ def main(argv=None):
 
     params, config = load_checkpoint(args.model)
     qmode = args.quant_mode or ("auto" if detect_backend() == "tpu" else "xla")
+    if qmode == "w4a8":
+        # Quality eval must reflect the numerics SERVED at decode: full
+        # 2048-token windows are far above the fused-kernel M crossover, so
+        # "w4a8" would silently resolve to the exact W4A16 path and measure
+        # nothing (round-3 ADVICE). Force the a8 activation-rounding sim on
+        # every token instead — the per-(token, group) quantizer is
+        # batch-composition independent, so per-token numerics match the
+        # fused decode kernel up to f32 summation order.
+        print("note: --quant-mode w4a8 evaluates the a8 activation-rounding "
+              "numerics on all tokens (the served decode operating point)")
+        qmode = "w4a8_xla"
     mesh = None
     if args.dp > 1:
         from ..parallel import make_mesh
@@ -159,10 +170,10 @@ def main(argv=None):
                 f"to silently build a smaller ring")
         sp_mesh = Mesh(np.array(jax.devices()[: args.sp]), ("sp",))
         assert args.seqlen % args.sp == 0, (args.seqlen, args.sp)
-        if qmode != "xla":
+        if qmode not in ("xla", "w4a8_xla"):
             # pallas_call has no GSPMD partitioning rule: a fused kernel
             # inside the sequence-sharded jit would be replicated/gathered
-            # by the partitioner, negating SP. The XLA path shards cleanly.
+            # by the partitioner, negating SP. The XLA paths shard cleanly.
             print(f"note: --sp forces quant-mode xla (was {qmode})")
             qmode = "xla"
 

@@ -153,7 +153,14 @@ def _dequant_contrib(acc, xsum, s_ref, z_ref, g):
 # (the arbiter; kernel timing noise floor is ~±8us over the relay) measured
 # concat >= split in adjacent A/B runs (vs_baseline 1.178 vs 1.114), so
 # concat is the default and split stays available for re-evaluation.
-_SPLIT_DOT = os.environ.get("PARO_SPLIT_DOT", "0") == "1"
+# Resolved per kernel launch (round-3 ADVICE: an import-time env read could
+# not be toggled per-call or tested without a reimport): pass
+# `split_dot=True/False` to the wrappers, or leave None to take the
+# PARO_SPLIT_DOT env default, read at trace time.
+def _split_dot_enabled(split_dot: bool | None) -> bool:
+    if split_dot is None:
+        return os.environ.get("PARO_SPLIT_DOT", "0") == "1"
+    return split_dot
 
 
 def _split_dot(xr, lo, hi):
@@ -180,6 +187,12 @@ def _a8_quantize(xr_f32):
     scale — finer than the per-tensor static scales common in W4A8 serving).
     Measured 1.24x over the W4A16 GEMV at 4096^2 M=1 on the v5e
     (scripts/kernel_w4a8_exp.py); legality probes in kernel_int8_probe.py.
+
+    Non-finite activations are undefined behavior here: a NaN/Inf row makes
+    amax (and so sx) non-finite, and round(NaN)->int8 yields a finite wrong
+    value instead of propagating NaN the way the bf16 path would. A guard
+    would cost a VPU pass per launch on the hot decode path; upstream
+    numerics are the bf16 kernels' responsibility (round-3 ADVICE, noted).
     """
     amax = jnp.max(jnp.abs(xr_f32), axis=1, keepdims=True)
     sx = jnp.where(amax > 0.0, amax / 127.0, 1.0)
@@ -227,6 +240,7 @@ def _kernel(
     *,
     distances,
     out_dtype,
+    split=False,
 ):
     g = pl.program_id(1)
 
@@ -240,7 +254,7 @@ def _kernel(
     q = qw_ref[:].astype(jnp.int32)
     lo = (q & 0xF).astype(jnp.bfloat16)  # channels [0, S/2)
     hi = ((q >> 4) & 0xF).astype(jnp.bfloat16)  # channels [S/2, S)
-    if _SPLIT_DOT:
+    if split:
         acc = _split_dot(xr, lo, hi)  # [TM, O]
     else:
         acc = jnp.dot(
@@ -258,7 +272,7 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("group_size", "block_m", "interpret")
+    jax.jit, static_argnames=("group_size", "block_m", "interpret", "split_dot")
 )
 def butterfly_w4_matmul(
     x: jax.Array,  # [M, I]
@@ -272,6 +286,7 @@ def butterfly_w4_matmul(
     group_size: int = 128,
     block_m: int | None = None,
     interpret: bool = False,
+    split_dot: bool | None = None,
 ) -> jax.Array:
     """Fused rotate+dequant+matmul. Returns [M, O] in x.dtype."""
     M, I = x.shape
@@ -291,7 +306,8 @@ def butterfly_w4_matmul(
     SBz = _sublanes(zeros.dtype, G)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, distances=distances, out_dtype=jnp.float32),
+        functools.partial(_kernel, distances=distances, out_dtype=jnp.float32,
+                          split=_split_dot_enabled(split_dot)),
         grid=(Mp // TM, G),
         in_specs=[
             pl.BlockSpec((TM, group_size), lambda i, g: (i, g), memory_space=pltpu.VMEM),
@@ -332,7 +348,7 @@ def butterfly_w4_matmul(
 # ---------------------------------------------------------------------------
 
 
-def _kernel_plain(x_ref, qw_ref, s_ref, z_ref, o_ref, *, out_dtype):
+def _kernel_plain(x_ref, qw_ref, s_ref, z_ref, o_ref, *, out_dtype, split=False):
     g = pl.program_id(1)
     x = x_ref[:].astype(jnp.float32)
     xr = x.astype(jnp.bfloat16)
@@ -340,7 +356,7 @@ def _kernel_plain(x_ref, qw_ref, s_ref, z_ref, o_ref, *, out_dtype):
     q = qw_ref[:].astype(jnp.int32)
     lo = (q & 0xF).astype(jnp.bfloat16)
     hi = ((q >> 4) & 0xF).astype(jnp.bfloat16)
-    if _SPLIT_DOT:
+    if split:
         acc = _split_dot(xr, lo, hi)
     else:
         acc = jnp.dot(
@@ -357,7 +373,9 @@ def _kernel_plain(x_ref, qw_ref, s_ref, z_ref, o_ref, *, out_dtype):
         o_ref[:] = o_ref[:] + contrib.astype(out_dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("group_size", "block_m", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("group_size", "block_m", "interpret", "split_dot")
+)
 def w4_matmul(
     x: jax.Array,
     qweight: jax.Array,
@@ -367,6 +385,7 @@ def w4_matmul(
     group_size: int = 128,
     block_m: int | None = None,
     interpret: bool = False,
+    split_dot: bool | None = None,
 ) -> jax.Array:
     M, I = x.shape
     O = qweight.shape[1]
@@ -381,7 +400,8 @@ def w4_matmul(
     SBs = _sublanes(scales.dtype, G)
     SBz = _sublanes(zeros.dtype, G)
     out = pl.pallas_call(
-        functools.partial(_kernel_plain, out_dtype=jnp.float32),
+        functools.partial(_kernel_plain, out_dtype=jnp.float32,
+                          split=_split_dot_enabled(split_dot)),
         grid=(Mp // TM, G),
         in_specs=[
             pl.BlockSpec((TM, group_size), lambda i, g: (i, g), memory_space=pltpu.VMEM),
@@ -679,7 +699,9 @@ def _kernel_merged_rot(x_ref, rot_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref, *,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("out_splits", "block_m", "block_o", "interpret", "a8"),
+    static_argnames=(
+        "out_splits", "block_m", "block_o", "interpret", "a8", "split_dot"
+    ),
 )
 def merged_rot_w4_matmul(
     x: jax.Array,  # [M, I]
@@ -693,6 +715,7 @@ def merged_rot_w4_matmul(
     block_o: int | None = None,
     interpret: bool = False,
     a8: bool = False,  # int8-MXU activation-quantized dot (see _a8_quantize)
+    split_dot: bool | None = None,
 ) -> jax.Array:
     M, I = x.shape
     P, G, S, _ = rot.shape
@@ -713,7 +736,7 @@ def merged_rot_w4_matmul(
         functools.partial(
             _kernel_merged_rot, splits=tuple(out_splits), blocked=n_o > 1,
             n_g=G, a8=a8,
-            split=_SPLIT_DOT and not a8 and _split_fits(
+            split=_split_dot_enabled(split_dot) and not a8 and _split_fits(
                 TM, S, TO, scales.dtype.itemsize, zeros.dtype.itemsize,
                 SBs, SBz),
         ),
@@ -798,7 +821,7 @@ def _kernel_dense_rot(x_ref, rot_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref, *,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_m", "block_o", "interpret", "a8")
+    jax.jit, static_argnames=("block_m", "block_o", "interpret", "a8", "split_dot")
 )
 def rot_w4_matmul(
     x: jax.Array,  # [M, I]
@@ -811,6 +834,7 @@ def rot_w4_matmul(
     block_o: int | None = None,
     interpret: bool = False,
     a8: bool = False,  # int8-MXU activation-quantized dot (see _a8_quantize)
+    split_dot: bool | None = None,
 ) -> jax.Array:
     M, I = x.shape
     G, S, _ = rot.shape
@@ -830,7 +854,7 @@ def rot_w4_matmul(
     out = pl.pallas_call(
         functools.partial(
             _kernel_dense_rot, n_g=G, a8=a8,
-            split=n_o == 1 and _SPLIT_DOT and not a8
+            split=n_o == 1 and _split_dot_enabled(split_dot) and not a8
             and _split_fits(TM, S, TO, scales.dtype.itemsize,
                             zeros.dtype.itemsize, SBs, SBz),
         ),

@@ -335,15 +335,18 @@ def _resolve_auto(mode: str, x: jax.Array, layer) -> str:
         # measured 1.24x over W4A16 — scripts/kernel_w4a8_exp.py), exact
         # W4A16 XLA dequant above the crossover (prefill is compute-bound;
         # the one-off dequant amortizes and keeps prefill numerics exact).
-        # On CPU the same M-cut routes to the _a8_sim XLA path so engine
-        # tests exercise the served operating point's numerics.
+        # The M-cut, not kernel availability, decides the numerics: small-M
+        # launches where the fused kernel is unavailable (CPU, or group
+        # sizes the Pallas tiling rejects) run the _a8_sim XLA path, so the
+        # served operating point's a8 rounding is identical across backends
+        # (round-3 ADVICE: no silent degradation to exact W4A16 on TPU).
+        m = 1
+        for d in x.shape[:-1]:
+            m *= int(d)
+        if m > AUTO_FUSED_MAX_M:
+            return "xla"  # prefill regime: exact W4A16, intended
         base = _resolve_auto("auto", x, layer)
-        if base == "xla" and jax.default_backend() == "cpu":
-            m = 1
-            for d in x.shape[:-1]:
-                m *= int(d)
-            return "w4a8_xla" if m <= AUTO_FUSED_MAX_M else "xla"
-        return "w4a8_fused" if base == "fused" else base
+        return "w4a8_fused" if base == "fused" else "w4a8_xla"
     if mode != "auto":
         return mode
     if jax.default_backend() == "cpu":  # Pallas fused is TPU-only

@@ -164,7 +164,7 @@ def _ring_body(q, k, v, q_pos, kv_pos, *, axis, n_dev, scale,
     B, T, Hq, D = q.shape
     # fresh zeros are device-invariant; mark them varying over the ring
     # axis so the scan carry types match the (varying) attention outputs
-    vary = lambda x: jax.lax.pvary(x, (axis,))
+    vary = lambda x: jax.lax.pcast(x, (axis,), to="varying")
     init = (
         vary(jnp.zeros((B, T, Hq, D), jnp.float32)),
         vary(jnp.full((B, T, Hq), -jnp.inf, jnp.float32)),

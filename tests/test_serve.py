@@ -1214,9 +1214,14 @@ def test_engine_speculative_per_slot_with_penalty_and_bias(model):
 def test_engine_w4a8_matches_generator():
     """quant_mode="w4a8" through the Engine == Generator on a W4 model.
 
-    The a8 activation quantizer is per-(token, group), so chunked prefill and
-    batch composition cannot change any token's math — engine tokens must be
-    exactly the single-stream Generator's under the same mode."""
+    The a8 activation quantizer itself is per-(token, group): at a FIXED
+    a8-vs-exact routing, chunked prefill and batch composition cannot change
+    any token's math. The routing, however, resolves from the PADDED token
+    count (it must — valid lengths are dynamic under jit), so a prompt that
+    rides a chunked-prefill path padded past AUTO_FUSED_MAX_M runs exact
+    W4A16 where a short full-prefill bucket would run a8 (round-3 ADVICE).
+    This test's prompts resolve identically on both paths (short prompts,
+    small buckets), which is what the equality below asserts."""
     from paroquant_tpu.convert import quantize_model_rtn
 
     params = init_params(CFG, jax.random.PRNGKey(3), dtype=jnp.float32)
