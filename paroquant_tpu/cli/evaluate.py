@@ -170,12 +170,9 @@ def main(argv=None):
                 f"to silently build a smaller ring")
         sp_mesh = Mesh(np.array(jax.devices()[: args.sp]), ("sp",))
         assert args.seqlen % args.sp == 0, (args.seqlen, args.sp)
-        if qmode not in ("xla", "w4a8_xla"):
-            # pallas_call has no GSPMD partitioning rule: a fused kernel
-            # inside the sequence-sharded jit would be replicated/gathered
-            # by the partitioner, negating SP. The XLA paths shard cleanly.
-            print(f"note: --sp forces quant-mode xla (was {qmode})")
-            qmode = "xla"
+        # all quant modes run under SP: xla/w4a8_xla shard via GSPMD; fused/
+        # auto wrap the quantized layers token-sharded (parallel/tp.py) so
+        # each ring device launches the Pallas kernels on its own rows
 
     def run_ppl(toks):
         return perplexity(params, config, toks, args.seqlen, qmode,

@@ -46,6 +46,10 @@ Linear = DenseLinear | QuantizedLinear
 def apply_linear(lin: Linear, x: jax.Array, *, quant_mode: str = "xla") -> jax.Array:
     if isinstance(lin, QuantizedLinear):
         return quantized_linear_forward(lin, x, mode=quant_mode)
+    if type(lin).__name__ == "TPQuantizedLinear":  # sharded serving (TP/SP)
+        from ..parallel.tp import tp_linear_forward
+
+        return tp_linear_forward(lin, x, quant_mode)
     if type(lin).__name__ == "PseudoQuantLinear":  # calibration path
         from ..optim.pseudo import pseudo_linear_forward
 
@@ -217,8 +221,13 @@ def _act(x: jax.Array, name: str) -> jax.Array:
 def mlp_forward(p: dict[str, Any], x: jax.Array, quant_mode: str,
                 act: str = "silu", return_act: bool = False):
     if "gate_up_proj" in p:  # merged projections (one kernel launch)
-        gu = merged_linear_forward(p["gate_up_proj"], x, mode=quant_mode)
-        gate, up = jnp.split(gu, p["gate_up_proj"].split_points, axis=-1)
+        if type(p["gate_up_proj"]).__name__ == "TPMergedLinear":
+            from ..parallel.tp import tp_merged_forward_split
+
+            gate, up = tp_merged_forward_split(p["gate_up_proj"], x, quant_mode)
+        else:
+            gu = merged_linear_forward(p["gate_up_proj"], x, mode=quant_mode)
+            gate, up = jnp.split(gu, p["gate_up_proj"].split_points, axis=-1)
     else:
         gate = apply_linear(p["gate_proj"], x, quant_mode=quant_mode)
         up = apply_linear(p["up_proj"], x, quant_mode=quant_mode)
@@ -238,8 +247,13 @@ def qkv_forward(
     B, T, _ = h.shape
     Hq, Hkv, D = config.num_attention_heads, config.num_key_value_heads, config.head_dim
     if "qkv_proj" in p:
-        qkv = merged_linear_forward(p["qkv_proj"], h, mode=quant_mode)
-        q, k, v = jnp.split(qkv, p["qkv_proj"].split_points, axis=-1)
+        if type(p["qkv_proj"]).__name__ == "TPMergedLinear":
+            from ..parallel.tp import tp_merged_forward_split
+
+            q, k, v = tp_merged_forward_split(p["qkv_proj"], h, quant_mode)
+        else:
+            qkv = merged_linear_forward(p["qkv_proj"], h, mode=quant_mode)
+            q, k, v = jnp.split(qkv, p["qkv_proj"].split_points, axis=-1)
     else:
         q = apply_linear(p["q_proj"], h, quant_mode=quant_mode)
         k = apply_linear(p["k_proj"], h, quant_mode=quant_mode)

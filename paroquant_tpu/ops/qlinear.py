@@ -307,6 +307,10 @@ def merged_linear_forward(
         y = merged_rot_w4_matmul(
             x.reshape(-1, shape[-1]), layer.rot, layer.qweight, layer.scales,
             layer.zeros, out_splits=layer.out_splits, a8=mode == "w4a8_fused",
+            # explicit mode="fused" on CPU runs the Pallas interpreter — the
+            # virtual-mesh TP tests and the multichip dryrun drive the real
+            # kernel composition without a TPU attached
+            interpret=jax.default_backend() == "cpu",
         ).reshape(*shape[:-1], -1).astype(x.dtype)
     else:
         y = _merged_forward_xla(layer, x, a8=mode == "w4a8_xla")
@@ -377,6 +381,7 @@ def quantized_linear_forward(
         y2 = rot_w4_matmul(
             x.reshape(-1, shape[-1]), layer.rot, layer.qweight, layer.scales,
             layer.zeros, a8=mode == "w4a8_fused",
+            interpret=jax.default_backend() == "cpu",  # see merged note
         )
         y = y2.reshape(*shape[:-1], -1).astype(x.dtype)
     else:

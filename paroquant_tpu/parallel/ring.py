@@ -321,5 +321,14 @@ def sp_prefill(
             return logits
 
         _SP_JIT_CACHE[key] = fn
+    if quant_mode not in ("xla", "w4a8_xla"):
+        # fused/auto serving under SP: wrap quantized layers token-sharded so
+        # the Pallas kernels launch per device on local rows inside shard_map
+        # (GSPMD would replicate pallas_call — the round-3 "--sp forces xla"
+        # guard this replaces). Wrapping only restructures the pytree; the
+        # new treedef keys the jit cache.
+        from .tp import sp_wrap_params
+
+        params = sp_wrap_params(params, config, mesh, axis=axis)
     tokens = jax.device_put(tokens, NamedSharding(mesh, P(None, axis)))
     return fn(params, config, tokens)

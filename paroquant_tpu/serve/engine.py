@@ -45,6 +45,11 @@ class Request:
         default_factory=queue.SimpleQueue
     )
     enqueue_time: float = dataclasses.field(default_factory=time.perf_counter)
+    # set when the scheduler admits the request into a prefill slot: TTFT
+    # decomposes as queue wait (enqueue -> here, scheduling policy) +
+    # prefill service (here -> first token, device + dispatch) so a degraded
+    # relay's service inflation can't masquerade as a queueing conclusion
+    prefill_start_time: float | None = None
     first_token_time: float | None = None
     finish_time: float | None = None
     # per generated token: logprob under the raw model distribution, appended
@@ -63,6 +68,18 @@ class Request:
         if self.first_token_time is None:
             return None
         return self.first_token_time - self.enqueue_time
+
+    @property
+    def queue_time(self) -> float | None:
+        if self.prefill_start_time is None:
+            return None
+        return self.prefill_start_time - self.enqueue_time
+
+    @property
+    def prefill_service_time(self) -> float | None:
+        if self.first_token_time is None or self.prefill_start_time is None:
+            return None
+        return self.first_token_time - self.prefill_start_time
 
 
 @dataclasses.dataclass
@@ -155,7 +172,7 @@ def _decode_burst_impl(
     params, config, tokens, seq_lens, page_table, cache,
     base_keys, steps0, temps, top_ps, top_ks, rep_pens, token_counts,
     logit_biases,
-    *, quant_mode, attn_mode, n_steps,
+    *, quant_mode, attn_mode, n_steps, attn_mesh=None,
 ):
     """n_steps fused decode+sample steps in ONE dispatch (lax.scan), the
     TPU-native analogue of vLLM's multi-step scheduling: sampled tokens feed
@@ -171,7 +188,7 @@ def _decode_burst_impl(
         tokens, seq_lens, cache, token_counts = carry
         logits, cache = _paged_decode_step_impl(
             params, config, tokens, seq_lens, page_table, cache,
-            quant_mode=quant_mode, attn_mode=attn_mode,
+            quant_mode=quant_mode, attn_mode=attn_mode, attn_mesh=attn_mesh,
         )
         step_keys = jax.vmap(jax.random.fold_in)(
             base_keys, (steps0 + step_i).astype(jnp.uint32)
@@ -192,11 +209,13 @@ def _decode_burst_impl(
 from functools import partial as _partial  # noqa: E402
 
 _decode_burst_donate = _partial(
-    jax.jit, static_argnames=("config", "quant_mode", "attn_mode", "n_steps"),
+    jax.jit,
+    static_argnames=("config", "quant_mode", "attn_mode", "n_steps", "attn_mesh"),
     donate_argnames=("cache", "token_counts"),
 )(_decode_burst_impl)
 _decode_burst_nodonate = _partial(
-    jax.jit, static_argnames=("config", "quant_mode", "attn_mode", "n_steps")
+    jax.jit,
+    static_argnames=("config", "quant_mode", "attn_mode", "n_steps", "attn_mesh"),
 )(_decode_burst_impl)
 
 
@@ -301,7 +320,12 @@ class Engine:
         if mesh is not None:
             from ..parallel.shard import shard_params
 
-            params = shard_params(params, config, mesh)
+            # fused/auto/w4a8 serving: wrap TP-eligible quantized layers so
+            # the Pallas kernels launch per device inside shard_map (GSPMD
+            # has no pallas partitioning rule); plain "xla" keeps the pure
+            # GSPMD path
+            params = shard_params(params, config, mesh,
+                                  tp_fused=quant_mode != "xla")
         self.mesh = mesh
         self.params = params
         self.config = config
@@ -707,6 +731,8 @@ class Engine:
         slot = self.slots[slot_id]
         slot.request = req
         slot.prefilling = True
+        if req.prefill_start_time is None:
+            req.prefill_start_time = time.perf_counter()
         st = _PrefillState(
             request=req, slot_id=slot_id, pages=pages,
             toks=toks, cache=cache, offset=len(matched) * self.page_size,
@@ -749,6 +775,8 @@ class Engine:
         return min(b, self.max_len)
 
     def _prefill_into_slot(self, slot_id: int, req: Request, reg_keys: tuple = ()):
+        if req.prefill_start_time is None:
+            req.prefill_start_time = time.perf_counter()
         T = len(req.prompt_tokens)
         bucket = self._bucket(T)
         toks = np.zeros((1, bucket), np.int32)
@@ -871,7 +899,7 @@ class Engine:
             self.params, self.config,
             jnp.asarray(np.array(self.tokens)), jnp.asarray(np.array(self.seq_lens)),
             jnp.asarray(np.array(self.page_table)), self.cache,
-            quant_mode=self.quant_mode,
+            quant_mode=self.quant_mode, attn_mesh=self.mesh,
         )
         self.seq_lens[active] += 1
         step_keys = np.asarray(
@@ -945,7 +973,7 @@ class Engine:
             self.params, self.config, jnp.asarray(windows),
             jnp.asarray(np.array(self.seq_lens)),
             jnp.asarray(np.array(self.page_table)), self.cache,
-            self.trash_page, quant_mode=self.quant_mode,
+            self.trash_page, quant_mode=self.quant_mode, attn_mesh=self.mesh,
         )
         if others:
             # batched sampler over the window-row-0 logits (same fold/step
@@ -1033,6 +1061,7 @@ class Engine:
             jnp.asarray(np.array(self.top_ks)), jnp.asarray(np.array(self.rep_pens)),
             self.token_counts, self.logit_biases,
             quant_mode=self.quant_mode, attn_mode=attn_mode, n_steps=n_steps,
+            attn_mesh=self.mesh,
         )
         toks_host = np.asarray(toks_seq)  # [n_steps, B]
         lps_host = np.asarray(lps_seq)

@@ -18,6 +18,7 @@ the resulting KV is scattered into freshly allocated pages.
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 from typing import Any, NamedTuple
 
@@ -117,6 +118,40 @@ def _dequant_pages(pages: jax.Array, scales: jax.Array) -> jax.Array:
     return pages.astype(jnp.float32) * jnp.swapaxes(scales, -1, -2)[..., None]
 
 
+def _headshard_attn(kernel, mesh, q, k_pool, v_pool, page_table, lens, *,
+                    k_scales=None, v_scales=None, axis="model", **kw):
+    """Launch a paged Pallas attention kernel per device on its head shard.
+
+    GSPMD has no pallas partitioning rule, so under a TP mesh the kernel
+    would run replicated (operands all-gathered). Attention is embarrassingly
+    parallel over heads — q heads and kv pools shard on the same contiguous
+    head blocks GQA grouping uses (q head h reads kv head h//group; shard d's
+    q block [d*Hq/n, ...) maps exactly onto its kv block [d*Hkv/n, ...)).
+    No collectives. Falls back to a direct (replicated) call when the head
+    counts don't divide the axis."""
+    from jax.sharding import PartitionSpec as P
+
+    kernel = functools.partial(
+        kernel, interpret=jax.default_backend() == "cpu", **kw)
+    Hq, Hkv = q.shape[-2], k_pool.shape[-2]
+    n = 1 if mesh is None else mesh.shape[axis]
+    if n == 1 or Hq % n or Hkv % n:
+        return kernel(q, k_pool, v_pool, page_table, lens,
+                      k_scales=k_scales, v_scales=v_scales)
+    qs = P(*(None,) * (q.ndim - 2), axis, None)
+    pool = P(None, None, axis, None)
+    sc = None if k_scales is None else P(None, axis, None)
+
+    def local(q, kp, vp, table, lens, ks, vs):
+        return kernel(q, kp, vp, table, lens, k_scales=ks, v_scales=vs)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(qs, pool, pool, P(None, None), P(None), sc, sc),
+        out_specs=qs, check_vma=False,
+    )(q, k_pool, v_pool, page_table, lens, k_scales, v_scales)
+
+
 def paged_attention(
     q: jax.Array,  # [B, Hq, D] one query token per slot
     k_pages: jax.Array,  # [B, maxP, ps, Hkv, D] gathered pages
@@ -161,6 +196,7 @@ def _gemma3n_paged_decode(
     *,
     quant_mode: str,
     attn_mode: str,
+    attn_mesh=None,
 ) -> tuple[jax.Array, PagedKVCache]:
     """gemma-4-class paged decode step: AltUp stack + laurel + per-layer
     inputs over the paged KV pool. Pool rows cover only the first
@@ -223,7 +259,8 @@ def _gemma3n_paged_decode(
             if attn_mode == "kernel":
                 from ..kernels.attention import paged_decode_attention
 
-                attn = paged_decode_attention(
+                attn = _headshard_attn(
+                    paged_decode_attention, attn_mesh,
                     q, new_k[row], new_v[row], page_table, seq_lens + 1,
                     scale=config.attn_scale, sliding_window=sliding,
                     logit_softcap=None,
@@ -268,12 +305,13 @@ def _paged_decode_step_impl(
     *,
     quant_mode: str = "xla",
     attn_mode: str = "einsum",
+    attn_mesh=None,  # TP mesh: paged Pallas attention launches per head shard
 ) -> tuple[jax.Array, PagedKVCache]:
     """One decode step for every slot. Returns (logits [B, V], cache)."""
     if config.is_gemma3n:
         return _gemma3n_paged_decode(
             params, config, tokens, seq_lens, page_table, cache,
-            quant_mode=quant_mode, attn_mode=attn_mode,
+            quant_mode=quant_mode, attn_mode=attn_mode, attn_mesh=attn_mesh,
         )
     B = tokens.shape[0]
     ps = cache.page_size
@@ -343,10 +381,12 @@ def _paged_decode_step_impl(
         if attn_mode == "kernel":
             # Pallas paged kernel: reads ONLY the allocated pages (DMA clamps
             # at the last page); step cost scales with cached tokens, not
-            # engine max_len
+            # engine max_len. Under a TP mesh the launch is per-device on the
+            # head shard (_headshard_attn).
             from ..kernels.attention import paged_decode_attention
 
-            attn = paged_decode_attention(
+            attn = _headshard_attn(
+                paged_decode_attention, attn_mesh,
                 q, new_k[kv_li], new_v[kv_li], page_table, seq_lens + 1,
                 scale=config.attn_scale,
                 sliding_window=config.layer_sliding_window(li),
@@ -406,23 +446,23 @@ def _paged_decode_step_impl(
 # with jax 0.9: first call correct, subsequent calls wrong), so CPU uses the
 # non-donating compilation.
 _paged_decode_step_donate = partial(
-    jax.jit, static_argnames=("config", "quant_mode", "attn_mode"),
+    jax.jit, static_argnames=("config", "quant_mode", "attn_mode", "attn_mesh"),
     donate_argnames=("cache",),
 )(_paged_decode_step_impl)
 _paged_decode_step_nodonate = partial(
-    jax.jit, static_argnames=("config", "quant_mode", "attn_mode")
+    jax.jit, static_argnames=("config", "quant_mode", "attn_mode", "attn_mesh")
 )(_paged_decode_step_impl)
 
 
 def paged_decode_step(params, config, tokens, seq_lens, page_table, cache, *,
-                      quant_mode="xla", attn_mode=None):
+                      quant_mode="xla", attn_mode=None, attn_mesh=None):
     on_cpu = jax.devices()[0].platform in ("cpu",)
     if attn_mode is None:
         # kernel path on real TPUs; einsum reference on the CPU backend
         attn_mode = "einsum" if on_cpu else "kernel"
     fn = _paged_decode_step_nodonate if on_cpu else _paged_decode_step_donate
     return fn(params, config, tokens, seq_lens, page_table, cache,
-              quant_mode=quant_mode, attn_mode=attn_mode)
+              quant_mode=quant_mode, attn_mode=attn_mode, attn_mesh=attn_mesh)
 
 
 def paged_window_attention(
@@ -472,6 +512,7 @@ def _paged_verify_step_impl(
     *,
     quant_mode: str = "xla",
     attn_mode: str = "einsum",
+    attn_mesh=None,  # TP mesh: paged Pallas attention launches per head shard
 ) -> tuple[jax.Array, jax.Array, PagedKVCache]:
     """Speculative verify: W tokens per slot through one paged forward —
     the engine counterpart of the Generator's _verify_window (vLLM
@@ -539,7 +580,8 @@ def _paged_verify_step_impl(
             # seq_len+W rows (same asymptotics as the paged decode kernel)
             from ..kernels.attention import paged_window_attention_kernel
 
-            attn = paged_window_attention_kernel(
+            attn = _headshard_attn(
+                paged_window_attention_kernel, attn_mesh,
                 q, new_k[kv_li], new_v[kv_li], page_table, seq_lens,
                 scale=config.attn_scale,
                 sliding_window=config.layer_sliding_window(li),
@@ -607,23 +649,24 @@ def _paged_verify_step_impl(
 
 
 _paged_verify_donate = partial(
-    jax.jit, static_argnames=("config", "quant_mode", "attn_mode"),
+    jax.jit, static_argnames=("config", "quant_mode", "attn_mode", "attn_mesh"),
     donate_argnames=("cache",),
 )(_paged_verify_step_impl)
 _paged_verify_nodonate = partial(
-    jax.jit, static_argnames=("config", "quant_mode", "attn_mode")
+    jax.jit, static_argnames=("config", "quant_mode", "attn_mode", "attn_mesh")
 )(_paged_verify_step_impl)
 
 
 def paged_verify_step(params, config, windows, seq_lens, page_table, cache,
-                      trash_page, *, quant_mode="xla", attn_mode=None):
+                      trash_page, *, quant_mode="xla", attn_mode=None,
+                      attn_mesh=None):
     on_cpu = jax.devices()[0].platform in ("cpu",)
     if attn_mode is None:
         attn_mode = "einsum" if on_cpu else "kernel"
     fn = _paged_verify_nodonate if on_cpu else _paged_verify_donate
     return fn(params, config, windows, seq_lens, page_table, cache,
               jnp.asarray(trash_page, jnp.int32), quant_mode=quant_mode,
-              attn_mode=attn_mode)
+              attn_mode=attn_mode, attn_mesh=attn_mesh)
 
 
 def _scatter_prefill_impl(

@@ -160,6 +160,14 @@ def main():
                           "note": "all requests shed by max_queue"}))
         return
     ttfts = np.array([r.ttft for r in reqs])
+    # TTFT decomposition from recorded engine timestamps (VERDICT r3 #7):
+    # queue = enqueue -> prefill admission (scheduling/admission policy);
+    # service = admission -> first token (device + dispatch + relay). A
+    # degraded relay inflates SERVICE; queueing conclusions (admission
+    # control bounding the backlog) read from the QUEUE columns.
+    queues = np.array([r.queue_time for r in reqs if r.queue_time is not None])
+    servs = np.array([r.prefill_service_time for r in reqs
+                      if r.prefill_service_time is not None])
     total_tokens = eng.metrics["tokens_generated"]
     out = {
         "metric": "serving_ttft_and_throughput",
@@ -167,6 +175,10 @@ def main():
         "requests": args.requests,
         "ttft_p50_ms": round(float(np.percentile(ttfts, 50)) * 1e3, 1),
         "ttft_p99_ms": round(float(np.percentile(ttfts, 99)) * 1e3, 1),
+        "queue_p50_ms": round(float(np.percentile(queues, 50)) * 1e3, 1),
+        "queue_p99_ms": round(float(np.percentile(queues, 99)) * 1e3, 1),
+        "prefill_service_p50_ms": round(float(np.percentile(servs, 50)) * 1e3, 1),
+        "prefill_service_p99_ms": round(float(np.percentile(servs, 99)) * 1e3, 1),
         "tokens_per_s": round(total_tokens / wall, 1),
         "wall_s": round(wall, 1),
         "decode_steps": eng.metrics["steps"],

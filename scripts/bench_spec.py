@@ -37,6 +37,13 @@ def main():
     ap.add_argument("--tokens", type=int, default=256)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--device", default="auto", choices=["cpu", "tpu", "auto"])
+    ap.add_argument("--matmul-precision", default=None,
+                    choices=["highest", "float32", "tensorfloat32"],
+                    help="A/B arm for the spec-divergence question (VERDICT "
+                         "r3 #8): run ALL XLA matmuls (attention, norms-side "
+                         "dots — the Pallas kernels keep their own bf16 "
+                         "math) at this precision and report the flip-rate/"
+                         "throughput trade")
     args = ap.parse_args()
 
     from paroquant_tpu.utils import force_platform
@@ -71,13 +78,18 @@ def main():
     }
     sp = SamplingParams(max_tokens=args.tokens, temperature=0.0)
 
+    import contextlib
+
+    prec_ctx = (jax.default_matmul_precision(args.matmul_precision)
+                if args.matmul_precision else contextlib.nullcontext())
     results = []
     for regime, prompt in prompts.items():
         ref = None
         for k in (0, 2, 4):
             gen = Generator(params=qparams, config=config, quant_mode=qmode,
                             max_len=512, lookup_spec_k=k)
-            toks = list(gen.stream_generate(prompt, sp))  # warmup/compile
+            with prec_ctx:
+                toks = list(gen.stream_generate(prompt, sp))  # warmup/compile
             if ref is None:
                 ref = toks
             # token equality is exact in exact arithmetic (tests prove it on
@@ -91,23 +103,31 @@ def main():
                         if a != b),
                        len(toks) if len(toks) == len(ref)
                        else min(len(toks), len(ref)))
+            # flip RATE vs the k=0 stream: after the first divergence the
+            # sequences explore different prefixes, so only the first-
+            # divergence index is exact evidence; the raw mismatch count
+            # over the overlap is reported for scale
+            flips = sum(a != b for a, b in zip(toks, ref))
             if not on_tpu:
                 assert toks == ref, (regime, k, "output changed!")
             best = 1e9
             for _ in range(args.reps):
                 gen.spec_metrics.update(windows=0, drafted=0, accepted=0)
                 t0 = time.perf_counter()
-                out = list(gen.stream_generate(prompt, sp))
+                with prec_ctx:
+                    out = list(gen.stream_generate(prompt, sp))
                 best = min(best, time.perf_counter() - t0)
             m = dict(gen.spec_metrics)
             row = {
                 "metric": "spec_decode",
+                "precision": args.matmul_precision or "default",
                 "regime": regime,
                 "spec_k": k,
                 "tok_s": round(len(out) / best, 1),
                 "acceptance": round(m["accepted"] / max(m["drafted"], 1), 3),
                 "windows": m["windows"],
                 "first_divergence_vs_k0": div,
+                "mismatches_vs_k0": flips,
                 "len": len(toks),
             }
             results.append(row)

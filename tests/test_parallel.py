@@ -291,3 +291,193 @@ def test_pipeline_parallel_rejects_unsupported():
     tokens = jnp.zeros((4, 8), jnp.int32)
     with pytest.raises(ValueError, match="MoE"):
         pipeline_logits(params, config, tokens, make_pp_mesh(2))
+
+
+# ---------------------------------------------------------------------------
+# Fused Pallas kernels under TP (round-3 VERDICT item 1): the flagship
+# kernels launch per device inside shard_map (parallel/tp.py) instead of
+# being GSPMD-replicated. On the CPU mesh the kernels run in interpret mode;
+# the composition (specs, permutations, psums, tuple outputs) is the same
+# code that serves on a pod.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def fused_setup():
+    """128-channel groups everywhere; widths divide a model axis of 2."""
+    from paroquant_tpu.models.decoder import merge_projections
+
+    config = dataclasses.replace(
+        PRESETS["tiny"], hidden_size=256, intermediate_size=512,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=64,
+    )
+    params = init_params(config, jax.random.PRNGKey(0), dtype=jnp.float32)
+    qparams = quantize_model_rtn(params, config, n_bits=4, group_size=128, seed=1)
+    qparams = merge_projections(qparams, config)
+    return config, qparams
+
+
+def test_tp_wrappers_match_plain_forward(fused_setup):
+    """Unit equality: col is bitwise (independent columns), row/merged to
+    f32-reassociation ulps, for both the fused kernel and the xla path."""
+    from jax.sharding import Mesh
+
+    from paroquant_tpu.ops.qlinear import (
+        merged_linear_forward, quantized_linear_forward,
+    )
+    from paroquant_tpu.parallel.tp import (
+        TPMergedLinear, TPQuantizedLinear, tp_linear_forward,
+        tp_merged_forward_split, tp_permute_merged,
+    )
+
+    config, qparams = fused_setup
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(1, 2), ("data", "model"))
+    lp = qparams["layers"][0]
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 3, config.hidden_size)),
+        jnp.float32,
+    )
+    for mode in ("fused", "xla", "w4a8_fused"):
+        qkv = lp["qkv_proj"]
+        ref = merged_linear_forward(qkv, x, mode=mode)
+        parts_ref = jnp.split(ref, qkv.split_points, axis=-1)
+        tm = TPMergedLinear(inner=tp_permute_merged(qkv, 2), mesh=mesh)
+        parts = tp_merged_forward_split(tm, x, mode)
+        for a, b in zip(parts_ref, parts):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+        o = lp["o_proj"]
+        xo = jnp.asarray(
+            np.random.default_rng(1).normal(size=(2, 3, o.in_features)),
+            jnp.float32,
+        )
+        y_ref = quantized_linear_forward(o, xo, mode=mode)
+        y = tp_linear_forward(
+            TPQuantizedLinear(inner=o, kind="row", mesh=mesh), xo, mode)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(y_ref), rtol=1e-4, atol=1e-4)
+        y2 = tp_linear_forward(
+            TPQuantizedLinear(inner=o, kind="col", mesh=mesh), xo, mode)
+        # col is exact up to the backend dot's K-summation order (Eigen on
+        # CPU re-blocks by output width); engine token equality below is the
+        # end-to-end contract
+        np.testing.assert_allclose(
+            np.asarray(y2), np.asarray(y_ref), rtol=1e-4, atol=1e-4)
+
+
+def test_engine_tp_fused_matches_single_device(fused_setup):
+    """Engine(mesh=..., quant_mode="fused"/"w4a8"/"auto"): greedy tokens ==
+    the single-device engine under the SAME mode — the TP serving path runs
+    the flagship kernels, not the xla fallback."""
+    from jax.sharding import Mesh
+
+    from paroquant_tpu.parallel.tp import TPMergedLinear, TPQuantizedLinear
+    from paroquant_tpu.serve import Engine, SamplingParams
+
+    config, qparams = fused_setup
+    rng = np.random.default_rng(11)
+    prompts = [list(rng.integers(0, config.vocab_size, n)) for n in (6, 13)]
+    sp = SamplingParams(max_tokens=8, temperature=0.0)
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(1, 2), ("data", "model"))
+
+    for qm, burst in (("fused", 1), ("fused", 3), ("w4a8", 1), ("auto", 1)):
+        ref = [Engine(qparams, config, max_batch=2, max_len=64, page_size=8,
+                      quant_mode=qm, cache_dtype=jnp.float32
+                      ).generate_sync(p, sp) for p in prompts]
+        eng = Engine(qparams, config, max_batch=2, max_len=64, page_size=8,
+                     quant_mode=qm, cache_dtype=jnp.float32, mesh=mesh,
+                     decode_burst=burst)
+        got = [eng.generate_sync(p, sp) for p in prompts]
+        assert got == ref, (qm, burst, got, ref)
+        # the engine's params must actually be TP-wrapped (kernel-serving)
+        lp = eng.params["layers"][0]
+        assert isinstance(lp["qkv_proj"], TPMergedLinear)
+        assert isinstance(lp["o_proj"], TPQuantizedLinear)
+
+
+def test_tp_fused_ineligible_layer_falls_back(fused_setup):
+    """Wrap eligibility: a merged layer whose partition widths don't divide
+    the mesh axis stays unwrapped (GSPMD fallback), and wrapped layers under
+    quant_mode="auto" route through the shard_map-xla path when the fused
+    kernel is unavailable — tokens still match the single-device engine."""
+    from jax.sharding import Mesh
+
+    from paroquant_tpu.ops.qlinear import MergedQuantizedLinear
+    from paroquant_tpu.parallel.tp import TPMergedLinear, _wrap_merged
+    from paroquant_tpu.serve import Engine, SamplingParams
+
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(1, 2), ("data", "model"))
+    fake = MergedQuantizedLinear(
+        qweight=jnp.zeros((64, 145), jnp.uint8), scales=jnp.zeros((1, 145)),
+        zeros=jnp.zeros((1, 145)), rot=jnp.zeros((2, 1, 128, 128)),
+        bias=None, out_splits=(96, 49),
+    )
+    assert not isinstance(_wrap_merged(fake, mesh, "model", 2), TPMergedLinear)
+
+    # group_size=64 model: the Pallas tiling rejects S=64 multi-group, so
+    # "auto" resolves to xla — wrapped layers must serve through the
+    # shard_map-xla route and match the single-device engine exactly
+    config = PRESETS["tiny"]
+    params = init_params(config, jax.random.PRNGKey(2), dtype=jnp.float32)
+    qparams = quantize_model_rtn(params, config, n_bits=4, group_size=64, seed=2)
+    rng = np.random.default_rng(5)
+    prompt = list(rng.integers(0, config.vocab_size, 7))
+    sp = SamplingParams(max_tokens=6, temperature=0.0)
+    ref = Engine(qparams, config, max_batch=2, max_len=64, page_size=8,
+                 quant_mode="auto", cache_dtype=jnp.float32
+                 ).generate_sync(prompt, sp)
+    eng = Engine(qparams, config, max_batch=2, max_len=64, page_size=8,
+                 quant_mode="auto", cache_dtype=jnp.float32, mesh=mesh)
+    got = eng.generate_sync(prompt, sp)
+    assert got == ref, (got, ref)
+    from paroquant_tpu.parallel.tp import TPQuantizedLinear
+
+    assert isinstance(eng.params["layers"][0]["o_proj"], TPQuantizedLinear)
+
+
+def test_paged_attention_kernel_headsharded(fused_setup):
+    """paged_decode_step / paged_verify_step with attn_mode="kernel" under a
+    TP mesh: the Pallas attention kernels launch per device on their head
+    shard (serve.paged._headshard_attn) and match the single-device kernel
+    step exactly."""
+    from jax.sharding import Mesh
+
+    from paroquant_tpu.serve.paged import (
+        PagedKVCache, paged_decode_step, paged_verify_step,
+    )
+
+    config, qparams = fused_setup
+    B, ps, n_pages = 2, 8, 12
+    cache = PagedKVCache.create(config, n_pages + 1, ps, jnp.float32, batch=B)
+    rng = np.random.default_rng(3)
+    # prefill a few tokens through the decode step itself (simplest setup)
+    page_table = np.full((B, 4), n_pages, np.int32)  # default to trash page
+    page_table[0, :2] = [0, 1]
+    page_table[1, :2] = [2, 3]
+    seq_lens = np.asarray([5, 3], np.int32)
+    toks = jnp.asarray(rng.integers(0, config.vocab_size, B), jnp.int32)
+
+    ref_logits, ref_cache = paged_decode_step(
+        qparams, config, toks, jnp.asarray(seq_lens), jnp.asarray(page_table),
+        cache, quant_mode="fused", attn_mode="kernel")
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(1, 2), ("data", "model"))
+    tp_logits, tp_cache = paged_decode_step(
+        qparams, config, toks, jnp.asarray(seq_lens), jnp.asarray(page_table),
+        cache, quant_mode="fused", attn_mode="kernel", attn_mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(tp_logits), np.asarray(ref_logits), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(tp_cache.k), np.asarray(ref_cache.k), rtol=1e-6, atol=1e-6)
+
+    windows = jnp.asarray(rng.integers(0, config.vocab_size, (B, 3)), jnp.int32)
+    ref_t, ref_l, ref_0, _ = paged_verify_step(
+        qparams, config, windows, jnp.asarray(seq_lens),
+        jnp.asarray(page_table), cache, n_pages, quant_mode="fused",
+        attn_mode="kernel")
+    tp_t, tp_l, tp_0, _ = paged_verify_step(
+        qparams, config, windows, jnp.asarray(seq_lens),
+        jnp.asarray(page_table), cache, n_pages, quant_mode="fused",
+        attn_mode="kernel", attn_mesh=mesh)
+    assert np.array_equal(np.asarray(tp_t), np.asarray(ref_t))
+    np.testing.assert_allclose(
+        np.asarray(tp_l), np.asarray(ref_l), rtol=2e-5, atol=2e-5)

@@ -146,3 +146,44 @@ def test_ring_chunked_matches(bq, bkv):
     )
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_sp_prefill_fused_kernels():
+    """sp_prefill with quant_mode="fused": quantized layers wrap token-
+    sharded (parallel/tp.sp_wrap_params) so each ring device launches the
+    Pallas kernels on its own rows — logits match the single-device fused
+    forward to fused-numerics tolerance (bf16 rotation storage)."""
+    import dataclasses
+
+    from paroquant_tpu.convert import quantize_model_rtn
+    from paroquant_tpu.models import PRESETS
+    from paroquant_tpu.models.decoder import (
+        init_params, merge_projections, model_forward,
+    )
+    from paroquant_tpu.parallel.ring import sp_prefill
+
+    config = dataclasses.replace(
+        PRESETS["tiny"], hidden_size=256, intermediate_size=512,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=64,
+    )
+    params = init_params(config, jax.random.PRNGKey(0), dtype=jnp.float32)
+    qparams = merge_projections(
+        quantize_model_rtn(params, config, n_bits=4, group_size=128, seed=1),
+        config,
+    )
+    toks = jnp.asarray(
+        np.random.default_rng(2).integers(0, config.vocab_size, (1, 64)),
+        jnp.int32,
+    )
+    ref, _ = model_forward(qparams, config, toks, None, quant_mode="fused")
+    mesh = Mesh(np.array(jax.devices()[:4]), ("sp",))
+    for layout in ("contiguous", "striped"):
+        out = sp_prefill(qparams, config, toks, mesh, quant_mode="fused",
+                         layout=layout)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-2, atol=2e-2)
+        # most positions should agree on the argmax (fused-vs-fused; the
+        # tolerance above is ring-softmax + bf16-rotation reassociation)
+        agree = np.mean(
+            np.argmax(np.asarray(out), -1) == np.argmax(np.asarray(ref), -1))
+        assert agree > 0.9, agree
