@@ -40,7 +40,8 @@ def load_eval_tokens(name: str, tokenizer, n_tokens: int, seed: int = 0) -> np.n
 
 
 def perplexity(params, config, tokens: np.ndarray, seqlen: int, quant_mode: str,
-               batch: int = 1, mesh=None, sp_mesh=None) -> float:
+               batch: int = 1, mesh=None, sp_mesh=None,
+               chunk_ce: int = 2048) -> float:
     """exp(mean CE) over non-overlapping seqlen windows (evaluate.py:61-74).
 
     mesh: optional jax.sharding.Mesh with a "data" axis — windows shard
@@ -84,14 +85,47 @@ def perplexity(params, config, tokens: np.ndarray, seqlen: int, quant_mode: str,
                                 quant_mode=quant_mode)
             return _sp_ce(logits, tok)
     else:
+        # params ride as jit ARGS, not closure captures: closing over an 8B
+        # pytree baked ~6.5GB of weights into the lowering as constants
+        # (observed OOM-class stall on the 16k-window drive)
+        from ..models.decoder import lm_head_logits
+
+        # long windows: a [T, V] f32 logits tensor is T*V*4 bytes (~10GB at
+        # 16k x 152k — OOMed the chip); compute the lm_head + CE in token
+        # chunks over the final hidden states instead
+        chunk = chunk_ce
+        chunked = (seqlen > chunk and seqlen % chunk == 0
+                   and not getattr(config, "is_gemma3n", False))
+
         @jax.jit
+        def _window_ce(p, tok):
+            if not chunked:
+                logits, _ = model_forward(
+                    p, config, tok, None,
+                    quant_mode=quant_mode, attn_mode=attn_mode)
+                logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), -1)
+                tgt = tok[:, 1:]
+                ce = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+                return jnp.sum(ce), ce.size
+            hidden, _ = model_forward(
+                p, config, tok, None, quant_mode=quant_mode,
+                attn_mode=attn_mode, return_hidden=True)
+            total = jnp.zeros((), jnp.float32)
+            for t0 in range(0, seqlen, chunk):
+                h_c = hidden[:, t0 : t0 + chunk]
+                logits = lm_head_logits(p, config, h_c, quant_mode)
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                # target for position t is token t+1; the window's final
+                # position has no target
+                tgt = jax.lax.dynamic_slice_in_dim(
+                    jnp.pad(tok, ((0, 0), (0, 1))), t0 + 1, chunk, axis=1)
+                ce = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+                valid = (t0 + jnp.arange(chunk)) < seqlen - 1
+                total = total + jnp.sum(ce * valid[None, :])
+            return total, tok.shape[0] * (seqlen - 1)
+
         def window_ce(tok):
-            logits, _ = model_forward(params, config, tok, None,
-                                      quant_mode=quant_mode, attn_mode=attn_mode)
-            logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
-            tgt = tok[:, 1:]
-            ce = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
-            return jnp.sum(ce), ce.size
+            return _window_ce(params, tok)
 
     total, count = 0.0, 0
     for w in range(0, n_win, batch):

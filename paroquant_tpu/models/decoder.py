@@ -504,6 +504,22 @@ def layer_forward(
 # ---------------------------------------------------------------------------
 
 
+def lm_head_logits(params, config, x, quant_mode="xla"):
+    """Final-hidden [.., H] -> f32 logits [.., V] (tied-embedding aware)."""
+    lm_head = params.get("lm_head")
+    if lm_head is None:
+        logits = jnp.dot(
+            x, params["embed_tokens"].T.astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        logits = apply_linear(lm_head, x, quant_mode=quant_mode)
+    logits = logits.astype(jnp.float32)
+    if config.logit_softcap:
+        logits = jnp.tanh(logits / config.logit_softcap) * config.logit_softcap
+    return logits
+
+
 def model_forward(
     params: dict[str, Any],
     config: ModelConfig,
@@ -518,8 +534,10 @@ def model_forward(
     # zero-padded prefill bucket (masks padding out of delta-net states)
     positions: jax.Array | None = None,  # [B, T] global position override
     # (striped SP layouts permute tokens; RoPE/causality follow positions)
+    return_hidden: bool = False,  # skip lm_head: return final hidden [B,T,H]
 ) -> tuple[jax.Array, KVCache | None]:
-    """Returns (logits [B, T, V], updated cache)."""
+    """Returns (logits [B, T, V] — or final hidden states with
+    return_hidden=True — and the updated cache)."""
     if config.is_gemma3n:
         from .gemma3n import gemma3n_forward
 
@@ -581,16 +599,13 @@ def model_forward(
             new_v.append(updated[1])
 
     x = rms_norm(x, params["norm"], config.rms_norm_eps, config.zero_centered_norm)
-    lm_head = params.get("lm_head")
-    if lm_head is None:
-        logits = jnp.dot(
-            x, params["embed_tokens"].T.astype(x.dtype), preferred_element_type=jnp.float32
-        )
+    if return_hidden:
+        # pre-lm_head hidden states: long-window PPL computes the CE in
+        # token chunks (a [16k, 151936] f32 logits tensor is ~10GB — OOM on
+        # one chip); see lm_head_logits + cli/evaluate.perplexity
+        logits = x
     else:
-        logits = apply_linear(lm_head, x, quant_mode=quant_mode).astype(jnp.float32)
-    logits = logits.astype(jnp.float32)
-    if config.logit_softcap:
-        logits = jnp.tanh(logits / config.logit_softcap) * config.logit_softcap
+        logits = lm_head_logits(params, config, x, quant_mode)
 
     if cache is not None:
         linear = None
