@@ -339,10 +339,17 @@ class Generator:
         """Prompt-lookup speculative greedy decode. Each iteration drafts k
         tokens from the context's own n-gram statistics, verifies current+
         drafts in ONE forward, emits the accepted prefix plus the model's
-        correction (all exact greedy tokens — output is bit-identical to
-        sequential greedy), and rolls the KV length back over rejected rows
-        (their stale KV is overwritten in place by the next window before it
-        ever enters the attended range)."""
+        correction — all exact greedy tokens UNDER THE VERIFY FORWARD'S
+        NUMERICS. In exact arithmetic (CPU f32, tested) the output is
+        bit-identical to sequential greedy; on TPU a (k+1)-token verify
+        tiles the MXU differently than a 1-token decode, so argmax near-ties
+        can flip (measured at 7B geometry: first flip at token 62/4 of 256
+        on repeat/random RANDOM-weight prompts — a near-tie-dense worst
+        case; an all-f32-XLA arm still flips at 2.9x the cost, so the bound
+        is inherent to shape-changing batched execution, exactly as vLLM
+        outputs vary across batch sizes). Rolls the KV length back over
+        rejected rows (their stale KV is overwritten in place by the next
+        window before it ever enters the attended range)."""
         k = self.lookup_spec_k
         cur = int(jnp.argmax(logits[0].astype(jnp.float32)))
         yield cur

@@ -69,6 +69,11 @@ def main():
     if on_tpu:
         qparams = jax.device_put(qparams, jax.devices()[0])
     qmode = "fused" if on_tpu else "xla"
+    if args.matmul_precision:
+        # the precision context must not leak into the Pallas kernels
+        # (Mosaic rejects fp32-precision bf16 matmuls); the A/B runs the
+        # XLA path on both sides so decode and verify share f32 numerics
+        qmode = "xla"
 
     rng = np.random.default_rng(0)
     base = list(rng.integers(0, config.vocab_size, 24))
