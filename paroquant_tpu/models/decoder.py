@@ -752,20 +752,24 @@ def decode_step(params, config: ModelConfig, token, cache: KVCache, *, quant_mod
     return logits[:, -1, :], cache
 
 
-@partial(jax.jit, static_argnames=("config", "n_tokens", "quant_mode"),
+@partial(jax.jit, static_argnames=("config", "n_tokens", "quant_mode",
+                                   "attn_mode"),
          donate_argnames=("cache",))
 def greedy_decode_scan(
     params, config: ModelConfig, first_token, cache: KVCache, n_tokens: int,
-    *, quant_mode: str = "xla",
+    *, quant_mode: str = "xla", attn_mode="einsum",
 ):
     """n_tokens greedy decode steps as ONE compiled lax.scan — a single
     dispatch for the whole generation (the relay/driver-friendly hot loop).
-    first_token: [B] int32. Returns (tokens [B, n_tokens], cache)."""
+    first_token: [B] int32. Returns (tokens [B, n_tokens], cache).
+    attn_mode passes through to model_forward (a callable ablates/overrides
+    attention — scripts/bench_decode_accounting.py)."""
 
     def body(carry, _):
         tok, cache = carry
         logits, cache = model_forward(
-            params, config, tok[:, None], cache, quant_mode=quant_mode
+            params, config, tok[:, None], cache, quant_mode=quant_mode,
+            attn_mode=attn_mode,
         )
         nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
         return (nxt, cache), tok
