@@ -365,6 +365,7 @@ def test_tp_wrappers_match_plain_forward(fused_setup):
             np.asarray(y2), np.asarray(y_ref), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_engine_tp_fused_matches_single_device(fused_setup):
     """Engine(mesh=..., quant_mode="fused"/"w4a8"/"auto"): greedy tokens ==
     the single-device engine under the SAME mode — the TP serving path runs
@@ -395,6 +396,7 @@ def test_engine_tp_fused_matches_single_device(fused_setup):
         assert isinstance(lp["o_proj"], TPQuantizedLinear)
 
 
+@pytest.mark.slow
 def test_tp_fused_ineligible_layer_falls_back(fused_setup):
     """Wrap eligibility: a merged layer whose partition widths don't divide
     the mesh axis stays unwrapped (GSPMD fallback), and wrapped layers under
@@ -435,6 +437,7 @@ def test_tp_fused_ineligible_layer_falls_back(fused_setup):
     assert isinstance(eng.params["layers"][0]["o_proj"], TPQuantizedLinear)
 
 
+@pytest.mark.slow
 def test_paged_attention_kernel_headsharded(fused_setup):
     """paged_decode_step / paged_verify_step with attn_mode="kernel" under a
     TP mesh: the Pallas attention kernels launch per device on their head

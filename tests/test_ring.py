@@ -148,6 +148,7 @@ def test_ring_chunked_matches(bq, bkv):
         np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_sp_prefill_fused_kernels():
     """sp_prefill with quant_mode="fused": quantized layers wrap token-
     sharded (parallel/tp.sp_wrap_params) so each ring device launches the
