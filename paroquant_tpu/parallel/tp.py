@@ -347,3 +347,51 @@ def sp_wrap_params(params: dict[str, Any], config: ModelConfig, mesh: Mesh,
         wrap, params,
         is_leaf=lambda v: isinstance(v, (QuantizedLinear, MergedQuantizedLinear)),
     )
+
+
+def make_tp_flash_attn(mesh: Mesh, axis: str = "model"):
+    """Attention impl for TP prefill: the Pallas flash kernel launches per
+    device on its head shard (q heads + kv pools split on the same
+    contiguous blocks GQA grouping uses), falling back to the einsum path
+    when the flash tiling or head counts don't fit. Inject as
+    model_forward(attn_mode=<this>) — the Engine does so for chunked/full
+    prefill under a mesh (the string "flash" would run GSPMD-replicated:
+    pallas_call has no partitioning rule)."""
+    n = mesh.shape[axis]
+
+    def impl(q, k_all, v_all, q_positions, valid, *, scale, sliding_window,
+             logit_softcap):
+        from ..kernels.attention import flash_attention
+        from ..models.decoder import attention
+
+        B, T, Hq, D = q.shape
+        S_kv = k_all.shape[1]
+        Hkv = k_all.shape[2]
+        flash_ok = (T >= 128 and T % 128 == 0 and S_kv % min(256, S_kv) == 0
+                    and Hq % n == 0 and Hkv % n == 0)
+        if not flash_ok:
+            return attention(
+                q, k_all, v_all, q_positions, valid, scale=scale,
+                sliding_window=sliding_window, logit_softcap=logit_softcap,
+            )
+        q_offset = q_positions[:, 0].astype(jnp.int32)  # [B]
+        kv_lens = jnp.broadcast_to(jnp.asarray(valid).reshape(-1), (B,))
+
+        def local(qh, kh, vh, lens, off):
+            out = flash_attention(
+                jnp.swapaxes(qh, 1, 2), jnp.swapaxes(kh, 1, 2),
+                jnp.swapaxes(vh, 1, 2), lens, scale=scale, q_offset=off,
+                sliding_window=sliding_window, logit_softcap=logit_softcap,
+                block_q=min(256, T), block_k=min(256, S_kv),
+                interpret=jax.default_backend() == "cpu",
+            )
+            return jnp.swapaxes(out, 1, 2)
+
+        hs = P(None, None, axis, None)
+        return jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(hs, hs, hs, P(None), P(None)),
+            out_specs=hs, check_vma=False,
+        )(q, k_all, v_all, kv_lens, q_offset)
+
+    return impl

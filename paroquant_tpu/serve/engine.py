@@ -464,6 +464,12 @@ class Engine:
         self.prefill_attn = (
             "einsum" if jax.devices()[0].platform == "cpu" else "flash"
         )
+        if self.mesh is not None and self.prefill_attn == "flash":
+            # flash under a TP mesh: the string "flash" would run the Pallas
+            # kernel GSPMD-replicated; inject the head-sharded shard_map impl
+            from ..parallel.tp import make_tp_flash_attn
+
+            self.prefill_attn = make_tp_flash_attn(self.mesh)
 
     # ------------------------------------------------------------------
     # public API

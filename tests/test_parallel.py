@@ -484,3 +484,35 @@ def test_paged_attention_kernel_headsharded(fused_setup):
     assert np.array_equal(np.asarray(tp_t), np.asarray(ref_t))
     np.testing.assert_allclose(
         np.asarray(tp_l), np.asarray(ref_l), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_tp_flash_prefill_attention_headsharded():
+    """make_tp_flash_attn: the flash prefill kernel under a TP mesh launches
+    per device on its head shard and matches the einsum reference; shapes
+    the flash tiling rejects fall back to einsum inside the impl."""
+    from jax.sharding import Mesh
+
+    from paroquant_tpu.models.decoder import attention
+    from paroquant_tpu.parallel.tp import make_tp_flash_attn
+
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(2), ("model",))
+    impl = make_tp_flash_attn(mesh)
+    rng = np.random.default_rng(0)
+    B, T, Hq, Hkv, D = 2, 128, 4, 2, 32
+    q = jnp.asarray(rng.standard_normal((B, T, Hq, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, T, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, T, Hkv, D)), jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
+    valid = jnp.asarray(T, jnp.int32)
+    ref = attention(q, k, v, pos, valid, scale=D**-0.5)
+    out = impl(q, k, v, pos, valid, scale=D**-0.5, sliding_window=None,
+               logit_softcap=None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    # short chunk (T=16): flash tiling rejects -> einsum fallback, exact
+    out2 = impl(q[:, :16], k, v, pos[:, :16], valid, scale=D**-0.5,
+                sliding_window=None, logit_softcap=None)
+    ref2 = attention(q[:, :16], k, v, pos[:, :16], valid, scale=D**-0.5)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                               rtol=2e-5, atol=2e-5)
