@@ -115,6 +115,14 @@ def _split_fits(TM, S, TO, s_bytes, z_bytes, sb_s, sb_z) -> bool:
     return concat_peak + 4 * TM * TO <= budget
 
 
+def _auto_block_m(M: int) -> int:
+    """Smallest 16-multiple covering M (capped at 128): every extra M-tile
+    RE-STREAMS the whole weight from HBM (the o/g blocks are refetched per
+    i step), so a B=32 decode at TM=16 paid 2x the weight traffic of
+    TM=32 (round-4 B=32 accounting)."""
+    return min(128, max(16, -(-M // 16) * 16))
+
+
 def _sublanes(dtype, G: int) -> int:
     """Sublane-aligned block height for a [G, O] side array: the TPU min tile
     is (8, 128) x (32 / itemsize) sublanes; clamp to G for tiny test shapes."""
@@ -296,11 +304,7 @@ def butterfly_w4_matmul(
     distances = tuple(butterfly_distances(K, group_size))
 
     if block_m is None:
-        # smallest 16-multiple covering M (capped at 128): every extra
-        # M-tile RE-STREAMS the whole weight from HBM (the o/g blocks are
-        # refetched per i step), so a B=32 decode at TM=16 paid 2x the
-        # weight traffic of TM=32 (round-4 B=32 accounting)
-        block_m = min(128, max(16, -(-M // 16) * 16))
+        block_m = _auto_block_m(M)
     TM = block_m
     m_pad = -M % TM
     if m_pad:
@@ -395,11 +399,7 @@ def w4_matmul(
     O = qweight.shape[1]
     G = I // group_size
     if block_m is None:
-        # smallest 16-multiple covering M (capped at 128): every extra
-        # M-tile RE-STREAMS the whole weight from HBM (the o/g blocks are
-        # refetched per i step), so a B=32 decode at TM=16 paid 2x the
-        # weight traffic of TM=32 (round-4 B=32 accounting)
-        block_m = min(128, max(16, -(-M // 16) * 16))
+        block_m = _auto_block_m(M)
     TM = block_m
     m_pad = -M % TM
     if m_pad:
@@ -475,11 +475,7 @@ def rot_w4_matmul_i4(
     G, S, _ = rot.shape
     O = qweight.shape[1]
     if block_m is None:
-        # smallest 16-multiple covering M (capped at 128): every extra
-        # M-tile RE-STREAMS the whole weight from HBM (the o/g blocks are
-        # refetched per i step), so a B=32 decode at TM=16 paid 2x the
-        # weight traffic of TM=32 (round-4 B=32 accounting)
-        block_m = min(128, max(16, -(-M // 16) * 16))
+        block_m = _auto_block_m(M)
     TM = block_m
     m_pad = -M % TM
     if m_pad:
@@ -585,11 +581,7 @@ def rot_w4_matmul_mg(
     if Gb < G and Gb % 16 != 0:
         Gb = max(16, (Gb // 16) * 16) if G >= 16 else G
     if block_m is None:
-        # smallest 16-multiple covering M (capped at 128): every extra
-        # M-tile RE-STREAMS the whole weight from HBM (the o/g blocks are
-        # refetched per i step), so a B=32 decode at TM=16 paid 2x the
-        # weight traffic of TM=32 (round-4 B=32 accounting)
-        block_m = min(128, max(16, -(-M // 16) * 16))
+        block_m = _auto_block_m(M)
     TM = block_m
     m_pad = -M % TM
     if m_pad:
@@ -738,11 +730,7 @@ def merged_rot_w4_matmul(
     O = qweight.shape[1]
     assert sum(out_splits) == O, (out_splits, O)
     if block_m is None:
-        # smallest 16-multiple covering M (capped at 128): every extra
-        # M-tile RE-STREAMS the whole weight from HBM (the o/g blocks are
-        # refetched per i step), so a B=32 decode at TM=16 paid 2x the
-        # weight traffic of TM=32 (round-4 B=32 accounting)
-        block_m = min(128, max(16, -(-M // 16) * 16))
+        block_m = _auto_block_m(M)
     TM = block_m
     n_m = (M + TM - 1) // TM  # ragged M handled in-kernel (masked edge block)
     SBs = _sublanes(scales.dtype, G)
@@ -860,11 +848,7 @@ def rot_w4_matmul(
     G, S, _ = rot.shape
     O = qweight.shape[1]
     if block_m is None:
-        # smallest 16-multiple covering M (capped at 128): every extra
-        # M-tile RE-STREAMS the whole weight from HBM (the o/g blocks are
-        # refetched per i step), so a B=32 decode at TM=16 paid 2x the
-        # weight traffic of TM=32 (round-4 B=32 accounting)
-        block_m = min(128, max(16, -(-M // 16) * 16))
+        block_m = _auto_block_m(M)
     TM = block_m
     # ragged M: Pallas masks the edge block itself (reads padded, stores
     # masked) — no HLO pad/slice around the call, no f32 output round-trip

@@ -60,6 +60,18 @@ def apply_linear(lin: Linear, x: jax.Array, *, quant_mode: str = "xla") -> jax.A
     return y
 
 
+def merged_forward_parts(layer, x: jax.Array, quant_mode: str) -> tuple:
+    """Per-partition outputs of a merged projection, handling both the plain
+    MergedQuantizedLinear (forward + split) and the TP wrapper (shard_map
+    tuple output) — the single dispatch point for every QKV/gate-up caller."""
+    if type(layer).__name__ == "TPMergedLinear":
+        from ..parallel.tp import tp_merged_forward_split
+
+        return tp_merged_forward_split(layer, x, quant_mode)
+    y = merged_linear_forward(layer, x, mode=quant_mode)
+    return tuple(jnp.split(y, layer.split_points, axis=-1))
+
+
 # ---------------------------------------------------------------------------
 # Building blocks
 # ---------------------------------------------------------------------------
@@ -221,13 +233,7 @@ def _act(x: jax.Array, name: str) -> jax.Array:
 def mlp_forward(p: dict[str, Any], x: jax.Array, quant_mode: str,
                 act: str = "silu", return_act: bool = False):
     if "gate_up_proj" in p:  # merged projections (one kernel launch)
-        if type(p["gate_up_proj"]).__name__ == "TPMergedLinear":
-            from ..parallel.tp import tp_merged_forward_split
-
-            gate, up = tp_merged_forward_split(p["gate_up_proj"], x, quant_mode)
-        else:
-            gu = merged_linear_forward(p["gate_up_proj"], x, mode=quant_mode)
-            gate, up = jnp.split(gu, p["gate_up_proj"].split_points, axis=-1)
+        gate, up = merged_forward_parts(p["gate_up_proj"], x, quant_mode)
     else:
         gate = apply_linear(p["gate_proj"], x, quant_mode=quant_mode)
         up = apply_linear(p["up_proj"], x, quant_mode=quant_mode)
@@ -247,13 +253,7 @@ def qkv_forward(
     B, T, _ = h.shape
     Hq, Hkv, D = config.num_attention_heads, config.num_key_value_heads, config.head_dim
     if "qkv_proj" in p:
-        if type(p["qkv_proj"]).__name__ == "TPMergedLinear":
-            from ..parallel.tp import tp_merged_forward_split
-
-            q, k, v = tp_merged_forward_split(p["qkv_proj"], h, quant_mode)
-        else:
-            qkv = merged_linear_forward(p["qkv_proj"], h, mode=quant_mode)
-            q, k, v = jnp.split(qkv, p["qkv_proj"].split_points, axis=-1)
+        q, k, v = merged_forward_parts(p["qkv_proj"], h, quant_mode)
     else:
         q = apply_linear(p["q_proj"], h, quant_mode=quant_mode)
         k = apply_linear(p["k_proj"], h, quant_mode=quant_mode)
@@ -539,6 +539,9 @@ def model_forward(
     """Returns (logits [B, T, V] — or final hidden states with
     return_hidden=True — and the updated cache)."""
     if config.is_gemma3n:
+        if return_hidden:
+            raise NotImplementedError(
+                "return_hidden is not plumbed through the gemma3n forward")
         from .gemma3n import gemma3n_forward
 
         return gemma3n_forward(

@@ -35,7 +35,7 @@ from .decoder import (
     rms_norm,
     rope_tables,
 )
-from ..ops.qlinear import merged_linear_forward
+from .decoder import merged_forward_parts
 
 
 def _rms_noscale(x: jax.Array, eps: float) -> jax.Array:
@@ -130,13 +130,7 @@ def gemma3n_mlp(
     quant_mode: str,
 ) -> jax.Array:
     if "gate_up_proj" in p:
-        if type(p["gate_up_proj"]).__name__ == "TPMergedLinear":
-            from ..parallel.tp import tp_merged_forward_split
-
-            gate, up = tp_merged_forward_split(p["gate_up_proj"], x, quant_mode)
-        else:
-            gu = merged_linear_forward(p["gate_up_proj"], x, mode=quant_mode)
-            gate, up = jnp.split(gu, p["gate_up_proj"].split_points, axis=-1)
+        gate, up = merged_forward_parts(p["gate_up_proj"], x, quant_mode)
     else:
         gate = apply_linear(p["gate_proj"], x, quant_mode=quant_mode)
         up = apply_linear(p["up_proj"], x, quant_mode=quant_mode)
@@ -194,13 +188,7 @@ def gemma3n_qkv(
     Hq, Hkv, D = config.num_attention_heads, config.num_key_value_heads, config.head_dim
     eps = config.rms_norm_eps
     if "qkv_proj" in p:  # merged projections (one fused kernel launch)
-        if type(p["qkv_proj"]).__name__ == "TPMergedLinear":
-            from ..parallel.tp import tp_merged_forward_split
-
-            q, k_raw, v_raw = tp_merged_forward_split(p["qkv_proj"], h, quant_mode)
-        else:
-            qkv = merged_linear_forward(p["qkv_proj"], h, mode=quant_mode)
-            q, k_raw, v_raw = jnp.split(qkv, p["qkv_proj"].split_points, axis=-1)
+        q, k_raw, v_raw = merged_forward_parts(p["qkv_proj"], h, quant_mode)
         q = q.reshape(B, T, Hq, D)
     else:
         q = apply_linear(p["q_proj"], h, quant_mode=quant_mode).reshape(B, T, Hq, D)

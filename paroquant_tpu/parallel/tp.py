@@ -169,13 +169,16 @@ def tp_linear_forward(tl: TPQuantizedLinear, x: jax.Array, mode: str) -> jax.Arr
             )
 
     elif tl.kind == "tok":
-        assert x.ndim == 3, "tok sharding expects [B, T, H]"
+        # [B, T, H]: shard the token axis; [T', H] (MoE / shared-expert
+        # paths flatten tokens before their linears): shard dim 0
+        assert x.ndim in (2, 3), "tok sharding expects [B, T, H] or [T, H]"
+        tok_spec = P(None, axis, None) if x.ndim == 3 else P(axis, None)
         in_specs = (
-            P(None, axis, None),
+            tok_spec,
             QuantizedLinear(qweight=P(), scales=P(), zeros=P(), rot=P(),
                             bias=None if lin.bias is None else P()),
         )
-        out_spec = P(None, axis, None)
+        out_spec = tok_spec
 
         def local(xl, ll):
             return quantized_linear_forward(ll, xl, mode=mode)
@@ -221,17 +224,18 @@ def tp_merged_forward_split(
         )
         out_specs = tuple(P(*nb, axis) for _ in widths)
     elif tm.kind == "tok":
-        assert x.ndim == 3, "tok sharding expects [B, T, H]"
+        assert x.ndim in (2, 3), "tok sharding expects [B, T, H] or [T, H]"
+        tok_spec = P(None, axis, None) if x.ndim == 3 else P(axis, None)
         local_splits = widths
         in_specs = (
-            P(None, axis, None),
+            tok_spec,
             MergedQuantizedLinear(
                 qweight=P(), scales=P(), zeros=P(), rot=P(),
                 bias=None if lay.bias is None else P(),
                 out_splits=lay.out_splits,
             ),
         )
-        out_specs = tuple(P(None, axis, None) for _ in widths)
+        out_specs = tuple(tok_spec for _ in widths)
     else:
         raise ValueError(tm.kind)
 

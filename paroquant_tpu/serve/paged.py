@@ -29,6 +29,7 @@ import numpy as np
 from ..models.config import ModelConfig
 from ..models.decoder import (
     apply_linear,
+    lm_head_logits,
     apply_rope,
     mlp_forward,
     moe_forward,
@@ -283,15 +284,7 @@ def _gemma3n_paged_decode(
     x = jnp.mean(jnp.stack(outs), axis=0)
     x = _norm(x, params["norm"], config.rms_norm_eps)[:, 0]  # [B, H]
 
-    lm_head = params.get("lm_head")
-    if lm_head is None:
-        logits = jnp.dot(x, params["embed_tokens"].T.astype(x.dtype),
-                         preferred_element_type=jnp.float32)
-    else:
-        logits = apply_linear(lm_head, x, quant_mode=quant_mode)
-    logits = logits.astype(jnp.float32)
-    if config.logit_softcap:
-        logits = jnp.tanh(logits / config.logit_softcap) * config.logit_softcap
+    logits = lm_head_logits(params, config, x, quant_mode)
     return logits, cache._replace(k=new_k, v=new_v)
 
 
@@ -428,15 +421,7 @@ def _paged_decode_step_impl(
         x = x + mlp_out
 
     x = rms_norm(x[:, 0], params["norm"], config.rms_norm_eps, config.zero_centered_norm)
-    lm_head = params.get("lm_head")
-    if lm_head is None:
-        logits = jnp.dot(x, params["embed_tokens"].T.astype(x.dtype),
-                         preferred_element_type=jnp.float32)
-    else:
-        logits = apply_linear(lm_head, x, quant_mode=quant_mode)
-    logits = logits.astype(jnp.float32)
-    if config.logit_softcap:
-        logits = jnp.tanh(logits / config.logit_softcap) * config.logit_softcap
+    logits = lm_head_logits(params, config, x, quant_mode)
     return logits, PagedKVCache(new_k, new_v, new_conv, new_rec, new_ks, new_vs)
 
 
@@ -627,15 +612,7 @@ def _paged_verify_step_impl(
         x = x + mlp_out
 
     x = rms_norm(x, params["norm"], config.rms_norm_eps, config.zero_centered_norm)
-    lm_head = params.get("lm_head")
-    if lm_head is None:
-        logits = jnp.dot(x, params["embed_tokens"].T.astype(x.dtype),
-                         preferred_element_type=jnp.float32)
-    else:
-        logits = apply_linear(lm_head, x, quant_mode=quant_mode)
-    logits = logits.astype(jnp.float32)
-    if config.logit_softcap:
-        logits = jnp.tanh(logits / config.logit_softcap) * config.logit_softcap
+    logits = lm_head_logits(params, config, x, quant_mode)
     toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, W]
     lps = jnp.take_along_axis(
         jax.nn.log_softmax(logits, axis=-1), toks[..., None], axis=-1

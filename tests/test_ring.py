@@ -188,3 +188,34 @@ def test_sp_prefill_fused_kernels():
         agree = np.mean(
             np.argmax(np.asarray(out), -1) == np.argmax(np.asarray(ref), -1))
         assert agree > 0.9, agree
+
+
+@pytest.mark.slow
+def test_sp_prefill_fused_moe_shared_expert():
+    """Regression (round-4 review): MoE models flatten tokens to [T', H]
+    before the shared-expert linears; the tok-sharded TP wrappers must
+    accept 2-D activations or `evaluate --sp` crashes at trace time on
+    every shared-expert model under the TPU-default quant_mode."""
+    import dataclasses
+
+    from paroquant_tpu.convert import quantize_model_rtn
+    from paroquant_tpu.models import PRESETS
+    from paroquant_tpu.models.decoder import init_params, model_forward
+    from paroquant_tpu.parallel.ring import sp_prefill
+
+    config = dataclasses.replace(
+        PRESETS["tiny-moe"], hidden_size=256, intermediate_size=512,
+        moe_intermediate_size=128, shared_expert_intermediate_size=256,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=64,
+    )
+    params = init_params(config, jax.random.PRNGKey(0), dtype=jnp.float32)
+    qparams = quantize_model_rtn(params, config, n_bits=4, group_size=128, seed=1)
+    toks = jnp.asarray(
+        np.random.default_rng(3).integers(0, config.vocab_size, (1, 32)),
+        jnp.int32,
+    )
+    ref, _ = model_forward(qparams, config, toks, None, quant_mode="fused")
+    mesh = Mesh(np.array(jax.devices()[:4]), ("sp",))
+    out = sp_prefill(qparams, config, toks, mesh, quant_mode="fused")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
