@@ -66,6 +66,25 @@ def inject_outlier_channels(params, config, scale: float, frac: float = 0.01,
         for n in mlp_names:
             if isinstance(mlp.get(n), DenseLinear):
                 mlp[n] = _scale(mlp[n])
+        if "experts" in mlp:  # MoE layer: experts are [E, I, O] stacks.
+            # Outlier channels in trained MoEs are activation-driven, so the
+            # same input channels are hot across all experts of a layer —
+            # scale one shared channel set per projection (axis 1).
+            experts = dict(mlp["experts"])
+            for n in mlp_names:
+                w = np.asarray(experts[n])
+                nch = max(1, int(w.shape[1] * frac))
+                ch = rng.choice(w.shape[1], nch, replace=False)
+                w = w.copy()
+                w[:, ch, :] *= scale
+                experts[n] = jnp.asarray(w)
+            mlp["experts"] = experts
+            if "shared_expert" in mlp:
+                sh = dict(mlp["shared_expert"])
+                for n in mlp_names:
+                    if isinstance(sh.get(n), DenseLinear):
+                        sh[n] = _scale(sh[n])
+                mlp["shared_expert"] = sh
         nlp["mlp"] = mlp
         layers.append(nlp)
     out = dict(params)

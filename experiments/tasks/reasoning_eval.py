@@ -45,7 +45,7 @@ def norm_answer(a: str) -> str:
 
 
 def query_endpoint(base_url, prompt, *, max_tokens, temperature, top_p, seed,
-                   timeout=600.0):
+                   timeout=3600.0):
     body = json.dumps({
         "messages": [{"role": "user", "content": prompt}],
         "max_tokens": max_tokens,
@@ -57,9 +57,16 @@ def query_endpoint(base_url, prompt, *, max_tokens, temperature, top_p, seed,
         f"{base_url}/v1/chat/completions", data=body,
         headers={"Content-Type": "application/json"},
     )
+    t0 = time.time()
     with urllib.request.urlopen(req, timeout=timeout) as r:
         out = json.load(r)
-    return out["choices"][0]["message"]["content"]
+    choice = out["choices"][0]
+    return {
+        "text": choice["message"]["content"],
+        "completion_tokens": out.get("usage", {}).get("completion_tokens", 0),
+        "finish_reason": choice.get("finish_reason"),
+        "wall_s": time.time() - t0,
+    }
 
 
 def main(argv=None):
@@ -73,6 +80,9 @@ def main(argv=None):
     ap.add_argument("--temperature", type=float, default=0.6)
     ap.add_argument("--top-p", type=float, default=0.95)
     ap.add_argument("--seeds", type=int, nargs="+", default=[42, 0, 1])
+    ap.add_argument("--concurrency", type=int, default=1,
+                    help="in-flight requests (the engine batches them; the "
+                         "protocol's seed/example grid is order-independent)")
     args = ap.parse_args(argv)
 
     if args.synthetic or args.data is None:
@@ -89,27 +99,59 @@ def main(argv=None):
         task = Path(args.data).stem
 
     t0 = time.time()
-    per_seed_acc = {}
-    for seed in args.seeds:
-        correct = 0
-        for ex in examples:
-            try:
-                text = query_endpoint(
-                    args.endpoint, ex["problem"], max_tokens=args.max_tokens,
-                    temperature=args.temperature, top_p=args.top_p, seed=seed,
-                )
-            except Exception as e:  # endpoint down/slow: fail loudly per item
-                print(f"request failed: {e}", file=sys.stderr)
-                continue
-            got = extract_answer(text)
-            correct += got is not None and norm_answer(got) == norm_answer(ex["answer"])
-        per_seed_acc[seed] = correct / len(examples)
+
+    def run_one(seed, ex):
+        try:
+            return seed, ex, query_endpoint(
+                args.endpoint, ex["problem"], max_tokens=args.max_tokens,
+                temperature=args.temperature, top_p=args.top_p, seed=seed,
+            )
+        except Exception as e:  # endpoint down/slow: fail loudly per item
+            print(f"request failed: {e}", file=sys.stderr)
+            return seed, ex, None
+
+    grid = [(s, ex) for s in args.seeds for ex in examples]
+    if args.concurrency > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(args.concurrency) as pool:
+            results = list(pool.map(lambda se: run_one(*se), grid))
+    else:
+        results = [run_one(s, ex) for s, ex in grid]
+    wall = time.time() - t0
+
+    per_seed_correct = {s: 0 for s in args.seeds}
+    finish_reasons: dict[str, int] = {}
+    gen_tokens, req_tok_s = 0, []
+    for seed, ex, r in results:
+        if r is None:
+            finish_reasons["error"] = finish_reasons.get("error", 0) + 1
+            continue
+        got = extract_answer(r["text"])
+        per_seed_correct[seed] += (
+            got is not None and norm_answer(got) == norm_answer(ex["answer"])
+        )
+        finish_reasons[r["finish_reason"]] = (
+            finish_reasons.get(r["finish_reason"], 0) + 1
+        )
+        gen_tokens += r["completion_tokens"]
+        if r["wall_s"] > 0:
+            req_tok_s.append(r["completion_tokens"] / r["wall_s"])
+    per_seed_acc = {s: c / len(examples) for s, c in per_seed_correct.items()}
     accs = list(per_seed_acc.values())
+    req_tok_s.sort()
     print(json.dumps({
         "task": task, "n": len(examples), "seeds": args.seeds,
-        "acc_per_seed": per_seed_acc,
+        "max_tokens": args.max_tokens, "concurrency": args.concurrency,
+        "acc_per_seed": {str(k): v for k, v in per_seed_acc.items()},
         "acc_mean": sum(accs) / len(accs),
-        "seconds": round(time.time() - t0, 1),
+        "finish_reasons": finish_reasons,
+        "gen_tokens": gen_tokens,
+        "agg_tok_s": round(gen_tokens / wall, 1) if wall > 0 else None,
+        "per_req_tok_s_p50": (
+            round(req_tok_s[len(req_tok_s) // 2], 1) if req_tok_s else None
+        ),
+        "seconds": round(wall, 1),
     }))
 
 

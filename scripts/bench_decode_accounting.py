@@ -1,25 +1,43 @@
 """Batched-decode accounting at 7B geometry (VERDICT r3 item 5).
 
 Round-3 recorded B=32 at 875 tok/s = 14% of B*SoL with no breakdown. This
-script decomposes one B=32 decode step (same greedy_decode_scan protocol as
-scripts/bench_7b.py) into:
+script decomposes the B=32 decode step (same greedy_decode_scan protocol as
+scripts/bench_7b.py) two ways:
 
-  - quantized matmuls (isolated fused-kernel chains at M=32, per layer shape)
-  - attention (A/B: the full scan vs the same scan with attention replaced
-    by an identity callable — model_forward takes callables as attn_mode)
-  - lm_head + sampler (isolated chains)
-  - residual = full step - sum(parts): scan glue, norms, rope, KV update,
-    dispatch
+1. DEVICE PROFILE (the authoritative accounting): jax.profiler.trace of one
+   scan dispatch, parsed with jax.profiler.ProfileData. Every XLA-Ops event
+   on the TPU plane is bucketed by HLO opcode/name:
+     - quant matmuls  (pallas custom-calls: rot_w4 / w4a8 kernels)
+     - attention      (dots + their softmax/masking fusions)
+     - kv update      (dynamic-update-slice fusions)
+     - sampler        (iota/reduce argmax fusions)
+     - glue           (norms, rope, residual adds — remaining fusions)
+     - copies / infeed / everything else
+   Device-busy vs wall also falls out (dispatch amortization of the scan).
+2. A/B ablation: the same scan with attention replaced by identity
+   (model_forward takes callables as attn_mode) — cross-checks the
+   attention bucket without trusting name matching.
+
+The round-4 first cut used isolated per-matmul timing chains instead of a
+profile; at M=32 the chained kernels serialize against their own data
+dependence and over-count 3x (63ms of "parts" inside a 21.6ms step), so
+that methodology is dead — kept only as the cautionary note here.
+
+Also times the scan at --tokens 64 and 128 (bench_7b's length) because the
+first cut measured 1480 tok/s agg where bench_7b recorded 875: cache length
+and scan length change the per-step cost materially at B=32.
 
 All numbers are device-side per-step times from N-step scan chains
 (min-of-reps; the relay's dispatch noise amortizes over the chain).
-Prints one JSON line.
+Prints one JSON line per --tokens value.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import sys
+import tempfile
 import time
 from pathlib import Path
 
@@ -46,12 +64,66 @@ def timed(fn, *args, reps=3):
     return best
 
 
+def bucket_of(name: str) -> str:
+    """Map an XLA-Ops event (HLO text) to an accounting bucket."""
+    if "custom-call" in name:
+        if "rot_w4" in name or "w4" in name or "paro" in name:
+            return "quant_matmuls"
+        return "other_custom_call"
+    if "dynamic-update-slice" in name or "dynamic_update" in name:
+        return "kv_update"
+    if "iota" in name and ("reduce" in name or "fusion" in name):
+        return "sampler_argmax"
+    if name.lstrip("%").startswith(("convolution", "dot")):
+        return "attention_dots"
+    if "copy" in name:
+        return "copies"
+    if "fusion" in name:
+        return "fusions_glue"
+    return "other"
+
+
+def profile_scan(run_once) -> dict:
+    """Trace one blocking run; aggregate TPU XLA-Ops by bucket (ms)."""
+    import jax
+
+    d = tempfile.mkdtemp(prefix="acct_prof_")
+    with jax.profiler.trace(d):
+        run_once()
+    files = glob.glob(d + "/**/*.xplane.pb", recursive=True)
+    pd = jax.profiler.ProfileData.from_file(files[0])
+    buckets: dict[str, float] = {}
+    top: dict[str, float] = {}
+    for pl in pd.planes:
+        if not pl.name.startswith("/device:TPU"):
+            continue
+        for ln in pl.lines:
+            if ln.name != "XLA Ops":
+                continue
+            for e in ln.events:
+                # skip control-flow wrappers (while/call): their duration
+                # spans the body ops, which are reported separately
+                if " while(" in e.name or " conditional(" in e.name:
+                    continue
+                ms = e.duration_ns / 1e6
+                b = bucket_of(e.name)
+                buckets[b] = buckets.get(b, 0.0) + ms
+                key = e.name.split(" = ")[0].lstrip("%")
+                top[key] = top.get(key, 0.0) + ms
+    top_ops = sorted(top.items(), key=lambda kv: -kv[1])[:12]
+    return {
+        "buckets_ms": {k: round(v, 2) for k, v in
+                       sorted(buckets.items(), key=lambda kv: -kv[1])},
+        "top_ops_ms": [(k, round(v, 2)) for k, v in top_ops],
+    }
+
+
 def main():
     import argparse
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)
-    ap.add_argument("--tokens", type=int, default=64)
+    ap.add_argument("--tokens", type=int, nargs="+", default=[64, 128])
     ap.add_argument("--preset", default="llama-2-7b",
                     help="llama-2-7b (protocol) or a tiny preset for smoke")
     args = ap.parse_args()
@@ -88,104 +160,55 @@ def main():
     dev = jax.devices()[0]
     params = jax.device_put(params, dev)
     jax.block_until_ready(jax.tree.leaves(params["layers"][0])[0])
-    print(f"built+shipped 7B in {time.time()-t0:.0f}s", flush=True)
+    print(f"built+shipped {args.preset} in {time.time()-t0:.0f}s", flush=True)
 
-    B, N = args.batch, args.tokens
+    B = args.batch
     rng = np.random.default_rng(1)
     prompt = jax.device_put(
         jnp.asarray(rng.integers(0, cfg.vocab_size, (B, 16)), jnp.int32), dev)
 
-    def run_scan(attn_mode):
-        def once():
-            cache = KVCache.create(cfg, B, 16 + N + 8, jnp.bfloat16)
-            logits, c = prefill(params, cfg, prompt, cache, quant_mode="fused")
-            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            np.asarray(tok)
-            t0 = time.perf_counter()
-            toks, _ = greedy_decode_scan(
-                params, cfg, tok, c, N, quant_mode="fused",
-                attn_mode=attn_mode)
-            np.asarray(toks)
-            return (time.perf_counter() - t0) / N
+    for N in args.tokens:
+        def make_run(attn_mode, N=N):
+            def once():
+                cache = KVCache.create(cfg, B, 16 + N + 8, jnp.bfloat16)
+                logits, c = prefill(params, cfg, prompt, cache,
+                                    quant_mode="fused")
+                tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                np.asarray(tok)
+                t0 = time.perf_counter()
+                toks, _ = greedy_decode_scan(
+                    params, cfg, tok, c, N, quant_mode="fused",
+                    attn_mode=attn_mode)
+                np.asarray(toks)
+                return (time.perf_counter() - t0) / N
+            return once
 
-        once()  # compile
-        return min(once() for _ in range(3))
+        full_run = make_run("einsum")
+        full_run()  # compile
+        full = min(full_run() for _ in range(3))
+        noat_run = make_run(identity_attn)
+        noat_run()
+        no_attn = min(noat_run() for _ in range(3))
 
-    full = run_scan("einsum")
-    no_attn = run_scan(identity_attn)
-
-    # isolated component chains (data-dependent, one dispatch per chain)
-    from paroquant_tpu.ops.qlinear import (
-        merged_linear_forward, quantized_linear_forward,
-    )
-
-    def chain(fn, x0, n=64):
-        # REAL data dependence (kernel_bench3 methodology): the output (or
-        # its leading slice, scaled) feeds the next input — bf16 "+tiny"
-        # round-away tricks get hoisted by XLA
-        @jax.jit
-        def go(x):
-            def body(c, _):
-                y = fn(c)
-                I = c.shape[1]
-                if y.shape[1] >= I:
-                    nxt = (y[:, :I] * 0.01).astype(c.dtype)
-                else:
-                    nxt = jnp.concatenate(
-                        [(y * 0.01).astype(c.dtype), c[:, y.shape[1]:]], axis=1)
-                return nxt, None
-
-            c, _ = jax.lax.scan(body, x, None, length=n)
-            return c
-
-        go(x0).block_until_ready()
-        return timed(lambda: go(x0).block_until_ready()) / n
-
-    H = cfg.hidden_size
-    lp = params["layers"][0]
-    x32 = jax.device_put(jnp.zeros((B, H), jnp.bfloat16), dev)
-    xo = jax.device_put(jnp.zeros((B, cfg.num_attention_heads * cfg.head_dim), jnp.bfloat16), dev)
-    xi = jax.device_put(jnp.zeros((B, cfg.intermediate_size), jnp.bfloat16), dev)
-
-    t_qkv = chain(lambda x: merged_linear_forward(lp["qkv_proj"], x, mode="fused"), x32)
-    t_o = chain(lambda x: quantized_linear_forward(lp["o_proj"], x, mode="fused"), xo)
-    t_gu = chain(lambda x: merged_linear_forward(lp["mlp"]["gate_up_proj"], x, mode="fused"), x32)
-    t_down = chain(lambda x: quantized_linear_forward(lp["mlp"]["down_proj"], x, mode="fused"), xi)
-    L = cfg.num_hidden_layers
-    matmuls = L * (t_qkv + t_o + t_gu + t_down)
-    t_head = chain(lambda x: quantized_linear_forward(params["lm_head"], x, mode="fused"), x32)
-
-    logits32 = jax.device_put(jnp.zeros((B, cfg.vocab_size), jnp.float32), dev)
-
-    @jax.jit
-    def argmax_chain(l):
-        def body(c, _):
-            t = jnp.argmax(c, axis=-1)
-            return c + t[:, None].astype(jnp.float32) * 1e-30, None
-
-        c, _ = jax.lax.scan(body, l, None, length=64)
-        return c
-
-    argmax_chain(logits32).block_until_ready()
-    t_samp = timed(lambda: argmax_chain(logits32).block_until_ready()) / 64
-
-    attn = full - no_attn
-    parts = matmuls + t_head + t_samp + attn
-    print(json.dumps({
-        "metric": "b32_decode_accounting_7b",
-        "batch": B,
-        "step_ms_full": round(full * 1e3, 2),
-        "attention_ms (full - identity-attn A/B)": round(attn * 1e3, 2),
-        "quant_matmuls_ms (isolated x32 layers)": round(matmuls * 1e3, 2),
-        "lm_head_ms": round(t_head * 1e3, 2),
-        "sampler_argmax_ms": round(t_samp * 1e3, 2),
-        "residual_ms (glue/norms/rope/kv-update)": round((full - parts) * 1e3, 2),
-        "per_layer_us": {
-            "qkv": round(t_qkv * 1e6, 1), "o": round(t_o * 1e6, 1),
-            "gate_up": round(t_gu * 1e6, 1), "down": round(t_down * 1e6, 1),
-        },
-        "agg_tok_s": round(B / full, 1),
-    }), flush=True)
+        prof = profile_scan(full_run)
+        dev_ms = sum(prof["buckets_ms"].values())
+        out = {
+            "metric": "b32_decode_accounting_7b",
+            "batch": B,
+            "tokens": N,
+            "step_ms_full": round(full * 1e3, 2),
+            "attention_ms_ab (full - identity-attn)": round(
+                (full - no_attn) * 1e3, 2),
+            "device_profile_per_step_ms": {
+                k: round(v / N, 3) for k, v in prof["buckets_ms"].items()},
+            "device_busy_ms_per_step": round(dev_ms / N, 2),
+            "dispatch_overhead_ms_per_step (wall - device)": round(
+                full * 1e3 - dev_ms / N, 2),
+            "top_ops_us_per_step": {
+                k: round(v / N * 1e3, 1) for k, v in prof["top_ops_ms"]},
+            "agg_tok_s": round(B / full, 1),
+        }
+        print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

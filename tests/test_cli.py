@@ -109,3 +109,36 @@ def test_evaluate_synthetic_sp(calib_out, capsys):
     ])
     sp = float(capsys.readouterr().out.strip().split()[-1])
     assert abs(sp - ref) / ref < 5e-3, (sp, ref)
+
+
+def test_reasoning_harness_aggregation(capsys, monkeypatch):
+    """The reasoning harness (reference protocol runner) aggregates accuracy,
+    finish reasons, and throughput from endpoint responses — driven here with
+    a stubbed endpoint so the aggregation path is covered CPU-only."""
+    import json as _json
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    _sys.path.insert(0, str(_Path(__file__).resolve().parents[1]
+                            / "experiments" / "tasks"))
+    import reasoning_eval
+
+    calls = []
+
+    def fake_query(base_url, prompt, *, max_tokens, temperature, top_p, seed,
+                   timeout=0):
+        calls.append((prompt, seed))
+        # first synthetic problem is 2+3; answer correctly only for seed 42
+        ans = "5" if ("2 + 3" in prompt and seed == 42) else "999"
+        return {"text": f"the answer is \\boxed{{{ans}}}",
+                "completion_tokens": 7, "finish_reason": "length",
+                "wall_s": 0.5}
+
+    monkeypatch.setattr(reasoning_eval, "query_endpoint", fake_query)
+    reasoning_eval.main(["--synthetic", "--seeds", "42", "0",
+                         "--max-tokens", "64", "--concurrency", "3"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["acc_per_seed"] == {"42": 1 / 3, "0": 0.0}
+    assert out["finish_reasons"] == {"length": 6}
+    assert out["gen_tokens"] == 42 and len(calls) == 6
+    assert out["per_req_tok_s_p50"] == 14.0
