@@ -194,9 +194,18 @@ def attention(
     S = k.shape[1]
     Hkv = k.shape[2]
     group = Hq // Hkv
-    qf = q.reshape(B, T, Hkv, group, D).astype(jnp.float32)
-    kf = k.astype(jnp.float32)
-    scores = jnp.einsum("bthgd,bshd->bhgts", qf, kf, preferred_element_type=jnp.float32)
+    # Dots run in the STORED kv dtype with f32 accumulation (MXU-native
+    # bf16 x bf16 -> f32). Upcasting k/v to f32 materializes the whole cache
+    # as f32 every decode step — at 7B/B=32 that cast traffic exceeded the
+    # W4 weight stream and dominated the batched-decode device profile
+    # (scripts/bench_decode_accounting.py). bf16 inputs lose nothing (the
+    # cache IS bf16); probs are cast down for the PV dot exactly as the
+    # Pallas flash kernels (kernels/attention.py) do.
+    cdt = k.dtype if k.dtype in (jnp.bfloat16, jnp.float16, jnp.float32) \
+        else jnp.float32
+    qc = q.reshape(B, T, Hkv, group, D).astype(cdt)
+    scores = jnp.einsum("bthgd,bshd->bhgts", qc, k.astype(cdt),
+                        preferred_element_type=jnp.float32)
     scores = scores * scale
     if logit_softcap:
         scores = jnp.tanh(scores / logit_softcap) * logit_softcap
@@ -212,7 +221,7 @@ def attention(
     scores = jnp.where(mask[:, None, None, :, :], scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum(
-        "bhgts,bshd->bthgd", probs, v.astype(jnp.float32),
+        "bhgts,bshd->bthgd", probs.astype(cdt), v.astype(cdt),
         preferred_element_type=jnp.float32,
     )
     return out.reshape(B, T, Hq, D).astype(q.dtype)
