@@ -199,8 +199,10 @@ def attention(
     # as f32 every decode step — at 7B/B=32 that cast traffic exceeded the
     # W4 weight stream and dominated the batched-decode device profile
     # (scripts/bench_decode_accounting.py). bf16 inputs lose nothing (the
-    # cache IS bf16); probs are cast down for the PV dot exactly as the
-    # Pallas flash kernels (kernels/attention.py) do.
+    # cache IS bf16); probs are cast down for the PV dot — standard flash
+    # -attention practice (bf16 operands, f32 accumulation). NOTE: the Pallas
+    # flash kernels (kernels/attention.py) keep their PV dot in f32, so this
+    # einsum path is the LOWER-precision side of flash-vs-einsum tests.
     cdt = k.dtype if k.dtype in (jnp.bfloat16, jnp.float16, jnp.float32) \
         else jnp.float32
     qc = q.reshape(B, T, Hkv, group, D).astype(cdt)

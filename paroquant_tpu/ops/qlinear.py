@@ -331,8 +331,47 @@ def merged_linear_forward(
 # the fused path. See STATUS.md round-2 kernel campaign.
 AUTO_FUSED_MAX_M = 128
 
+# W4A8 auto crossover (VERDICT r4 item 3): in the fused decode regime the
+# int8-MXU a8 kernel wins once the weight stream dominates the launch, so
+# `auto` picks it per-matrix by weight size K*N. Measured (STATUS round 4,
+# scripts/bench_7b.py / bench_a8_accuracy.py / bench.py):
+#   - 7B geometry (smallest matrix o_proj 4096x4096 = 16.8M weights):
+#     w4a8 +8.2% tok/s at B=1, +5.5% B=8, +4.5% B=32; model-level a8
+#     accuracy cost logits-MSE ratio 1.0009 vs exact W4A16.
+#   - 0.6B geometry (largest matrix 1024x6144 = 6.3M): w4a8 LOSES
+#     (600.6 vs 627.7 tok/s) — the activation-quant overhead isn't paid
+#     back when the weight stream is this small.
+# The cut sits at 8M elements, between the two measured geometries: every
+# 7B-class matrix is >= 16.8M (serves a8), every 0.6B matrix <= 6.3M
+# (keeps exact W4A16). Layers below the cut stay bit-exact W4A16.
+AUTO_W4A8_MIN_KN = 8 * 1024 * 1024
+
+
+def _w4a8_auto_wins(layer) -> bool:
+    """True when this matrix's weight stream is big enough that the a8
+    int8-MXU kernel measured faster than exact W4A16 (see AUTO_W4A8_MIN_KN).
+    scales is [G, N_total] (merged layers: N_total = sum of out_splits)."""
+    k = layer.scales.shape[0] * layer.group_size
+    n = int(layer.scales.shape[-1])
+    return k * n >= AUTO_W4A8_MIN_KN
+
+
+def _base_auto(x: jax.Array, layer, m: int) -> str:
+    """fused-vs-xla resolution by M (no a8)."""
+    if jax.default_backend() == "cpu":  # Pallas fused is TPU-only
+        return "xla"
+    # Pallas tiles x as [TM, S] blocks (lane dim = group size): S must be a
+    # multiple of 128 unless a single group spans the whole input row.
+    S = layer.group_size
+    if S % 128 != 0 and layer.scales.shape[0] > 1:
+        return "xla"
+    return "fused" if m <= AUTO_FUSED_MAX_M else "xla"
+
 
 def _resolve_auto(mode: str, x: jax.Array, layer) -> str:
+    m = 1
+    for d in x.shape[:-1]:
+        m *= int(d)
     if mode == "w4a8":
         # W4A8 serving mode: the activation-quantized int8-MXU kernel in the
         # memory-bound regime (decode / small spec-verify windows, where it
@@ -344,26 +383,17 @@ def _resolve_auto(mode: str, x: jax.Array, layer) -> str:
         # sizes the Pallas tiling rejects) run the _a8_sim XLA path, so the
         # served operating point's a8 rounding is identical across backends
         # (round-3 ADVICE: no silent degradation to exact W4A16 on TPU).
-        m = 1
-        for d in x.shape[:-1]:
-            m *= int(d)
         if m > AUTO_FUSED_MAX_M:
             return "xla"  # prefill regime: exact W4A16, intended
-        base = _resolve_auto("auto", x, layer)
+        base = _base_auto(x, layer, m)
         return "w4a8_fused" if base == "fused" else "w4a8_xla"
     if mode != "auto":
         return mode
-    if jax.default_backend() == "cpu":  # Pallas fused is TPU-only
-        return "xla"
-    # Pallas tiles x as [TM, S] blocks (lane dim = group size): S must be a
-    # multiple of 128 unless a single group spans the whole input row.
-    S = layer.group_size
-    if S % 128 != 0 and layer.scales.shape[0] > 1:
-        return "xla"
-    m = 1
-    for d in x.shape[:-1]:
-        m *= int(d)
-    return "fused" if m <= AUTO_FUSED_MAX_M else "xla"
+    # auto serves the measured-best mode per geometry: a8 decode for
+    # big-weight matrices (>= 7B-class), exact W4A16 otherwise.
+    if m <= AUTO_FUSED_MAX_M and _w4a8_auto_wins(layer):
+        return _resolve_auto("w4a8", x, layer)
+    return _base_auto(x, layer, m)
 
 
 @partial(jax.jit, static_argnames=("mode",))

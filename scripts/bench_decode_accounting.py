@@ -84,12 +84,18 @@ def bucket_of(name: str) -> str:
 
 
 def profile_scan(run_once) -> dict:
-    """Trace one blocking run; aggregate TPU XLA-Ops by bucket (ms)."""
+    """Trace ONE scan dispatch; aggregate TPU XLA-Ops by bucket (ms).
+
+    run_once must accept trace_dir= and wrap ONLY the greedy_decode_scan
+    call in jax.profiler.trace(trace_dir) — cache create / prefill / the
+    prefill argmax run OUTSIDE the trace, so the per-step buckets (divided
+    by N) and the dispatch-overhead residual (wall − device) account decode
+    ops only (round-4 advisor: tracing the whole once() inflated the decode
+    buckets with prefill ops)."""
     import jax
 
     d = tempfile.mkdtemp(prefix="acct_prof_")
-    with jax.profiler.trace(d):
-        run_once()
+    run_once(trace_dir=d)
     files = glob.glob(d + "/**/*.xplane.pb", recursive=True)
     pd = jax.profiler.ProfileData.from_file(files[0])
     buckets: dict[str, float] = {}
@@ -101,9 +107,14 @@ def profile_scan(run_once) -> dict:
             if ln.name != "XLA Ops":
                 continue
             for e in ln.events:
-                # skip control-flow wrappers (while/call): their duration
-                # spans the body ops, which are reported separately
-                if " while(" in e.name or " conditional(" in e.name:
+                # skip control-flow wrappers (while/conditional/call): their
+                # duration spans the body ops, which are reported separately.
+                # Match both full-HLO-text names ("%w = ... while(...)") and
+                # short op names ("while.1") — ProfileData emits either
+                # depending on version (round-4 advisor).
+                bare = e.name.split(" = ")[0].lstrip("%")
+                if (" while(" in e.name or " conditional(" in e.name
+                        or bare.startswith(("while", "conditional", "call"))):
                     continue
                 ms = e.duration_ns / 1e6
                 b = bucket_of(e.name)
@@ -169,17 +180,22 @@ def main():
 
     for N in args.tokens:
         def make_run(attn_mode, N=N):
-            def once():
+            def once(trace_dir=None):
+                import contextlib
+
                 cache = KVCache.create(cfg, B, 16 + N + 8, jnp.bfloat16)
                 logits, c = prefill(params, cfg, prompt, cache,
                                     quant_mode="fused")
                 tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 np.asarray(tok)
+                ctx = (jax.profiler.trace(trace_dir) if trace_dir
+                       else contextlib.nullcontext())
                 t0 = time.perf_counter()
-                toks, _ = greedy_decode_scan(
-                    params, cfg, tok, c, N, quant_mode="fused",
-                    attn_mode=attn_mode)
-                np.asarray(toks)
+                with ctx:
+                    toks, _ = greedy_decode_scan(
+                        params, cfg, tok, c, N, quant_mode="fused",
+                        attn_mode=attn_mode)
+                    np.asarray(toks)
                 return (time.perf_counter() - t0) / N
             return once
 

@@ -329,3 +329,35 @@ def test_w4a8_mode_resolution():
     # generation path smoke: the public forward accepts the mode string
     y = quantized_linear_forward(layer, x_small, mode="w4a8")
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_auto_mode_w4a8_geometry_crossover():
+    """auto serves the measured-best mode per matrix geometry (VERDICT r4
+    item 3): a8 decode for >=7B-class weight matrices (K*N >= 8M, where
+    w4a8 measured +8.2% at B=1), exact W4A16 below (0.6B measured 628 vs
+    600 tok/s). Prefill M keeps exact W4A16 at any geometry."""
+    from types import SimpleNamespace
+
+    from paroquant_tpu.ops.qlinear import (
+        AUTO_FUSED_MAX_M,
+        AUTO_W4A8_MIN_KN,
+        _resolve_auto,
+    )
+
+    def fake(k, n, s=128):
+        return SimpleNamespace(scales=np.zeros((k // s, n), np.float32),
+                               group_size=s)
+
+    big = fake(4096, 4096)      # 16.8M — 7B o_proj, smallest 7B matrix
+    small = fake(1024, 6144)    # 6.3M — 0.6B merged gate_up, largest 0.6B
+    assert 4096 * 4096 >= AUTO_W4A8_MIN_KN > 1024 * 6144
+    x1 = jnp.zeros((1, 4096), jnp.float32)
+    # decode M, big geometry -> a8 (w4a8_xla on CPU: same rounding as the
+    # TPU fused kernel via _a8_sim — served numerics identical off-chip)
+    assert _resolve_auto("auto", x1, big) == "w4a8_xla"
+    # decode M, small geometry -> exact W4A16
+    assert _resolve_auto("auto", jnp.zeros((1, 1024), jnp.float32),
+                         small) == "xla"
+    # prefill M -> exact W4A16 regardless of geometry
+    xp = jnp.zeros((AUTO_FUSED_MAX_M + 1, 4096), jnp.float32)
+    assert _resolve_auto("auto", xp, big) == "xla"
