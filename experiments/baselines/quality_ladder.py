@@ -105,7 +105,10 @@ def main(argv=None):
     ap.add_argument("--outlier-scale", type=float, default=1.0,
                     help=">1: inject outlier input channels into the random "
                          "init (see module docstring)")
-    ap.add_argument("--arms", default="rtn,hadamard,gptq,quarot,paroquant,paroquant_gptq")
+    ap.add_argument(
+        "--arms",
+        default="rtn,hadamard,gptq,quarot,paroquant,paroquant_gptq,"
+                "paroquant_w4a8")
     ap.add_argument("--act-dtype", default="float32",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--resident-gb", type=float, default=4.0,
@@ -179,9 +182,9 @@ def main(argv=None):
 
     import functools
 
-    @functools.partial(jax.jit)
-    def _metrics(qp, dense_p, hb):
-        out, _ = model_forward(qp, config, hb)
+    @functools.partial(jax.jit, static_argnames=("qmode",))
+    def _metrics(qp, dense_p, hb, qmode="xla"):
+        out, _ = model_forward(qp, config, hb, quant_mode=qmode)
         ref, _ = model_forward(dense_p, config, hb)
         logp = jax.nn.log_softmax(out[:, :-1].astype(jnp.float32), -1)
         tgt = hb[:, 1:]
@@ -190,10 +193,10 @@ def main(argv=None):
         agree = (jnp.argmax(out, -1) == jnp.argmax(ref, -1)).sum()
         return ce, mse, agree
 
-    def evaluate(qparams):
+    def evaluate(qparams, qmode="xla"):
         ces, mses, agree, n_tok = 0.0, 0.0, 0, 0
         for hb in held_b:
-            ce, mse, ag = _metrics(qparams, params, hb)
+            ce, mse, ag = _metrics(qparams, params, hb, qmode=qmode)
             ces += float(ce)
             mses += float(mse)
             agree += int(ag)
@@ -213,13 +216,13 @@ def main(argv=None):
     print(f"{'dense':>10}  " + "  ".join(f"{k}={v:.6g}" for k, v in dense_ce.items()),
           flush=True)
 
-    def run_arm(name, fn):
+    def run_arm(name, fn, eval_qmode="xla"):
         if name not in arms:
             return
         t0 = time.perf_counter()
         qp = fn()
         dt = time.perf_counter() - t0
-        m = evaluate(qp)
+        m = evaluate(qp, qmode=eval_qmode)
         del qp
         results[name] = {**m, "seconds": round(dt, 1)}
         print(f"{name:>10}  " + "  ".join(f"{k}={v:.6g}" for k, v in m.items())
@@ -266,11 +269,35 @@ def main(argv=None):
                            [round(t, 1) for t in t_layer])
         return pq
 
-    run_arm("paroquant", run_paro)
+    # the w4a8 arm reuses the paroquant checkpoint (a8 is an EVAL-time
+    # rounding of activations, not a different calibration), so stash it
+    # when both arms are requested instead of re-running 28 layers
+    stash: dict = {}
+
+    def paro_stashing():
+        pq = run_paro()
+        if "paroquant_w4a8" in arms:
+            stash["paroquant"] = pq
+        return pq
+
+    run_arm("paroquant", paro_stashing)
     # GPTQ-compensated weight init for stage 2 (VERDICT r2 #8): same recipe,
     # Hessian-aware requantization of the pseudo weights between stages
     run_arm("paroquant_gptq", lambda: run_paro(gptq_init=True,
                                                tag="paroquant_gptq"))
+
+    # W4A8 serving operating point at protocol scale (VERDICT r4 item 8):
+    # the SAME learned-rotation checkpoint evaluated with the a8 activation
+    # rounding on every token ("w4a8_xla" — the cli/evaluate.py --quant-mode
+    # w4a8 convention; the fused TPU kernel rounds identically). Quality
+    # delta vs the paroquant row isolates what int8 activations cost at the
+    # geometry the +8.2% 7B decode win ships at.
+    def paro_for_a8():
+        if "paroquant" in stash:
+            return stash.pop("paroquant")
+        return run_paro(tag="paroquant_w4a8")
+
+    run_arm("paroquant_w4a8", paro_for_a8, eval_qmode="w4a8_xla")
 
     line = json.dumps({
         "metric": "quality_ladder",

@@ -80,9 +80,12 @@ def main():
                          "batched: VERDICT r2 item 3 asks for M=8/32 arms)")
     ap.add_argument("--tokens", type=int, default=128)
     ap.add_argument("--quant-mode", nargs="+", default=["fused"],
-                    choices=["fused", "w4a8"],
+                    choices=["fused", "w4a8", "xla", "auto"],
                     help="arms to measure (interleaved when >1); w4a8 is the "
-                         "int8-MXU activation-quantized serving mode")
+                         "int8-MXU activation-quantized serving mode; xla is "
+                         "the one-off-dequant MXU GEMM (prefill path) — at "
+                         "decode M=8/32 it answers whether the fused kernel "
+                         "still wins in the indifference band at 7B")
     args = ap.parse_args()
     merge = not args.no_merge
     cpu = jax.local_devices(backend="cpu")[0]
