@@ -203,3 +203,38 @@ def test_mlp_only_layers_force_dense():
     assert "experts" not in params["layers"][1]["mlp"]
     logits, _ = model_forward(params, cfg, jnp.asarray([[1, 2, 3]], jnp.int32))
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_quant_mode_auto_a8_at_big_geometry():
+    """At >=8M-weight matrices (7B-class), auto serves the a8 rounding at
+    decode M and stays BIT-exact W4A16 at prefill M (VERDICT r4 item 3).
+    The small-geometry companion (test_quant_mode_auto_matches_xla) pins
+    that sub-crossover models keep exact W4A16 everywhere."""
+    import dataclasses
+
+    from paroquant_tpu.models import PRESETS, init_params
+
+    # one layer, gate_up 1024x16384 = 16.8M / down 8192x1024 = 8.4M weights
+    # (above AUTO_W4A8_MIN_KN); qkv/o stay far below (exact W4A16)
+    config = dataclasses.replace(
+        PRESETS["tiny"], hidden_size=1024, intermediate_size=8192,
+        num_hidden_layers=1, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=64)
+    params = init_params(config, jax.random.PRNGKey(9), dtype=jnp.float32)
+    qparams = quantize_model_rtn(params, config, n_bits=4, group_size=128,
+                                 seed=0)
+    tok = jnp.asarray([[7]], jnp.int32)  # decode M=1
+    l_xla, _ = model_forward(qparams, config, tok, quant_mode="xla")
+    l_auto, _ = model_forward(qparams, config, tok, quant_mode="auto")
+    # a8 engaged on the big MLP matrices: logits differ from exact W4A16...
+    assert np.abs(np.asarray(l_auto) - np.asarray(l_xla)).max() > 0
+    # ...by activation-rounding noise only
+    np.testing.assert_allclose(np.asarray(l_auto), np.asarray(l_xla),
+                               rtol=0.1, atol=0.1)
+    # prefill M (> AUTO_FUSED_MAX_M=128 tokens): bit-exact W4A16
+    toks = jnp.asarray(
+        np.random.default_rng(5).integers(0, config.vocab_size, (1, 160)),
+        jnp.int32)
+    p_xla, _ = model_forward(qparams, config, toks, quant_mode="xla")
+    p_auto, _ = model_forward(qparams, config, toks, quant_mode="auto")
+    np.testing.assert_array_equal(np.asarray(p_xla), np.asarray(p_auto))
