@@ -409,10 +409,16 @@ def layer_forward(
         new_cache = None
 
     S_kv = k_all.shape[1]
+    # kv block: whole buffer when small, else the largest 128-multiple tile
+    # that divides it (chunked prefill's kv buffer is bucket+chunk, which is
+    # a 128-multiple but not always a 256-multiple — e.g. bucket 128 + chunk
+    # 256 = 384; block_k=128 keeps those on the flash path)
+    block_k = next((b for b in (256, 128) if S_kv % b == 0),
+                   S_kv if S_kv <= 256 else None)
     flash_ok = (
         attn_mode == "flash"
         and T >= 128 and T % 128 == 0
-        and S_kv % min(256, S_kv) == 0
+        and block_k is not None
         and bidir_groups is None
     )
     if flash_ok:
@@ -430,7 +436,7 @@ def layer_forward(
             q_offset=jnp.asarray(cache_offset, jnp.int32),
             sliding_window=config.layer_sliding_window(layer_idx),
             logit_softcap=config.attn_logit_softcap,
-            block_q=min(256, T), block_k=min(256, S_kv),
+            block_q=min(256, T), block_k=block_k,
         )
         attn_out = jnp.swapaxes(attn_out, 1, 2)
     elif callable(attn_mode):

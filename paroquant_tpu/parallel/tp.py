@@ -377,7 +377,12 @@ def make_tp_flash_attn(mesh: Mesh, axis: str = "model", on_fallback=None):
         B, T, Hq, D = q.shape
         S_kv = k_all.shape[1]
         Hkv = k_all.shape[2]
-        flash_ok = (T >= 128 and T % 128 == 0 and S_kv % min(256, S_kv) == 0
+        # same kv-block rule as models/decoder.py: 256-tile, else 128-tile
+        # (chunked prefill kv buffers are 128-multiples, not always 256),
+        # else whole-buffer for short kv
+        block_k = next((b for b in (256, 128) if S_kv % b == 0),
+                       S_kv if S_kv <= 256 else None)
+        flash_ok = (T >= 128 and T % 128 == 0 and block_k is not None
                     and Hq % n == 0 and Hkv % n == 0)
         if not flash_ok:
             if on_fallback is not None:
@@ -395,7 +400,7 @@ def make_tp_flash_attn(mesh: Mesh, axis: str = "model", on_fallback=None):
                 jnp.swapaxes(qh, 1, 2), jnp.swapaxes(kh, 1, 2),
                 jnp.swapaxes(vh, 1, 2), lens, scale=scale, q_offset=off,
                 sliding_window=sliding_window, logit_softcap=logit_softcap,
-                block_q=min(256, T), block_k=min(256, S_kv),
+                block_q=min(256, T), block_k=block_k,
                 interpret=jax.default_backend() == "cpu",
             )
             return jnp.swapaxes(out, 1, 2)

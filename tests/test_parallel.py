@@ -540,6 +540,19 @@ def test_tp_flash_fallback_counter():
     kw = dict(scale=D**-0.5, sliding_window=None, logit_softcap=None)
     impl(q, k, v, pos, valid, **kw)  # flash-eligible: no fallback
     assert seen == []
+    # S_kv=384 (chunked-prefill kv buffer: bucket 128 + chunk 256): a
+    # 128-multiple but NOT a 256-multiple — the adaptive block_k keeps it
+    # on the flash path and it must match the einsum reference
+    from paroquant_tpu.models.decoder import attention
+
+    k3 = jnp.concatenate([k, k, k], axis=1)
+    v3 = jnp.concatenate([v, v, v], axis=1)
+    valid3 = jnp.asarray(200, jnp.int32)  # partial fill, like a real bucket
+    out384 = impl(q, k3, v3, pos + 72, valid3, **kw)
+    assert seen == []
+    ref384 = attention(q, k3, v3, pos + 72, valid3, **kw)
+    np.testing.assert_allclose(np.asarray(out384), np.asarray(ref384),
+                               rtol=2e-5, atol=2e-5)
     impl(q[:, :80], k, v, pos[:, :80], valid, **kw)  # T=80: rejected
     assert len(seen) == 1 and seen[0]["T"] == 80 and seen[0]["tp"] == 2
     # odd head count vs TP degree: rejected with the offending fields
