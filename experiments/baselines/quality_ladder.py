@@ -281,23 +281,26 @@ def main(argv=None):
         return pq
 
     run_arm("paroquant", paro_stashing)
-    # GPTQ-compensated weight init for stage 2 (VERDICT r2 #8): same recipe,
-    # Hessian-aware requantization of the pseudo weights between stages
-    run_arm("paroquant_gptq", lambda: run_paro(gptq_init=True,
-                                               tag="paroquant_gptq"))
 
     # W4A8 serving operating point at protocol scale (VERDICT r4 item 8):
     # the SAME learned-rotation checkpoint evaluated with the a8 activation
     # rounding on every token ("w4a8_xla" — the cli/evaluate.py --quant-mode
     # w4a8 convention; the fused TPU kernel rounds identically). Quality
     # delta vs the paroquant row isolates what int8 activations cost at the
-    # geometry the +8.2% 7B decode win ships at.
+    # geometry the +8.2% 7B decode win ships at. Runs IMMEDIATELY after
+    # paroquant (it's a pure re-eval) so the stashed checkpoint is freed
+    # before the gptq arm's full recalibration claims memory.
     def paro_for_a8():
         if "paroquant" in stash:
             return stash.pop("paroquant")
         return run_paro(tag="paroquant_w4a8")
 
     run_arm("paroquant_w4a8", paro_for_a8, eval_qmode="w4a8_xla")
+
+    # GPTQ-compensated weight init for stage 2 (VERDICT r2 #8): same recipe,
+    # Hessian-aware requantization of the pseudo weights between stages
+    run_arm("paroquant_gptq", lambda: run_paro(gptq_init=True,
+                                               tag="paroquant_gptq"))
 
     line = json.dumps({
         "metric": "quality_ladder",

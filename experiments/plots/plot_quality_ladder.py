@@ -40,12 +40,18 @@ INK, MUTED = "#111827", "#6B7280"
 
 def main() -> None:
     rows = [json.loads(l) for l in LADDER.read_text().splitlines() if l.strip()]
-    # last row per model wins (re-runs append)
-    by_model: dict[str, dict] = {}
+    # merge rows per PROTOCOL (model + calibration tokens + outlier scale),
+    # not per model name alone — a smoke run at different settings must not
+    # silently mix with (or overwrite) the protocol-scale arms
+    by_model: dict[tuple, dict] = {}
     for r in rows:
-        merged = by_model.setdefault(r["model"], {})
+        if r.get("metric") != "quality_ladder":
+            continue
+        key = (r["model"], r.get("tokens"), r.get("outlier_scale"))
+        merged = by_model.setdefault(key, {})
         merged.update({k: v for k, v in r.items() if isinstance(v, dict)})
-        merged["_meta"] = {k: r[k] for k in ("model", "tokens")}
+        merged["_meta"] = {"model": f"{r['model']} ({r.get('tokens', 0)//1000}k tok)",
+                          "tokens": r.get("tokens")}
     models = list(by_model)
 
     fig, axes = plt.subplots(

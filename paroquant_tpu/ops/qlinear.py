@@ -344,6 +344,15 @@ AUTO_FUSED_MAX_M = 128
 # The cut sits at 8M elements, between the two measured geometries: every
 # 7B-class matrix is >= 16.8M (serves a8), every 0.6B matrix <= 6.3M
 # (keeps exact W4A16). Layers below the cut stay bit-exact W4A16.
+#
+# Spec-decode note: tokens emitted by a speculative VERIFY forward follow
+# that forward's own resolved mode — a verify window with B*(k+1) > 128
+# runs exact W4A16 while plain decode steps run a8 on big matrices, so
+# under big-geometry `auto` (as under explicit "w4a8") the two launch
+# shapes differ by the a8 activation rounding (model-level MSE ratio
+# 1.0009), not just the MXU-tiling noise bounded in STATUS round 4.
+# Spec output remains exact UNDER THE VERIFY FORWARD'S NUMERICS either
+# way; mixed numerics only move acceptance rates on near-tie tokens.
 AUTO_W4A8_MIN_KN = 8 * 1024 * 1024
 
 

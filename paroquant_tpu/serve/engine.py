@@ -476,7 +476,15 @@ class Engine:
             # kernel GSPMD-replicated; inject the head-sharded shard_map impl
             from ..parallel.tp import make_tp_flash_attn
 
-            def _flash_fallback(info, _m=self.metrics):
+            _fallback_seen: set = set()
+
+            def _flash_fallback(info, _m=self.metrics, _s=_fallback_seen):
+                # impl is called once per LAYER per traced shape; dedupe on
+                # the shape tuple so the metric counts distinct shapes
+                key = tuple(sorted(info.items()))
+                if key in _s:
+                    return
+                _s.add(key)
                 _m["tp_flash_fallback_shapes"] += 1
                 logger.info("TP prefill fell back to einsum attention: %s",
                             info)
