@@ -140,7 +140,16 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 
 
 class KVCache(NamedTuple):
-    """Uniform-length KV cache for batch decode: k/v [Lf, B, S, Hkv, D].
+    """Uniform-length KV cache for batch decode: k/v [Lf, B, Hkv, S, D].
+
+    HEAD-MAJOR storage (S inside Hkv): the attention dots batch over
+    (B, Hkv) and contract D/S, so head-major kv feeds the MXU directly.
+    The round-5 B=32 device profile (scripts/bench_decode_accounting.py)
+    showed the previous token-major [.., S, Hkv, D] layout cost ~2 full
+    cache copies per decode step (XLA materialized head-major transposes
+    of k and v for the dots, which also defeated in-place reuse of the
+    scan carry): 13.5 of 29 ms/step at 7B B=32 was pure cache movement.
+    Head-major is also the Pallas flash kernel's native layout.
 
     Lf = number of full-attention layers (== num_hidden_layers for
     non-hybrid models). Hybrid (qwen3_next) models carry the linear-layer
@@ -158,8 +167,8 @@ class KVCache(NamedTuple):
         shape = (
             config.num_full_attn_layers,
             batch,
-            max_len,
             config.num_key_value_heads,
+            max_len,
             config.head_dim,
         )
         linear = None
@@ -173,10 +182,10 @@ class KVCache(NamedTuple):
         )
 
 
-def attention(
+def attention_kvmajor(
     q: jax.Array,  # [B, T, Hq, D]
-    k: jax.Array,  # [B, S, Hkv, D]
-    v: jax.Array,  # [B, S, Hkv, D]
+    k: jax.Array,  # [B, Hkv, S, D]  (head-major: KVCache storage layout)
+    v: jax.Array,  # [B, Hkv, S, D]
     q_positions: jax.Array,  # int32 [B, T] absolute positions of queries
     kv_valid_len: jax.Array,  # int32 scalar: number of valid kv slots
     *,
@@ -187,12 +196,16 @@ def attention(
 ) -> jax.Array:
     """Causal GQA attention over a (possibly partially-filled) kv buffer.
 
+    HEAD-MAJOR kv: both dots batch over (b, h) with k/v consumed in their
+    stored layout — no transpose materialization of the cache (the round-5
+    B=32 profile showed those transposes + the copy they forced on the scan
+    carry cost ~2 full-cache moves per decode step).
+
     bidir_groups: optional (q_groups [B, T], kv_groups [B, S]) int32 ids;
     positions sharing a non-negative id attend BIDIRECTIONALLY (Gemma3 VLM
     image blocks, HF token_type_ids_mask_function)."""
     B, T, Hq, D = q.shape
-    S = k.shape[1]
-    Hkv = k.shape[2]
+    Hkv, S = k.shape[1], k.shape[2]
     group = Hq // Hkv
     # Dots run in the STORED kv dtype with f32 accumulation (MXU-native
     # bf16 x bf16 -> f32). Upcasting k/v to f32 materializes the whole cache
@@ -206,7 +219,7 @@ def attention(
     cdt = k.dtype if k.dtype in (jnp.bfloat16, jnp.float16, jnp.float32) \
         else jnp.float32
     qc = q.reshape(B, T, Hkv, group, D).astype(cdt)
-    scores = jnp.einsum("bthgd,bshd->bhgts", qc, k.astype(cdt),
+    scores = jnp.einsum("bthgd,bhsd->bhgts", qc, k.astype(cdt),
                         preferred_element_type=jnp.float32)
     scores = scores * scale
     if logit_softcap:
@@ -223,10 +236,31 @@ def attention(
     scores = jnp.where(mask[:, None, None, :, :], scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum(
-        "bhgts,bshd->bthgd", probs.astype(cdt), v.astype(cdt),
+        "bhgts,bhsd->bthgd", probs.astype(cdt), v.astype(cdt),
         preferred_element_type=jnp.float32,
     )
     return out.reshape(B, T, Hq, D).astype(q.dtype)
+
+
+def attention(
+    q: jax.Array,  # [B, T, Hq, D]
+    k: jax.Array,  # [B, S, Hkv, D]  (token-major convenience layout)
+    v: jax.Array,  # [B, S, Hkv, D]
+    q_positions: jax.Array,
+    kv_valid_len: jax.Array,
+    *,
+    scale: float,
+    sliding_window: int | None = None,
+    logit_softcap: float | None = None,
+    bidir_groups: tuple[jax.Array, jax.Array] | None = None,
+) -> jax.Array:
+    """Token-major wrapper over attention_kvmajor (reference/test surface;
+    ring attention and the kernel-equality tests speak [B, S, Hkv, D])."""
+    return attention_kvmajor(
+        q, jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2), q_positions,
+        kv_valid_len, scale=scale, sliding_window=sliding_window,
+        logit_softcap=logit_softcap, bidir_groups=bidir_groups,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -396,19 +430,25 @@ def layer_forward(
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
+    # head-major kv from here on ([B, Hkv, S, D] — the KVCache storage and
+    # flash-kernel layout; the transpose touches only the T fresh tokens)
+    kh = jnp.swapaxes(k, 1, 2)
+    vh = jnp.swapaxes(v, 1, 2)
     if kv_cache_layer is not None:
-        ck, cv = kv_cache_layer
-        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_offset, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_offset, 0, 0))
+        ck, cv = kv_cache_layer  # [B, Hkv, S, D]
+        ck = jax.lax.dynamic_update_slice(
+            ck, kh.astype(ck.dtype), (0, 0, cache_offset, 0))
+        cv = jax.lax.dynamic_update_slice(
+            cv, vh.astype(cv.dtype), (0, 0, cache_offset, 0))
         k_all, v_all = ck, cv
         valid = cache_offset + T
         new_cache = (ck, cv)
     else:
-        k_all, v_all = k, v
+        k_all, v_all = kh, vh
         valid = jnp.asarray(T, jnp.int32)
         new_cache = None
 
-    S_kv = k_all.shape[1]
+    S_kv = k_all.shape[2]
     # kv block: whole buffer when small, else the largest 128-multiple tile
     # that divides it (chunked prefill's kv buffer is bucket+chunk, which is
     # a 128-multiple but not always a 256-multiple — e.g. bucket 128 + chunk
@@ -429,8 +469,7 @@ def layer_forward(
         from ..kernels.attention import flash_attention
 
         attn_out = flash_attention(
-            jnp.swapaxes(q, 1, 2), jnp.swapaxes(k_all, 1, 2),
-            jnp.swapaxes(v_all, 1, 2),
+            jnp.swapaxes(q, 1, 2), k_all, v_all,
             jnp.broadcast_to(valid.reshape(-1), (B,)),
             scale=config.attn_scale,
             q_offset=jnp.asarray(cache_offset, jnp.int32),
@@ -440,9 +479,10 @@ def layer_forward(
         )
         attn_out = jnp.swapaxes(attn_out, 1, 2)
     elif callable(attn_mode):
-        # injected attention impl (parallel/ring.py sp_prefill: ring
-        # attention over a sequence-sharded mesh); same signature as
-        # `attention` minus bidir groups (loudly unsupported for SP)
+        # injected attention impl (parallel/tp.py make_tp_flash_attn,
+        # parallel/ring.py sp_prefill, bench ablations). CONVENTION: impls
+        # take q [B, T, Hq, D] and HEAD-MAJOR k/v [B, Hkv, S, D] (the
+        # KVCache storage layout). bidir groups loudly unsupported.
         if bidir_groups is not None:
             raise NotImplementedError("bidir (VLM) blocks under SP prefill")
         attn_out = attn_mode(
@@ -461,7 +501,7 @@ def layer_forward(
                 bidir_groups, ((0, 0), (0, S_kv - T)), constant_values=-1
             )
             bg = (bidir_groups, kv_groups)
-        attn_out = attention(
+        attn_out = attention_kvmajor(
             q, k_all, v_all, q_positions, valid,
             scale=config.attn_scale,
             sliding_window=config.layer_sliding_window(layer_idx),

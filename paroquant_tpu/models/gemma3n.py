@@ -31,7 +31,7 @@ from .decoder import (
     _act,
     apply_linear,
     apply_rope,
-    attention,
+    attention_kvmajor,
     rms_norm,
     rope_tables,
 )
@@ -228,45 +228,51 @@ def gemma3n_attention(
     is_shared = shared_kv is not None
     q, k, v = gemma3n_qkv(p, h, config, cos, sin, quant_mode, need_kv=not is_shared)
     if is_shared:
-        k_all, v_all = shared_kv  # full rows of the source layer's cache
+        # full head-major rows of the source layer's cache ([B, Hkv, S, D])
+        k_all, v_all = shared_kv
         new_cache = None
         own_kv = None
     else:
+        kh = jnp.swapaxes(k, 1, 2)  # head-major, like decoder.layer_forward
+        vh = jnp.swapaxes(v, 1, 2)
         if kv_cache_layer is not None:
-            ck, cv = kv_cache_layer
-            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_offset, 0, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_offset, 0, 0))
+            ck, cv = kv_cache_layer  # [B, Hkv, S, D]
+            ck = jax.lax.dynamic_update_slice(
+                ck, kh.astype(ck.dtype), (0, 0, cache_offset, 0))
+            cv = jax.lax.dynamic_update_slice(
+                cv, vh.astype(cv.dtype), (0, 0, cache_offset, 0))
             k_all, v_all = ck, cv
             new_cache = (ck, cv)
             own_kv = (ck, cv)
         else:
-            k_all, v_all = k, v
+            k_all, v_all = kh, vh
             new_cache = None
-            own_kv = (k, v)
+            own_kv = (kh, vh)
 
     valid = cache_offset + T
-    S_kv = k_all.shape[1]
+    S_kv = k_all.shape[2]
+    block_k = next((b for b in (256, 128) if S_kv % b == 0),
+                   S_kv if S_kv <= 256 else None)
     flash_ok = (
         attn_mode == "flash"
         and T >= 128 and T % 128 == 0
-        and S_kv % min(256, S_kv) == 0
+        and block_k is not None
     )
     if flash_ok:
         # Pallas flash kernel (traced q_offset, like decoder.layer_forward)
         from ..kernels.attention import flash_attention
 
         out = flash_attention(
-            jnp.swapaxes(q, 1, 2), jnp.swapaxes(k_all, 1, 2),
-            jnp.swapaxes(v_all, 1, 2),
+            jnp.swapaxes(q, 1, 2), k_all, v_all,
             jnp.broadcast_to(valid.reshape(-1), (B,)),
             scale=config.attn_scale,  # 1.0
             q_offset=jnp.asarray(cache_offset, jnp.int32),
             sliding_window=config.layer_sliding_window(layer_idx),
-            block_q=min(256, T), block_k=min(256, S_kv),
+            block_q=min(256, T), block_k=block_k,
         )
         out = jnp.swapaxes(out, 1, 2)
     else:
-        out = attention(
+        out = attention_kvmajor(
             q, k_all, v_all, q_positions, valid,
             scale=config.attn_scale,  # 1.0
             sliding_window=config.layer_sliding_window(layer_idx),

@@ -291,8 +291,12 @@ def sp_prefill(
         def impl(q, k, v, q_pos, valid, *, scale, sliding_window,
                  logit_softcap):
             del valid  # no cache in SP prefill: all S_kv tokens are valid
+            # layer_forward hands attn impls HEAD-MAJOR kv [B, Hkv, S, D];
+            # ring_attention's token axis shards over the mesh, so swap back
+            # to [B, S, Hkv, D] (local transpose of fresh prefill kv)
             return ring_attention(
-                q, k, v, q_pos, mesh, axis=axis, scale=scale,
+                q, jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2), q_pos,
+                mesh, axis=axis, scale=scale,
                 sliding_window=sliding_window, logit_softcap=logit_softcap,
             )
 

@@ -371,12 +371,14 @@ def make_tp_flash_attn(mesh: Mesh, axis: str = "model", on_fallback=None):
 
     def impl(q, k_all, v_all, q_positions, valid, *, scale, sliding_window,
              logit_softcap):
+        # q [B, T, Hq, D]; k/v HEAD-MAJOR [B, Hkv, S, D] (the layer_forward
+        # attn-impl convention == KVCache storage == flash-kernel layout)
         from ..kernels.attention import flash_attention
-        from ..models.decoder import attention
+        from ..models.decoder import attention_kvmajor
 
         B, T, Hq, D = q.shape
-        S_kv = k_all.shape[1]
-        Hkv = k_all.shape[2]
+        Hkv = k_all.shape[1]
+        S_kv = k_all.shape[2]
         # same kv-block rule as models/decoder.py: 256-tile, else 128-tile
         # (chunked prefill kv buffers are 128-multiples, not always 256),
         # else whole-buffer for short kv
@@ -388,7 +390,7 @@ def make_tp_flash_attn(mesh: Mesh, axis: str = "model", on_fallback=None):
             if on_fallback is not None:
                 on_fallback({"T": T, "S_kv": S_kv, "Hq": Hq, "Hkv": Hkv,
                              "tp": n})
-            return attention(
+            return attention_kvmajor(
                 q, k_all, v_all, q_positions, valid, scale=scale,
                 sliding_window=sliding_window, logit_softcap=logit_softcap,
             )
@@ -397,19 +399,20 @@ def make_tp_flash_attn(mesh: Mesh, axis: str = "model", on_fallback=None):
 
         def local(qh, kh, vh, lens, off):
             out = flash_attention(
-                jnp.swapaxes(qh, 1, 2), jnp.swapaxes(kh, 1, 2),
-                jnp.swapaxes(vh, 1, 2), lens, scale=scale, q_offset=off,
+                jnp.swapaxes(qh, 1, 2), kh, vh,
+                lens, scale=scale, q_offset=off,
                 sliding_window=sliding_window, logit_softcap=logit_softcap,
                 block_q=min(256, T), block_k=block_k,
                 interpret=jax.default_backend() == "cpu",
             )
             return jnp.swapaxes(out, 1, 2)
 
-        hs = P(None, None, axis, None)
+        qs = P(None, None, axis, None)   # q: heads at dim 2
+        ks = P(None, axis, None, None)   # k/v: heads at dim 1 (head-major)
         return jax.shard_map(
             local, mesh=mesh,
-            in_specs=(hs, hs, hs, P(None), P(None)),
-            out_specs=hs, check_vma=False,
+            in_specs=(qs, ks, ks, P(None), P(None)),
+            out_specs=qs, check_vma=False,
         )(q, k_all, v_all, kv_lens, q_offset)
 
     return impl

@@ -707,12 +707,13 @@ def gather_prefix_rows(
     rows: int,  # static: contiguous rows to materialize (>= the prefix)
     out_dtype=jnp.bfloat16,  # dequant target when the pool is int8-quantized
 ) -> tuple[jax.Array, jax.Array]:
-    """Materialize a request's page-resident KV as contiguous rows [L, 1,
-    rows, Hkv, D] — used by prefix-cache admission to seed the chunked
-    prefill cache with the shared prefix. Rows beyond the true prefix carry
-    trash-page garbage; they are overwritten by the suffix chunks and masked
-    by valid lengths everywhere else. `rows` is static per (engine, bucket),
-    so compile count stays bounded."""
+    """Materialize a request's page-resident KV as contiguous HEAD-MAJOR
+    rows [L, 1, Hkv, rows, D] (the KVCache storage layout) — used by
+    prefix-cache admission to seed the chunked prefill cache with the
+    shared prefix. Rows beyond the true prefix carry trash-page garbage;
+    they are overwritten by the suffix chunks and masked by valid lengths
+    everywhere else. `rows` is static per (engine, bucket), so compile
+    count stays bounded."""
     L = cache.k.shape[0]
     ps = cache.page_size
     maxP = page_vec.shape[0]
@@ -730,4 +731,5 @@ def gather_prefix_rows(
         pad = rows - maxP * ps
         k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
-    return k[:, None], v[:, None]
+    # [L, rows, Hkv, D] -> head-major [L, 1, Hkv, rows, D]
+    return jnp.swapaxes(k, 1, 2)[:, None], jnp.swapaxes(v, 1, 2)[:, None]

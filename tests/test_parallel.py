@@ -490,10 +490,11 @@ def test_paged_attention_kernel_headsharded(fused_setup):
 def test_tp_flash_prefill_attention_headsharded():
     """make_tp_flash_attn: the flash prefill kernel under a TP mesh launches
     per device on its head shard and matches the einsum reference; shapes
-    the flash tiling rejects fall back to einsum inside the impl."""
+    the flash tiling rejects fall back to einsum inside the impl. kv is
+    HEAD-MAJOR [B, Hkv, S, D] (the layer_forward attn-impl convention)."""
     from jax.sharding import Mesh
 
-    from paroquant_tpu.models.decoder import attention
+    from paroquant_tpu.models.decoder import attention_kvmajor
     from paroquant_tpu.parallel.tp import make_tp_flash_attn
 
     mesh = Mesh(np.array(jax.devices()[:2]).reshape(2), ("model",))
@@ -501,11 +502,11 @@ def test_tp_flash_prefill_attention_headsharded():
     rng = np.random.default_rng(0)
     B, T, Hq, Hkv, D = 2, 128, 4, 2, 32
     q = jnp.asarray(rng.standard_normal((B, T, Hq, D)), jnp.float32)
-    k = jnp.asarray(rng.standard_normal((B, T, Hkv, D)), jnp.float32)
-    v = jnp.asarray(rng.standard_normal((B, T, Hkv, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Hkv, T, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Hkv, T, D)), jnp.float32)
     pos = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
     valid = jnp.asarray(T, jnp.int32)
-    ref = attention(q, k, v, pos, valid, scale=D**-0.5)
+    ref = attention_kvmajor(q, k, v, pos, valid, scale=D**-0.5)
     out = impl(q, k, v, pos, valid, scale=D**-0.5, sliding_window=None,
                logit_softcap=None)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
@@ -513,7 +514,8 @@ def test_tp_flash_prefill_attention_headsharded():
     # short chunk (T=16): flash tiling rejects -> einsum fallback, exact
     out2 = impl(q[:, :16], k, v, pos[:, :16], valid, scale=D**-0.5,
                 sliding_window=None, logit_softcap=None)
-    ref2 = attention(q[:, :16], k, v, pos[:, :16], valid, scale=D**-0.5)
+    ref2 = attention_kvmajor(q[:, :16], k, v, pos[:, :16], valid,
+                             scale=D**-0.5)
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
                                rtol=2e-5, atol=2e-5)
 
@@ -533,8 +535,8 @@ def test_tp_flash_fallback_counter():
     rng = np.random.default_rng(1)
     B, T, Hq, Hkv, D = 1, 128, 4, 2, 32
     q = jnp.asarray(rng.standard_normal((B, T, Hq, D)), jnp.float32)
-    k = jnp.asarray(rng.standard_normal((B, T, Hkv, D)), jnp.float32)
-    v = jnp.asarray(rng.standard_normal((B, T, Hkv, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Hkv, T, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Hkv, T, D)), jnp.float32)
     pos = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
     valid = jnp.asarray(T, jnp.int32)
     kw = dict(scale=D**-0.5, sliding_window=None, logit_softcap=None)
@@ -543,21 +545,21 @@ def test_tp_flash_fallback_counter():
     # S_kv=384 (chunked-prefill kv buffer: bucket 128 + chunk 256): a
     # 128-multiple but NOT a 256-multiple — the adaptive block_k keeps it
     # on the flash path and it must match the einsum reference
-    from paroquant_tpu.models.decoder import attention
+    from paroquant_tpu.models.decoder import attention_kvmajor
 
-    k3 = jnp.concatenate([k, k, k], axis=1)
-    v3 = jnp.concatenate([v, v, v], axis=1)
+    k3 = jnp.concatenate([k, k, k], axis=2)
+    v3 = jnp.concatenate([v, v, v], axis=2)
     valid3 = jnp.asarray(200, jnp.int32)  # partial fill, like a real bucket
     out384 = impl(q, k3, v3, pos + 72, valid3, **kw)
     assert seen == []
-    ref384 = attention(q, k3, v3, pos + 72, valid3, **kw)
+    ref384 = attention_kvmajor(q, k3, v3, pos + 72, valid3, **kw)
     np.testing.assert_allclose(np.asarray(out384), np.asarray(ref384),
                                rtol=2e-5, atol=2e-5)
     impl(q[:, :80], k, v, pos[:, :80], valid, **kw)  # T=80: rejected
     assert len(seen) == 1 and seen[0]["T"] == 80 and seen[0]["tp"] == 2
     # odd head count vs TP degree: rejected with the offending fields
     q3 = jnp.asarray(rng.standard_normal((B, T, 3, D)), jnp.float32)
-    impl(q3, k[:, :, :1], v[:, :, :1], pos, valid, **kw)
+    impl(q3, k[:, :1], v[:, :1], pos, valid, **kw)
     assert len(seen) == 2 and seen[1]["Hq"] == 3
 
 
