@@ -355,6 +355,16 @@ AUTO_FUSED_MAX_M = 128
 # way; mixed numerics only move acceptance rates on near-tie tokens.
 AUTO_W4A8_MIN_KN = 8 * 1024 * 1024
 
+# The a8 edge also has an M ceiling (round-5 bench_7b re-record, post
+# M-tile fix): at 7B geometry w4a8 wins +8.2% at M=1 and +5.5% at M=8 but
+# LOSES -1.9% at M=32 — once the M-tile covers a larger batch, the exact
+# kernel amortizes the weight stream just as well and the per-row
+# activation-quant overhead stops paying. auto serves a8 only at or below
+# this cut. Measured points: M=1/8 a8-positive, M=32 negative; 16 sits at
+# the midpoint of the band (B=16 arm queued on the round-5 A/B — adjust if
+# it lands negative).
+AUTO_W4A8_MAX_M = 16
+
 
 def _w4a8_auto_wins(layer) -> bool:
     """True when this matrix's weight stream is big enough that the a8
@@ -399,8 +409,9 @@ def _resolve_auto(mode: str, x: jax.Array, layer) -> str:
     if mode != "auto":
         return mode
     # auto serves the measured-best mode per geometry: a8 decode for
-    # big-weight matrices (>= 7B-class), exact W4A16 otherwise.
-    if m <= AUTO_FUSED_MAX_M and _w4a8_auto_wins(layer):
+    # big-weight matrices (>= 7B-class) at small decode M, exact W4A16
+    # otherwise (see AUTO_W4A8_MIN_KN / AUTO_W4A8_MAX_M).
+    if m <= AUTO_W4A8_MAX_M and _w4a8_auto_wins(layer):
         return _resolve_auto("w4a8", x, layer)
     return _base_auto(x, layer, m)
 

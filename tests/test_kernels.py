@@ -348,6 +348,8 @@ def test_auto_mode_w4a8_geometry_crossover():
         return SimpleNamespace(scales=np.zeros((k // s, n), np.float32),
                                group_size=s)
 
+    from paroquant_tpu.ops.qlinear import AUTO_W4A8_MAX_M
+
     big = fake(4096, 4096)      # 16.8M — 7B o_proj, smallest 7B matrix
     small = fake(1024, 6144)    # 6.3M — 0.6B merged gate_up, largest 0.6B
     assert 4096 * 4096 >= AUTO_W4A8_MIN_KN > 1024 * 6144
@@ -358,6 +360,10 @@ def test_auto_mode_w4a8_geometry_crossover():
     # decode M, small geometry -> exact W4A16
     assert _resolve_auto("auto", jnp.zeros((1, 1024), jnp.float32),
                          small) == "xla"
+    # batched decode ABOVE the measured a8 ceiling (M=32 lost -1.9% on
+    # silicon) -> exact W4A16 even at big geometry
+    xm = jnp.zeros((AUTO_W4A8_MAX_M * 2, 4096), jnp.float32)
+    assert _resolve_auto("auto", xm, big) == "xla"
     # prefill M -> exact W4A16 regardless of geometry
     xp = jnp.zeros((AUTO_FUSED_MAX_M + 1, 4096), jnp.float32)
     assert _resolve_auto("auto", xp, big) == "xla"
