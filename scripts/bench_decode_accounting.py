@@ -119,9 +119,10 @@ def profile_scan(run_once) -> dict:
                 ms = e.duration_ns / 1e6
                 b = bucket_of(e.name)
                 buckets[b] = buckets.get(b, 0.0) + ms
-                key = e.name.split(" = ")[0].lstrip("%")
-                top[key] = top.get(key, 0.0) + ms
-    top_ops = sorted(top.items(), key=lambda kv: -kv[1])[:12]
+                # bucket-prefixed keys so catch-all buckets (other_custom_
+                # call / other) are attributable from the top-ops list
+                top[f"{b}:{bare}"] = top.get(f"{b}:{bare}", 0.0) + ms
+    top_ops = sorted(top.items(), key=lambda kv: -kv[1])[:16]
     return {
         "buckets_ms": {k: round(v, 2) for k, v in
                        sorted(buckets.items(), key=lambda kv: -kv[1])},
