@@ -15,10 +15,12 @@ log() { echo "[$(date +%H:%M:%S)] $*" >> "$LOG"; }
 while [ -f "$LOCK" ] && kill -0 "$(cat "$LOCK")" 2>/dev/null; do
   sleep 60
 done
-if [ -f "$LOCK" ] && kill -0 "$(cat "$LOCK")" 2>/dev/null; then
-  echo "lock still held" >&2; exit 1
+# atomic acquire (noclobber): closes the wait->write race when two queued
+# campaigns see the lock clear in the same window (round-5 self-review)
+rm -f "$LOCK"
+if ! (set -C; echo $$ > "$LOCK") 2>/dev/null; then
+  echo "lost the lock race" >&2; exit 1
 fi
-echo $$ > "$LOCK"
 trap 'rm -f "$LOCK"' EXIT
 log "round-5 campaign: chip free, starting"
 
