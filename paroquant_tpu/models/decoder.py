@@ -140,23 +140,25 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 
 
 class KVCache(NamedTuple):
-    """Uniform-length KV cache for batch decode: k/v [Lf, B, Hkv, S, D].
+    """Uniform-length KV cache for batch decode: k/v are TUPLES of Lf
+    per-layer head-major buffers [B, Hkv, S, D].
 
-    HEAD-MAJOR storage (S inside Hkv): the attention dots batch over
-    (B, Hkv) and contract D/S, so head-major kv feeds the MXU directly.
-    The round-5 B=32 device profile (scripts/bench_decode_accounting.py)
-    showed the previous token-major [.., S, Hkv, D] layout cost ~2 full
-    cache copies per decode step (XLA materialized head-major transposes
-    of k and v for the dots, which also defeated in-place reuse of the
-    scan carry): 13.5 of 29 ms/step at 7B B=32 was pure cache movement.
-    Head-major is also the Pallas flash kernel's native layout.
+    Per-layer leaves, NOT one stacked [Lf, ...] array: the round-5 B=32
+    device profile (scripts/bench_decode_accounting.py) showed a stacked
+    carry cost ~2 full cache copies per decode step — each scan step
+    sliced every layer out of the stack and jnp.stack'ed the updates back
+    (4 cache-sized slice_bitcast fusions + a 6 ms dynamic-update-slice
+    bucket = 13.5 of 29 ms/step at 7B). With one buffer per layer the
+    only write is the layer's own one-token dynamic_update_slice, which
+    XLA aliases in place across the scan. Head-major (S inside Hkv)
+    matches the attention dots' batch dims and the Pallas flash kernel.
 
     Lf = number of full-attention layers (== num_hidden_layers for
     non-hybrid models). Hybrid (qwen3_next) models carry the linear-layer
     conv/recurrent states in `linear` instead of KV rows."""
 
-    k: jax.Array
-    v: jax.Array
+    k: tuple[jax.Array, ...]
+    v: tuple[jax.Array, ...]
     length: jax.Array  # int32 scalar: tokens already cached
     linear: Any = None  # LinearAttnStates for hybrid models
 
@@ -165,7 +167,6 @@ class KVCache(NamedTuple):
         cls, config: ModelConfig, batch: int, max_len: int, dtype=jnp.bfloat16
     ) -> "KVCache":
         shape = (
-            config.num_full_attn_layers,
             batch,
             config.num_key_value_heads,
             max_len,
@@ -176,8 +177,10 @@ class KVCache(NamedTuple):
             from .linear_attn import LinearAttnStates
 
             linear = LinearAttnStates.create(config, batch)
+        n = config.num_full_attn_layers
         return cls(
-            k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+            k=tuple(jnp.zeros(shape, dtype) for _ in range(n)),
+            v=tuple(jnp.zeros(shape, dtype) for _ in range(n)),
             length=jnp.zeros((), jnp.int32), linear=linear,
         )
 
@@ -673,7 +676,7 @@ def model_forward(
             from .linear_attn import LinearAttnStates
 
             linear = LinearAttnStates(jnp.stack(new_conv), jnp.stack(new_rec))
-        cache = KVCache(jnp.stack(new_k), jnp.stack(new_v), offset + T, linear)
+        cache = KVCache(tuple(new_k), tuple(new_v), offset + T, linear)
     return logits, cache
 
 

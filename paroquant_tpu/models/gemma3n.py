@@ -441,7 +441,7 @@ def gemma3n_forward(
         logits = jnp.tanh(logits / config.logit_softcap) * config.logit_softcap
 
     if cache is not None:
-        cache = KVCache(jnp.stack(new_k), jnp.stack(new_v), offset + T)
+        cache = KVCache(tuple(new_k), tuple(new_v), offset + T)
     return logits, cache
 
 

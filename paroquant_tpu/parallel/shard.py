@@ -148,9 +148,9 @@ def param_specs(params: dict[str, Any], config: ModelConfig) -> dict[str, Any]:
 
 
 def cache_specs(config: ModelConfig) -> KVCache:
-    # head-major contiguous cache [Lf, B, Hkv, S, D]: batch on "data",
-    # kv heads on "model"
-    kv = P(None, "data", "model", None, None)
+    # per-layer head-major cache leaves [B, Hkv, S, D]: batch on "data",
+    # kv heads on "model" (one spec applied to every tuple leaf)
+    kv = P("data", "model", None, None)
     return KVCache(k=kv, v=kv, length=P())
 
 

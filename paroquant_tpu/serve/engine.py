@@ -849,12 +849,15 @@ class Engine:
         # fused finish's compiled shape a function of the bucket only.
         # Trim to the table capacity: the chunked cache carries +chunk slack
         # rows that must not spill past max_pages_per_seq pages.
-        # contiguous cache is head-major [L, B, Hkv, S, D]; the page pool is
-        # token-major [L, P, ps, Hkv, D] — one bucket-sized transpose per
-        # request at scatter time (prefill-rate, not decode-rate work)
-        max_rows = min(cache.k.shape[3], self.max_pages_per_seq * self.page_size)
-        layer_k = jnp.swapaxes(cache.k[:, 0], 1, 2)[:, :max_rows]
-        layer_v = jnp.swapaxes(cache.v[:, 0], 1, 2)[:, :max_rows]
+        # contiguous cache is per-layer head-major tuples of [B, Hkv, S, D];
+        # the page pool is token-major [L, P, ps, Hkv, D] — one bucket-sized
+        # stack+transpose per request at scatter time (prefill-rate work)
+        max_rows = min(cache.k[0].shape[2],
+                       self.max_pages_per_seq * self.page_size)
+        layer_k = jnp.stack(
+            [jnp.swapaxes(k[0], 0, 1)[:max_rows] for k in cache.k])
+        layer_v = jnp.stack(
+            [jnp.swapaxes(v[0], 0, 1)[:max_rows] for v in cache.v])
         if self.prefix_caching and req.pixel_values is None:
             self._register_prefix(pages, reg_keys, n_matched, req.prompt_tokens)
         sp = req.sampling

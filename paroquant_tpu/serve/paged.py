@@ -707,8 +707,8 @@ def gather_prefix_rows(
     rows: int,  # static: contiguous rows to materialize (>= the prefix)
     out_dtype=jnp.bfloat16,  # dequant target when the pool is int8-quantized
 ) -> tuple[jax.Array, jax.Array]:
-    """Materialize a request's page-resident KV as contiguous HEAD-MAJOR
-    rows [L, 1, Hkv, rows, D] (the KVCache storage layout) — used by
+    """Materialize a request's page-resident KV in the KVCache storage
+    layout — per-layer tuples of head-major [1, Hkv, rows, D] — used by
     prefix-cache admission to seed the chunked prefill cache with the
     shared prefix. Rows beyond the true prefix carry trash-page garbage;
     they are overwritten by the suffix chunks and masked by valid lengths
@@ -731,5 +731,8 @@ def gather_prefix_rows(
         pad = rows - maxP * ps
         k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
-    # [L, rows, Hkv, D] -> head-major [L, 1, Hkv, rows, D]
-    return jnp.swapaxes(k, 1, 2)[:, None], jnp.swapaxes(v, 1, 2)[:, None]
+    # [L, rows, Hkv, D] -> per-layer head-major tuples [1, Hkv, rows, D]
+    k = jnp.swapaxes(k, 1, 2)
+    v = jnp.swapaxes(v, 1, 2)
+    return (tuple(k[i][None] for i in range(L)),
+            tuple(v[i][None] for i in range(L)))

@@ -106,10 +106,12 @@ def test_scatter_gather_roundtrip_quantized():
     cache = scatter_prefill_kv(config, cache, layer_k, layer_v, pages)
     assert cache.k.dtype == jnp.int8
 
-    # gather returns the head-major KVCache layout [L, 1, Hkv, rows, D]
+    # gather returns the KVCache layout: per-layer head-major tuples
+    # [1, Hkv, rows, D]
     k, v = gather_prefix_rows(cache, pages, T, out_dtype=jnp.float32)
     amax = np.abs(np.asarray(layer_k)).max(axis=-1, keepdims=True)
-    k_rows = np.swapaxes(np.asarray(k[:, 0]), 1, 2)[:, :T]
+    k_rows = np.stack(
+        [np.swapaxes(np.asarray(kl[0]), 0, 1)[:T] for kl in k])
     err = np.abs(k_rows - np.asarray(layer_k))
     assert np.all(err <= amax / 250 + 1e-6)
 

@@ -40,11 +40,11 @@ def test_paged_decode_matches_contiguous(model):
     pcache = PagedKVCache.create(CFG, num_pages=8, page_size=ps, dtype=jnp.float32)
     page_ids = np.array([3, 1, 5, 0], np.int32)  # deliberately non-contiguous
     pad_T = 16  # 12 tokens -> 2 pages of 8
-    # contiguous cache is head-major [L, B, Hkv, S, D]; the page pool is
-    # token-major rows
-    ck = jnp.pad(jnp.swapaxes(cache.k[:, 0], 1, 2)[:, :12],
+    # contiguous cache: per-layer head-major tuples [B, Hkv, S, D]; the
+    # page pool is token-major rows
+    ck = jnp.pad(jnp.stack([jnp.swapaxes(k[0], 0, 1)[:12] for k in cache.k]),
                  ((0, 0), (0, 4), (0, 0), (0, 0)))
-    cv = jnp.pad(jnp.swapaxes(cache.v[:, 0], 1, 2)[:, :12],
+    cv = jnp.pad(jnp.stack([jnp.swapaxes(v[0], 0, 1)[:12] for v in cache.v]),
                  ((0, 0), (0, 4), (0, 0), (0, 0)))
     pcache = scatter_prefill_kv(CFG, pcache, ck, cv, jnp.asarray(page_ids))
 
@@ -83,11 +83,11 @@ def test_paged_decode_matches_contiguous_gemma():
     ps = 8
     pcache = PagedKVCache.create(gcfg, num_pages=8, page_size=ps, dtype=jnp.float32)
     page_ids = np.array([2, 6, 1, 4], np.int32)
-    # contiguous cache is head-major [L, B, Hkv, S, D]; the page pool is
-    # token-major rows
-    ck = jnp.pad(jnp.swapaxes(cache.k[:, 0], 1, 2)[:, :12],
+    # contiguous cache: per-layer head-major tuples [B, Hkv, S, D]; the
+    # page pool is token-major rows
+    ck = jnp.pad(jnp.stack([jnp.swapaxes(k[0], 0, 1)[:12] for k in cache.k]),
                  ((0, 0), (0, 4), (0, 0), (0, 0)))
-    cv = jnp.pad(jnp.swapaxes(cache.v[:, 0], 1, 2)[:, :12],
+    cv = jnp.pad(jnp.stack([jnp.swapaxes(v[0], 0, 1)[:12] for v in cache.v]),
                  ((0, 0), (0, 4), (0, 0), (0, 0)))
     pcache = scatter_prefill_kv(gcfg, pcache, ck, cv, jnp.asarray(page_ids))
     page_table = np.zeros((1, 4), np.int32)
@@ -119,11 +119,11 @@ def test_paged_decode_matches_contiguous_gemma3n():
     ps = 8
     pcache = PagedKVCache.create(gcfg, num_pages=8, page_size=ps, dtype=jnp.float32)
     page_ids = np.array([2, 6, 1, 4], np.int32)
-    # contiguous cache is head-major [L, B, Hkv, S, D]; the page pool is
-    # token-major rows
-    ck = jnp.pad(jnp.swapaxes(cache.k[:, 0], 1, 2)[:, :12],
+    # contiguous cache: per-layer head-major tuples [B, Hkv, S, D]; the
+    # page pool is token-major rows
+    ck = jnp.pad(jnp.stack([jnp.swapaxes(k[0], 0, 1)[:12] for k in cache.k]),
                  ((0, 0), (0, 4), (0, 0), (0, 0)))
-    cv = jnp.pad(jnp.swapaxes(cache.v[:, 0], 1, 2)[:, :12],
+    cv = jnp.pad(jnp.stack([jnp.swapaxes(v[0], 0, 1)[:12] for v in cache.v]),
                  ((0, 0), (0, 4), (0, 0), (0, 0)))
     pcache = scatter_prefill_kv(gcfg, pcache, ck, cv, jnp.asarray(page_ids))
     page_table = np.zeros((1, 4), np.int32)
