@@ -360,9 +360,10 @@ AUTO_W4A8_MIN_KN = 8 * 1024 * 1024
 # LOSES -1.9% at M=32 — once the M-tile covers a larger batch, the exact
 # kernel amortizes the weight stream just as well and the per-row
 # activation-quant overhead stops paying. auto serves a8 only at or below
-# this cut. Measured points: M=1/8 a8-positive, M=32 negative; 16 sits at
-# the midpoint of the band (B=16 arm queued on the round-5 A/B — adjust if
-# it lands negative).
+# this cut. Measured points (tok/s, w4a8 vs fused): M=1 111.4/103.2
+# (+8.2%), M=8 594.8/563.6 (+5.5%), M=16 879.1/840.8 (+4.6%), M=32
+# 1071.0/1089.0 (-1.7%); post-tuple-cache B=32 confirms (2237.9/2293.7,
+# -2.4%). The cut sits at the last measured a8-positive M.
 AUTO_W4A8_MAX_M = 16
 
 
