@@ -238,3 +238,23 @@ def test_quant_mode_auto_a8_at_big_geometry():
     p_xla, _ = model_forward(qparams, config, toks, quant_mode="xla")
     p_auto, _ = model_forward(qparams, config, toks, quant_mode="auto")
     np.testing.assert_array_equal(np.asarray(p_xla), np.asarray(p_auto))
+
+
+def test_kv_cache_per_layer_leaves(tiny):
+    """KVCache stores PER-LAYER tuple leaves, not one stacked [L, ...]
+    array (round-5: the stacked scan carry cost ~2 full-cache copies per
+    decode step — slice-out + jnp.stack-back every step; per-layer leaves
+    let each layer's one-token DUS alias in place). Pin the structure so
+    a refactor doesn't quietly re-stack it."""
+    config, params = tiny
+    cache = KVCache.create(config, 2, 16, jnp.float32)
+    assert isinstance(cache.k, tuple) and isinstance(cache.v, tuple)
+    assert len(cache.k) == config.num_full_attn_layers
+    # per-layer head-major leaves [B, Hkv, S, D]
+    assert cache.k[0].shape == (
+        2, config.num_key_value_heads, 16, config.head_dim)
+    tokens = jnp.asarray([[3, 1, 4]], jnp.int32)
+    cache1 = KVCache.create(config, 1, 16, jnp.float32)
+    _, c2 = model_forward(params, config, tokens, cache1)
+    assert isinstance(c2.k, tuple) and len(c2.k) == len(cache1.k)
+    assert c2.k[0].shape == cache1.k[0].shape
